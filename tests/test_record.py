@@ -1,0 +1,117 @@
+"""clean_payload / content-type tests (reference: src/record.cc:192-289)."""
+
+import io
+import zipfile
+
+from warc2text_spark.functions.record import (
+    NOT_VALID_RECORD,
+    SUCCESS,
+    UNKNOWN_ENCODING_ERROR,
+    UTF8_CONVERSION_ERROR,
+    ZIP_READ_ERROR,
+    clean_content_type,
+    clean_payload,
+    is_text_format,
+)
+
+
+def test_clean_content_type():
+    assert clean_content_type("text/html") == ("text/html", "")
+    assert clean_content_type("Text/HTML; charset=UTF-8") == ("text/html", "UTF-8")
+    assert clean_content_type("text/plain; charset= iso-8859-1 ; x=y") == \
+        ("text/plain", "iso-8859-1")
+    assert clean_content_type("") == ("", "")
+    assert clean_content_type(None) == ("", "")
+
+
+def test_is_text_format():
+    assert is_text_format("text/html")
+    assert is_text_format("application/xhtml+xml")
+    assert not is_text_format("application/pdf")
+    assert not is_text_format("")
+
+
+def test_html_path():
+    text, err, charset = clean_payload(b"<p>a&amp;b</p>", "text/html", "", "u")
+    assert (text, err) == ("a&b\n", SUCCESS)
+    assert charset == "ascii"
+
+
+def test_plain_path_no_entity_decode():
+    # F08: trimLines + ctrl->space, entities NOT decoded (record.cc:283-284)
+    text, err, _ = clean_payload(b"  a b \n\n\tc\x07d &amp; e\n", "text/plain", "", "u")
+    assert err == SUCCESS
+    assert text == "a b\nc d &amp; e\n"
+
+
+def test_non_text_mime_dropped():
+    _, err, _ = clean_payload(b"\x89PNG...", "image/png", "", "u")
+    assert err == NOT_VALID_RECORD
+
+
+def test_empty_content_type_is_processed_as_html():
+    text, err, _ = clean_payload(b"<p>x</p>", "", "", "u")
+    assert (text, err) == ("x\n", SUCCESS)
+
+
+def test_declared_charset_fallback():
+    # latin-1 bytes: deterministic detector gives up -> declared charset used
+    payload = "caf\xe9 ol\xe9".encode("latin-1")
+    payload = b"<p>" + payload + b"</p>"
+    text, err, charset = clean_payload(payload, "text/html", "ISO-8859-1", "u")
+    assert err == SUCCESS
+    assert charset == "iso-8859-1"
+    assert text == "café olé\n"
+
+
+def test_unknown_encoding_dropped():
+    payload = b"\xff\xfe garbage \xff"
+    _, err, _ = clean_payload(payload, "text/html", "", "u")
+    assert err == UNKNOWN_ENCODING_ERROR
+    _, err, _ = clean_payload(payload, "text/html", "not-a-charset", "u")
+    assert err == UNKNOWN_ENCODING_ERROR
+
+
+def test_conversion_failure_dropped():
+    # declared shift_jis but bytes invalid for it -> strict decode fails
+    payload = b"<p>\x81\x39\x81</p>"
+    _, err, _ = clean_payload(payload, "text/html", "shift_jis", "u")
+    assert err == UTF8_CONVERSION_ERROR
+
+
+def test_skip_extraction_returns_payload():
+    text, err, _ = clean_payload(b"<p>raw</p>", "text/html", "", "u",
+                                 skip_extraction=True)
+    assert (text, err) == ("<p>raw</p>", SUCCESS)
+
+
+def make_docx(xml: bytes) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", xml)
+        zf.writestr("word/unrelated.xml", b"<w:p><w:t>nope</w:t></w:p>")
+    return buf.getvalue()
+
+
+def test_zip_docx_extraction():
+    payload = make_docx(b"<w:document><w:p><w:r><w:t>para one</w:t></w:r></w:p>"
+                        b"<w:p><w:r><w:t>para two</w:t></w:r></w:p></w:document>")
+    ct = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    text, err, _ = clean_payload(payload, ct, "", "http://x/doc.docx")
+    assert err == SUCCESS
+    assert text == "para one\npara two\n"
+
+
+def test_zip_by_url_extension():
+    payload = make_docx(b"<w:p><w:t>hi</w:t></w:p>")
+    # content type bogus but URL ends .docx (record.cc:144-164)
+    text, err, _ = clean_payload(payload, "application/octet-stream", "",
+                                 "http://x/a.docx")
+    assert err == SUCCESS
+    assert text == "hi\n"
+
+
+def test_bad_zip_dropped():
+    ct = "application/vnd.oasis.opendocument.text"
+    _, err, _ = clean_payload(b"PK\x03\x04 truncated garbage", ct, "", "u")
+    assert err == ZIP_READ_ERROR

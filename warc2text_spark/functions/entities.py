@@ -1,0 +1,151 @@
+"""HTML entity decoding with the reference's exact grammar and table.
+
+Contract (reference: /root/reference/src/entities.cc):
+
+* ``find_entity_end`` — grammar scan from a ``&`` (entities.cc:18-49):
+  returns the index of the terminating ``;``, or the index of the first
+  invalid character, or ``None`` when the string ends mid-entity.
+  Note the quirk that a leading ``x``/``X`` sets hex mode even without
+  ``#`` (entities.cc:28-31).
+* ``decode_entities`` — the driver loop (entities.cc:51-101):
+  - entity with no proper end: remainder appended verbatim, done;
+  - invalid char before ``;``: the consumed chars appended verbatim;
+  - numeric entity: parsed as unsigned 64-bit (``std::stoul``); values
+    > 2**64-1 raise :class:`EntityOverflowError` exactly like the uncaught
+    ``std::out_of_range`` (the caller drops the whole record,
+    warcpreprocessor.cc:180); values > U+10FFFF or with trailing junk are
+    silently elided (entities.cc:80-82);
+  - named entity: looked up (case-sensitive, no ``;`` in key); unknown
+    names are silently elided (entities.cc:89-93).
+* ``codepoint_to_text`` — numeric-entity rendering (entities.cc:104-140):
+  cp < 32 -> space; 160 (nbsp) -> space; 173 (shy) -> empty; the
+  8194-8202/8203/9287 branches are dead code in the reference (they sit
+  inside the ``cp <= 0x7FF`` arm) and are preserved as such here by simply
+  not special-casing those codepoints.
+* Table: WHATWG html5 named entities (stdlib ``html.entities.html5``) minus
+  96 removals plus 31 value overrides — see ``_entity_data.py`` (generated,
+  reference table at entities.cc:143-2172).
+
+All character-class tests are ASCII-only (C locale semantics).
+"""
+
+from __future__ import annotations
+
+import html.entities
+
+from ._entity_data import OVERRIDES, REMOVALS
+
+_ASCII_DIGITS = set("0123456789")
+_ASCII_ALPHA = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_ASCII_XDIGITS = _ASCII_DIGITS | set("abcdefABCDEF")
+
+_UNICODE_MAX = 0x10FFFF
+_ULONG_MAX = 2**64 - 1
+
+
+class EntityOverflowError(Exception):
+    """Numeric entity exceeding unsigned-64 range (record-fatal)."""
+
+
+def _build_table() -> dict[str, str]:
+    table = {k.rstrip(";"): v for k, v in html.entities.html5.items()}
+    for name in REMOVALS:
+        del table[name]
+    table.update(OVERRIDES)
+    return table
+
+
+NAMED_ENTITIES: dict[str, str] = _build_table()
+
+
+def find_entity_end(source: str, pos: int) -> int | None:
+    """Scan an entity starting at ``source[pos] == '&'``; see module doc."""
+    numeric = False
+    hexmode = False
+    pos += 1
+    n = len(source)
+    if pos >= n:
+        return None
+    if source[pos] == "#":
+        numeric = True
+        pos += 1
+    if pos >= n:
+        return None
+    if source[pos] in "xX":
+        hexmode = True
+        pos += 1
+    while pos < n:
+        c = source[pos]
+        if c == ";":
+            return pos
+        digit = c in _ASCII_DIGITS
+        alpha = c in _ASCII_ALPHA
+        xdigit = c in _ASCII_XDIGITS
+        if numeric and not hexmode and alpha:
+            return pos
+        if hexmode and not xdigit:
+            return pos
+        if not alpha and not digit:
+            return pos
+        pos += 1
+    return None
+
+
+def codepoint_to_text(cp: int) -> str:
+    if cp < 32:
+        return " "
+    if cp == 160:
+        return " "
+    if cp == 173:
+        return ""
+    if cp <= _UNICODE_MAX:
+        # Surrogate codepoints are not representable in a Python str; the
+        # reference emits their raw (ill-formed) UTF-8 bytes, which the
+        # output boundary would re-escape anyway.  Render as U+FFFD.
+        if 0xD800 <= cp <= 0xDFFF:
+            return "�"
+        return chr(cp)
+    return ""
+
+
+def decode_entities(source: str) -> str:
+    """Decode HTML entities in ``source`` (entities.cc:51-101)."""
+    pos = source.find("&")
+    if pos < 0:
+        return source
+    out: list[str] = []
+    end_pos = 0
+    while pos >= 0:
+        out.append(source[end_pos:pos])
+        end = find_entity_end(source, pos)
+        if end is None:
+            out.append(source[pos:])
+            end_pos = len(source)
+            break
+        if source[end] != ";":
+            # '&' did not start a proper entity: keep the consumed chars
+            out.append(source[pos:end])
+            end_pos = end
+        elif source[pos + 1] == "#":
+            hexmode = (pos + 2 < end) and source[pos + 2] in "xX"
+            start = pos + (3 if hexmode else 2)
+            digits = source[start:end]
+            if not digits:
+                # std::stoul("") -> invalid_argument: keep consumed chars
+                # (start == end here, so nothing is appended)
+                end_pos = end
+            else:
+                code = int(digits, 16 if hexmode else 10)
+                if code > _ULONG_MAX:
+                    raise EntityOverflowError(digits)
+                if code <= _UNICODE_MAX:
+                    out.append(codepoint_to_text(code))
+                end_pos = end + 1
+        else:
+            value = NAMED_ENTITIES.get(source[pos + 1:end])
+            if value is not None:
+                out.append(value)
+            end_pos = end + 1
+        pos = source.find("&", end_pos)
+    out.append(source[end_pos:])
+    return "".join(out)

@@ -1,0 +1,182 @@
+"""Text assembly: HTML token stream -> plain text, and the text/plain path.
+
+Reference semantics:
+
+* ``process_html`` — /root/reference/src/html.cc:44-87.  Block tags emit a
+  newline (collapsing a trailing whitespace byte into ``\\n``), void tags a
+  space; WORD tokens are appended unless the *most recently seen tag name*
+  (start or end — so text right after ``</script>`` is still suppressed) is
+  in the no-text set; SPACE tokens append one space when the output doesn't
+  already end in whitespace; the result is ``\\n``-terminated.  A scanner
+  TT_ERROR aborts extraction at that point with HTML_PARSING_ERROR (partial
+  text kept); a tag-filter match records FILTERED_DOCUMENT_ERROR but the
+  scan continues (a later parse error overwrites it, html.cc:56-58).
+  The reference's ``plaintext.back()`` on empty output is UB
+  (html.cc:85); here empty output stays empty.
+* Tag sets — /root/reference/src/util.hh:74-113 (incl. ODF/OOXML tags).
+* Tag filters — ``{tag: {attr: [compiled regex, ...]}}``; a filter fires on
+  a TT_ATTR token via regex *search* on the raw value (html.cc:12-26).
+* ``trim_lines_copy`` — /root/reference/src/util.cc:36-66: drop leading
+  whitespace (any C-isspace byte, which also eats empty lines), trim line
+  tails, terminate each kept line with ``\\n``.
+* ``replace_ctrl`` — /root/reference/src/record.cc:267: C-iscntrl bytes
+  other than ``\\n`` become spaces.
+
+Everything is byte-level (C-locale character classes).
+"""
+
+from __future__ import annotations
+
+from . import scanner as sc
+
+# util.hh:34-41
+SUCCESS = 0
+HTML_PARSING_ERROR = 1
+FILTERED_DOCUMENT_ERROR = 2
+UNKNOWN_ENCODING_ERROR = 3
+UTF8_CONVERSION_ERROR = 4
+NOT_VALID_RECORD = 5
+
+# util.hh:74
+NOTEXT_TAGS = frozenset({b"script", b"noscript", b"style", b""})
+
+# util.hh:77-84
+VOID_TAGS = frozenset({
+    b"!doctype", b"area", b"base", b"br", b"col", b"command", b"embed",
+    b"hr", b"img", b"input", b"keygen", b"link", b"meta", b"param",
+    b"source", b"track", b"wbr",
+    b"text:s",  # ODP: represents a space
+    b"w:s",     # MS Word
+})
+
+# util.hh:88-99 (br treated as block for extraction purposes)
+BLOCK_TAGS = frozenset({
+    b"address", b"article", b"aside", b"blockquote", b"body", b"br",
+    b"details", b"dialog", b"dd", b"div", b"dl", b"dt", b"fieldset",
+    b"figcaption", b"figure", b"footer", b"form", b"h1", b"h2", b"h3",
+    b"h4", b"h5", b"h6", b"head", b"header", b"hgroup", b"html", b"hr",
+    b"li", b"main", b"nav", b"ol", b"p", b"pre", b"section", b"table",
+    b"td", b"th", b"title", b"tr", b"ul",
+    b"text:p",  # ODT
+    b"w:p",     # MS Word
+    b"a:p",     # MS Powerpoint
+})
+
+_C_ISSPACE = frozenset(b" \t\n\v\f\r")
+_NL = 0x0A
+_SP = 0x20
+
+
+def _add_newline(out: bytearray) -> None:
+    # html.cc:28-36
+    if not out:
+        return
+    if out[-1] in _C_ISSPACE:
+        out[-1] = _NL
+    else:
+        out.append(_NL)
+
+
+def _add_space(out: bytearray) -> None:
+    # html.cc:38-42
+    if out and out[-1] not in _C_ISSPACE:
+        out.append(_SP)
+
+
+def _filter_ok(tag: bytes, attr: bytes, value: bytes, tag_filters) -> bool:
+    # html.cc:12-26 — True when the doc is ok (no filter matched)
+    by_attr = tag_filters.get(tag)
+    if not by_attr:
+        return True
+    regexes = by_attr.get(attr.lower())
+    if not regexes:
+        return True
+    return not any(r.search(value) for r in regexes)
+
+
+def process_html(data: bytes, tag_filters=None) -> tuple[bytes, int]:
+    """Extract plain text from HTML bytes; returns (text, error_code)."""
+    tag_filters = tag_filters or {}
+    s = sc.Scanner(data)
+    out = bytearray()
+    retval = SUCCESS
+    tag = b""
+    t = sc.TT_SPACE
+    while t != sc.TT_EOF and t != sc.TT_ERROR:
+        t, value = s.next_token()
+        if t == sc.TT_ERROR:
+            retval = HTML_PARSING_ERROR
+        elif t == sc.TT_TAG_START or t == sc.TT_TAG_END:
+            tag = s.tag_name.lower()
+            if tag in BLOCK_TAGS:
+                _add_newline(out)
+            if tag in VOID_TAGS:
+                _add_space(out)
+        elif t == sc.TT_WORD:
+            if tag not in NOTEXT_TAGS:
+                out += value
+        elif t == sc.TT_SPACE:
+            _add_space(out)
+        elif t == sc.TT_ATTR:
+            if not _filter_ok(tag, s.attr_name, value, tag_filters):
+                retval = FILTERED_DOCUMENT_ERROR
+    if out and out[-1] != _NL:
+        out.append(_NL)
+    return bytes(out), retval
+
+
+def trim_lines_copy(data: bytes) -> bytes:
+    """util.cc:36-66: per-line trim, empty lines dropped, lines \\n-joined."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        if data[i] in _C_ISSPACE:
+            i += 1
+            continue
+        line_end = data.find(b"\n", i)
+        if line_end < 0:
+            line_end = n
+        text_end = line_end
+        while text_end > i and data[text_end - 1] in _C_ISSPACE:
+            text_end -= 1
+        if text_end > i:
+            out += data[i:text_end]
+            out.append(_NL)
+        i = line_end
+    return bytes(out)
+
+
+_CTRL_TABLE = bytes(
+    0x20 if (c < 0x20 or c == 0x7F) and c != _NL else c for c in range(256)
+)
+
+
+def replace_ctrl(data: bytes) -> bytes:
+    """record.cc:267: C-iscntrl (except \\n) -> space."""
+    return data.translate(_CTRL_TABLE)
+
+
+def parse_tag_filters(text: str):
+    """Parse the reference tag-filter file format (util.cc:106-130).
+
+    Lines ``tag\\tattr\\tregex[\\tregex...]``; ``#`` comments and blank lines
+    skipped; malformed lines (<3 fields) skipped.  Returns the nested dict
+    used by :func:`process_html`.  Tag and attr keys are matched exactly as
+    given for tags (the reference lower-cases scanned tag names before
+    lookup) and lower-cased for attrs at lookup time.
+    """
+    import re as _re
+    filters: dict[bytes, dict[bytes, list]] = {}
+    for line in text.splitlines():
+        if not line.strip() or line.startswith("#"):
+            continue
+        fields = line.split("\t")
+        if len(fields) < 3:
+            continue
+        tag = fields[0].encode("utf-8")
+        attr = fields[1].encode("utf-8")
+        regexes = filters.setdefault(tag, {}).setdefault(attr, [])
+        for pat in fields[2:]:
+            regexes.append(_re.compile(pat.encode("utf-8")))
+    return filters
