@@ -1,0 +1,115 @@
+"""End-to-end golden test: fixture docs through the full Spark pipeline.
+
+Asserts the per-document invariant: ordered span-sequence equality on
+(kind, text, media_ref, order) plus drop decisions (FIXTURES.md).
+"""
+
+import pytest
+
+from warc2text_spark.plans.pipeline import (
+    PipelineOptions,
+    counters,
+    demux_by_lang,
+    jsonl_projection,
+    run_pipeline,
+)
+from warc2text_spark.sources.fixtures import fixture_df
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df, expected = fixture_df(spark)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    rows = res.main.collect()
+    return res, rows, expected
+
+
+def test_span_sequence_equality(result):
+    _, rows, expected = result
+    got = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+           for r in rows}
+    kept_expected = {k: v for k, v in expected.items() if v is not None}
+    assert set(got) == set(kept_expected)
+    for doc_id, spans in kept_expected.items():
+        assert got[doc_id] == spans, doc_id
+
+
+def test_dropped_docs_absent(result):
+    _, rows, expected = result
+    got_ids = {r.doc_id for r in rows}
+    for doc_id, v in expected.items():
+        if v is None:
+            assert doc_id not in got_ids, doc_id
+
+
+def test_side_routes(result):
+    res, _, _ = result
+    robots = [r.doc_id for r in res.robots.collect()]
+    pdfs = [r.doc_id for r in res.pdf.collect()]
+    assert robots == ["f13-0001"]
+    assert pdfs == ["f14-0001"]
+
+
+def test_skip_classifier_lang_key(result):
+    _, rows, _ = result
+    for r in rows:
+        assert [lc.lang for lc in r.langs] == [""]
+        assert r.langs[0].chunk == r.plaintext
+
+
+def test_counters(result):
+    res, rows, expected = result
+    c = counters(res).collect()[0]
+    kept = sum(1 for v in expected.values() if v is not None)
+    assert c.textRecords == kept
+    assert c.totalRecords >= kept  # prefiltered includes kernel-dropped docs
+    # skip classifier emits lang "" which is not 'unk', so it counts
+    # (warcpreprocessor.cc:218-225 only excludes the unknown label)
+    assert c.langRecords == c.textRecords
+    assert c.langBytes == c.textBytes
+
+
+def test_demux_and_jsonl(result, spark):
+    res, rows, _ = result
+    lang_rows = demux_by_lang(res.main)
+    assert lang_rows.count() == len(rows)
+    js = jsonl_projection(lang_rows).collect()
+    assert len(js) == len(rows)
+    import json
+    obj = json.loads(js[0].jsonl)
+    assert list(obj.keys()) == ["f", "o", "s", "rs", "u", "c", "ts", "de", "ps", "p"]
+
+
+def test_tag_filters_and_invert(spark):
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+    rows = [
+        _doc("tf-hit", [_t('<html><meta name="translation-stats" content="x">'
+                           "<p>machine translated</p></html>")]),
+        _doc("tf-miss", [_t('<html><meta name="generator"><p>human</p></html>')]),
+    ]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    filters = "meta\tname\ttranslation-stats"
+    normal = run_pipeline(df, PipelineOptions(
+        classifier="skip", tag_filters_text=filters))
+    assert [r.doc_id for r in normal.main.collect()] == ["tf-miss"]
+    inverted = run_pipeline(df, PipelineOptions(
+        classifier="skip", tag_filters_text=filters, tag_filters_invert=True))
+    assert [r.doc_id for r in inverted.main.collect()] == ["tf-hit"]
+
+
+def test_paragraph_identification(spark):
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+    df = spark.createDataFrame(
+        [_doc("pid-1", [_t("<p>a</p><p>b</p>")])], schema=INPUT_SCHEMA)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    rows = demux_by_lang(res.main, paragraph_identification=True).collect()
+    assert rows[0].chunk == "a\t1:2\nb\t2:2\n"
+
+
+def test_no_per_row_python_in_plan(result):
+    """The physical plan must contain only Arrow-batched Python stages
+    (ArrowEvalPython / MapInArrow), never row-at-a-time BatchEvalPython."""
+    res, _, _ = result
+    plan = res.main._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan

@@ -1,0 +1,221 @@
+"""Kernel 1: fused extraction over Arrow batches (mapInArrow).
+
+This is the Spark-side home of the reference's per-record scalar pipeline
+(transport decode -> zip -> charset -> HTML/plain extraction -> entity
+decode; /root/reference/src/record.cc:41-289 + html.cc/xh_scanner.cc).  The
+JVM<->Python boundary is crossed once, with columnar Arrow batches — never
+per-row Python UDFs.  Cheap predicates stay *outside* the kernel (see
+operators/filters.py) because Catalyst cannot push filters through an
+opaque kernel.
+
+Span semantics over the interleaved table (documented data-model mapping):
+
+* ``kind='text'`` spans carry the raw text payload (UTF-8 bytes of
+  ``span.text``); transfer/content encodings from the document metadata
+  apply to those bytes, then the record-cleaning pipeline runs.
+* ``kind='media'`` spans carry base64 payloads in ``media_ref``.  When the
+  document's content type / URL extension marks a zipped document format
+  (record.cc:132-172) the payload is unzipped and its XML extracted into
+  the span's ``text`` (media_ref and offset preserved); otherwise the span
+  passes through untouched — the interleaving ``(kind, media_ref, order)``
+  is preserved.
+* Per-document error semantics mirror the single-payload reference: the
+  first fatal span error (in offset order) drops the whole document
+  (warcpreprocessor.cc:180-202); a tag-filter hit marks the document
+  FILTERED (XOR with --invert-tag-filters applied by the caller); text
+  spans whose extraction is empty are removed, and a document whose total
+  extracted text is empty is dropped (F14, warcpreprocessor.cc:204-207).
+
+The kernel never raises: all error paths become the ``err`` column and are
+resolved by native filters afterwards (keep_predicate()).
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import record as rec
+from ..functions import transport
+from ..functions.textextract import parse_tag_filters
+from ..functions.urlutil import encode_url
+
+SPAN_TYPE = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+KERNEL_INPUT_COLS = ["doc_id", "url", "http_ct", "content_enc",
+                     "transfer_enc", "warc_date", "spans"]
+
+_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("url", pa.string()),
+    ("http_ct", pa.string()),
+    ("warc_date", pa.string()),
+    ("charset", pa.string()),
+    ("err", pa.int32()),
+    ("plaintext", pa.string()),
+    ("spans", pa.list_(SPAN_TYPE)),
+])
+
+OUTPUT_DDL = ("doc_id string, url string, http_ct string, warc_date string, "
+              "charset string, err int, plaintext string, "
+              "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+
+
+@dataclass
+class ExtractOptions:
+    tag_filters_text: str = ""
+    tag_filters_invert: bool = False
+    skip_extraction: bool = False
+    encode_urls: bool = False
+    extra: dict = field(default_factory=dict)
+
+
+def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
+    """Returns (charset, err, plaintext, spans_out) for one document."""
+    url = row.get("url") or ""
+    clean_ct, declared = rec.clean_content_type(row.get("http_ct") or "")
+    transfer_enc = row.get("transfer_enc") or ""
+    content_enc = row.get("content_enc") or ""
+    spans = sorted(row.get("spans") or [], key=lambda s: s.get("offset") or 0)
+
+    zip_ct = None
+    from ..functions import ziputil
+    zip_ct = ziputil.zip_content_type(clean_ct, url)
+    non_text = bool(clean_ct) and clean_ct not in rec.TEXT_CONTENT_TYPES
+    if non_text and not zip_ct:
+        return "", rec.NOT_VALID_RECORD, "", []
+
+    out_spans = []
+    texts = []
+    err = rec.SUCCESS
+    charset = ""
+    filtered = False
+    for s in spans:
+        kind = s.get("kind") or "text"
+        offset = s.get("offset") or 0
+        if kind == "media":
+            media_ref = s.get("media_ref") or ""
+            if zip_ct:
+                payload = base64.b64decode(media_ref) if media_ref else b""
+                payload = transport.transport_decode(payload, transfer_enc, content_enc)
+                text, serr, cs = rec.clean_payload(
+                    payload, clean_ct, declared, url,
+                    tag_filters=tag_filters,
+                    skip_extraction=opts.skip_extraction)
+                charset = charset or cs
+                if serr == rec.FILTERED_DOCUMENT_ERROR:
+                    filtered = True
+                    serr = rec.SUCCESS
+                if serr != rec.SUCCESS:
+                    err = serr
+                    break
+                if text:
+                    texts.append(text)
+                out_spans.append(("media", text, media_ref, offset))
+            else:
+                # passthrough: interleaving preserved (F17)
+                out_spans.append(("media", s.get("text") or "", media_ref, offset))
+            continue
+
+        payload = (s.get("text") or "").encode("utf-8")
+        payload = transport.transport_decode(payload, transfer_enc, content_enc)
+        text, serr, cs = rec.clean_payload(
+            payload, clean_ct, declared, url,
+            tag_filters=tag_filters,
+            skip_extraction=opts.skip_extraction)
+        charset = charset or cs
+        if serr == rec.FILTERED_DOCUMENT_ERROR:
+            filtered = True
+            serr = rec.SUCCESS
+        if serr != rec.SUCCESS:
+            err = serr
+            break
+        if text:
+            texts.append(text)
+            out_spans.append(("text", text, s.get("media_ref") or "", offset))
+        # empty extraction: text span removed
+
+    if err == rec.SUCCESS and filtered:
+        err = rec.FILTERED_DOCUMENT_ERROR
+    plaintext = "".join(texts)
+    return charset, err, plaintext, out_spans
+
+
+def make_extract_kernel(opts: ExtractOptions | None = None):
+    opts = opts or ExtractOptions()
+    tag_filters_text = opts.tag_filters_text
+
+    def kernel(batches):
+        tag_filters = parse_tag_filters(tag_filters_text) if tag_filters_text else {}
+        for batch in batches:
+            cols = {name: batch.column(i).to_pylist()
+                    for i, name in enumerate(batch.schema.names)}
+            n = batch.num_rows
+            out = {"doc_id": [], "url": [], "http_ct": [], "warc_date": [],
+                   "charset": [], "err": [], "plaintext": [], "spans": []}
+            for i in range(n):
+                row = {k: v[i] for k, v in cols.items()}
+                charset, err, plaintext, spans = _clean_one_doc(row, tag_filters, opts)
+                url = row.get("url") or ""
+                if opts.encode_urls:
+                    url = encode_url(url)
+                out["doc_id"].append(row.get("doc_id"))
+                out["url"].append(url)
+                out["http_ct"].append(row.get("http_ct") or "")
+                out["warc_date"].append(row.get("warc_date") or "")
+                out["charset"].append(charset)
+                out["err"].append(err)
+                out["plaintext"].append(plaintext)
+                out["spans"].append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in spans
+                ])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[f.name], type=f.type) for f in _OUT_SCHEMA],
+                schema=_OUT_SCHEMA)
+
+    return kernel
+
+
+def keep_predicate(invert: bool = False, skip_extraction: bool = False) -> Column:
+    """Post-kernel drop dispatch (warcpreprocessor.cc:187-207).
+
+    XOR: drop when (err == FILTERED) != invert; fatal codes always drop;
+    empty plaintext drops unless skip_extraction.
+    """
+    err = F.col("err")
+    xor_drop = (err == rec.FILTERED_DOCUMENT_ERROR) != F.lit(invert)
+    fatal = err.isin(rec.HTML_PARSING_ERROR, rec.UNKNOWN_ENCODING_ERROR,
+                     rec.UTF8_CONVERSION_ERROR, rec.NOT_VALID_RECORD,
+                     rec.ZIP_READ_ERROR, rec.NUMERIC_RANGE_ERROR)
+    keep = ~xor_drop & ~fatal
+    if not skip_extraction:
+        keep = keep & (F.length("plaintext") > 0)
+    return keep
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
+    """Spread documents uniformly (and deterministically) across partitions
+    by hashed doc_id — defuses mega-document skew before the kernel stage
+    (north_rule requirement). AQE skew-join handles residual shuffle skew."""
+    key = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions))
+    return df.repartition(num_partitions, key)
+
+
+def run_extract(df: DataFrame, opts: ExtractOptions | None = None,
+                num_partitions: int | None = None) -> DataFrame:
+    """Project to kernel inputs, optionally salt-repartition, run Kernel 1."""
+    cols = [c for c in KERNEL_INPUT_COLS if c in df.columns]
+    projected = df.select(*cols)
+    if num_partitions:
+        projected = salted_repartition(projected, num_partitions)
+    return projected.mapInArrow(make_extract_kernel(opts), OUTPUT_DDL)

@@ -1,0 +1,143 @@
+"""Native Column predicates for the pre-extraction filter chain (F1-F9).
+
+These are the cheap header-level filters the reference runs before parsing
+(/root/reference/src/warcpreprocessor.cc:131-170).  They are deliberately
+plain Catalyst expressions — never UDFs — so the optimizer can reorder them
+and push them into the parquet/Iceberg scan (predicate pushdown + column
+pruning).  The expensive parse/extract/langid work only sees survivors.
+
+Routing (robots F3, pdf F7) splits the dataflow instead of copying it:
+``split_stream`` returns (main, robots, pdf) DataFrames built from the same
+scan with complementary predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.record import TEXT_CONTENT_TYPES
+from ..functions.urlutil import REMOVE_EXTENSIONS
+
+MAX_RECORD_SIZE = 20 * 1024 * 1024  # warc2text_main.cc:64,122
+MAX_PAYLOAD_SIZE = 5242880          # warcpreprocessor.cc:162
+
+
+def payload_bytes(spans: Column = None) -> Column:
+    """Approximate decoded payload size: text bytes + 3/4 of base64 bytes.
+
+    Stand-in for the reference's post-transport payload size (the exact
+    size is only known inside the kernel; fixtures avoid the boundary).
+    """
+    spans = F.col("spans") if spans is None else spans
+    return F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.octet_length(F.coalesce(s["text"], F.lit("")))
+        + (F.octet_length(F.coalesce(s["media_ref"], F.lit(""))) * 3 / 4).cast("long"),
+    )
+
+
+def clean_http_ct(http_ct: Column = None) -> Column:
+    """MIME part of the Content-Type header (record.cc:192-208)."""
+    c = F.coalesce(http_ct if http_ct is not None else F.col("http_ct"), F.lit(""))
+    return F.lower(F.trim(F.element_at(F.split(c, ";"), 1)))
+
+
+def is_text_format(clean_ct: Column) -> Column:
+    return clean_ct.isin(*sorted(TEXT_CONTENT_TYPES))
+
+
+def oversize_ok(max_record_size: int = MAX_RECORD_SIZE) -> Column:
+    """F1 (warcreader.cc:56-60): whole record above the cap is skipped."""
+    return payload_bytes() <= F.lit(max_record_size)
+
+
+def nonempty_payload() -> Column:
+    """F2 (warcpreprocessor.cc:136-137)."""
+    return payload_bytes() > 0
+
+
+def is_robots_txt(url: Column = None) -> Column:
+    """F3 (warcpreprocessor.cc:16-47), exact find-based logic in SQL:
+    host starts after the first '://' (anywhere), else after a leading
+    '//', else at 0; the path from there must be exactly '/robots.txt'."""
+    u = F.coalesce(url if url is not None else F.col("url"), F.lit(""))
+    proto = F.locate("://", u)  # 1-based; 0 = absent
+    host_start = (
+        F.when(proto > 0, proto + 3)
+        .when(u.startswith("//"), F.lit(3))
+        .otherwise(F.lit(1))
+    )
+    path_start = F.call_function("locate", F.lit("/"), u, host_start)  # 1-based
+    # Wrinkle: F.locate's pos is the start index; when host_start points at
+    # a '/', it finds it — matching url.find("/", host_offset) in C++.
+    tail = F.substring(u, path_start, 2**31 - 1)
+    return (path_start > 0) & (tail == "/robots.txt")
+
+
+def warc_type_ok(warc_type: Column = None) -> Column:
+    """F4 (warcpreprocessor.cc:145-146)."""
+    t = F.lower(F.coalesce(warc_type if warc_type is not None else F.col("warc_type"), F.lit("")))
+    return t.isin("response", "resource")
+
+
+def http_status_ok(http_status: Column = None) -> Column:
+    """F5 (warcpreprocessor.cc:82,148-150): absent status passes; otherwise
+    full-match ^20[036] ?.*$ ."""
+    s = http_status if http_status is not None else F.col("http_status")
+    return s.isNull() | (s == "") | s.rlike("^20[036] ?.*$")
+
+
+def warc_ct_ok(warc_ct: Column = None) -> Column:
+    """F6 (warcpreprocessor.cc:152-153)."""
+    c = F.lower(F.coalesce(warc_ct if warc_ct is not None else F.col("warc_ct"), F.lit("")))
+    return c.contains("application/http")
+
+
+def is_pdf(url: Column = None, clean_ct: Column = None) -> Column:
+    """F7 (warcpreprocessor.cc:49-64)."""
+    u = F.coalesce(url if url is not None else F.col("url"), F.lit(""))
+    c = clean_ct if clean_ct is not None else clean_http_ct()
+    return (~is_text_format(c)) & (u.endswith(".pdf") | (c == "application/pdf"))
+
+
+def payload_size_ok(max_payload: int = MAX_PAYLOAD_SIZE) -> Column:
+    """F8 (warcpreprocessor.cc:162-163)."""
+    return payload_bytes() <= F.lit(max_payload)
+
+
+def url_ok(user_filter_regex: str | None = None, url: Column = None) -> Column:
+    """F9 (warcpreprocessor.cc:98-109): extension denylist + user regex."""
+    u = F.coalesce(url if url is not None else F.col("url"), F.lit(""))
+    ext_alt = "|".join(e.replace(".", r"\.") for e in REMOVE_EXTENSIONS)
+    ok = ~u.rlike(f"(?:{ext_alt})$")
+    if user_filter_regex:
+        ok = ok & ~u.rlike(user_filter_regex)
+    return ok
+
+
+def split_stream(
+    df: DataFrame,
+    *,
+    robots_process: bool = False,
+    user_url_filter: str | None = None,
+    max_record_size: int = MAX_RECORD_SIZE,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply F1-F9 in reference order; returns (main, robots, pdf).
+
+    robots/pdf are side-routed records (written out raw by the caller,
+    K3 semantics); main is the stream that continues into extraction.
+    """
+    alive = oversize_ok(max_record_size) & nonempty_payload()
+    robots_pred = alive & is_robots_txt() & F.lit(not robots_process)
+    robots_df = df.filter(robots_pred)
+
+    after_robots = alive & ~robots_pred
+    typed = after_robots & warc_type_ok() & http_status_ok() & warc_ct_ok()
+    pdf_pred = typed & is_pdf()
+    pdf_df = df.filter(pdf_pred)
+
+    main = df.filter(typed & ~is_pdf() & payload_size_ok() & url_ok(user_url_filter))
+    return main, robots_df, pdf_df

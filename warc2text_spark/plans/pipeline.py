@@ -1,0 +1,168 @@
+"""End-to-end extraction pipeline (EP-A/B/C of the reference, SURVEY.md §3).
+
+Dataflow (all native except the two Arrow kernels):
+
+    scan -> F1-F9 native filters (+ robots/pdf side routes)
+         -> [salted repartition on xxhash64(doc_id)]
+         -> Kernel 1 (extract)  -> keep_predicate (error dispatch + F14)
+         -> Kernel 2 (langid)   -> explode by lang
+         -> partitioned write (lang=...) + side outputs + metrics
+
+Reference lifecycle: /root/reference/src/warcpreprocessor.cc:111-248.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import filters as flt
+from ..operators.extract import ExtractOptions, keep_predicate, run_extract
+from ..operators.langid_op import explode_by_lang, run_langid
+
+
+@dataclass
+class PipelineOptions:
+    classifier: str = "skip"            # skip | heuristic | multilang
+    tag_filters_text: str = ""
+    tag_filters_invert: bool = False
+    skip_extraction: bool = False
+    encode_urls: bool = False
+    robots_process: bool = False
+    user_url_filter: str | None = None
+    num_partitions: int | None = None   # salted repartition before Kernel 1
+    paragraph_identification: bool = False
+    max_record_size: int = flt.MAX_RECORD_SIZE
+
+
+@dataclass
+class PipelineResult:
+    main: DataFrame       # kept docs: spans/plaintext/err/charset/langs
+    robots: DataFrame     # F3 side route (raw input rows)
+    pdf: DataFrame        # F7 side route (raw input rows)
+    extracted: DataFrame  # post-Kernel-1, pre-drop (for metrics/diagnostics)
+    prefiltered: DataFrame  # post-F1-F9 input rows (for A1 counters)
+
+
+def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> PipelineResult:
+    opts = opts or PipelineOptions()
+    main0, robots, pdf = flt.split_stream(
+        df,
+        robots_process=opts.robots_process,
+        user_url_filter=opts.user_url_filter,
+        max_record_size=opts.max_record_size,
+    )
+    ext = run_extract(
+        main0,
+        ExtractOptions(
+            tag_filters_text=opts.tag_filters_text,
+            tag_filters_invert=opts.tag_filters_invert,
+            skip_extraction=opts.skip_extraction,
+            encode_urls=opts.encode_urls,
+        ),
+        num_partitions=opts.num_partitions,
+    )
+    kept = ext.filter(keep_predicate(opts.tag_filters_invert, opts.skip_extraction))
+    langed = run_langid(kept, opts.classifier)
+    return PipelineResult(main=langed, robots=robots, pdf=pdf, extracted=ext,
+                          prefiltered=main0)
+
+
+def paragraph_id_col(chunk=None):
+    """Native paragraph identification (bilangwriter.cc:156-169): split on
+    newline, drop trailing empties, suffix each line with \\t{i}:{n}."""
+    c = chunk if chunk is not None else F.col("chunk")
+    lines = F.split(c, "\n")
+    trailing = F.aggregate(
+        F.reverse(lines),
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+        lambda acc, x: F.struct(
+            F.when(acc["stop"] | (x != ""), acc["n"]).otherwise(acc["n"] + 1).alias("n"),
+            (acc["stop"] | (x != "")).alias("stop"),
+        ),
+        lambda acc: acc["n"],
+    )
+    n = F.size(lines) - trailing
+    kept = F.slice(lines, F.lit(1), n)
+    tagged = F.transform(
+        kept, lambda x, i: F.concat(x, F.lit("\t"), (i + 1).cast("string"),
+                                    F.lit(":"), n.cast("string")))
+    return F.when(n > 0, F.concat(F.array_join(tagged, "\n"), F.lit("\n"))) \
+            .otherwise(F.lit(""))
+
+
+def demux_by_lang(result_main: DataFrame, paragraph_identification: bool = False) -> DataFrame:
+    """(record x lang) rows — the per-language demultiplex (A3)."""
+    rows = explode_by_lang(result_main)
+    if paragraph_identification:
+        rows = rows.withColumn("chunk", paragraph_id_col())
+    return rows
+
+
+def jsonl_projection(lang_rows: DataFrame, skip_extraction: bool = False) -> DataFrame:
+    """K2: ordered-key JSON objects, one per (record x lang)
+    (bilangwriter.cc:65-91,183-203; keys f,o,s,rs,u,c,ts,de[,ps,p][,l]).
+
+    WARC provenance (f=filename, o=offset, s=size) maps to table provenance:
+    f=doc_id, o=0, s=payload size.  The ``l`` key is omitted under the skip
+    classifier (empty lang), matching the reference.
+    """
+    rs = F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
+    base = [
+        F.col("doc_id").alias("f"),
+        F.lit(0).cast("long").alias("o"),
+        rs.cast("long").alias("s"),
+        rs.cast("long").alias("rs"),
+        F.col("url").alias("u"),
+        flt.clean_http_ct().alias("c"),
+        F.col("warc_date").alias("ts"),
+        F.col("charset").alias("de"),
+    ]
+    if not skip_extraction:
+        base += [
+            F.octet_length("chunk").cast("long").alias("ps"),
+            F.col("chunk").alias("p"),
+        ]
+    df = lang_rows.select(*base, F.col("lang"))
+    with_l = F.to_json(F.struct(*[F.col(c) for c in df.columns if c != "lang"],
+                                F.col("lang").alias("l")))
+    without_l = F.to_json(F.struct(*[F.col(c) for c in df.columns if c != "lang"]))
+    return df.select(
+        F.when(F.col("lang") == "", without_l).otherwise(with_l).alias("jsonl"))
+
+
+def counters(result: PipelineResult) -> DataFrame:
+    """A1 run counters (warcpreprocessor.hh:57-62, aggregation semantics at
+    warcpreprocessor.cc:173-235): one row.
+
+    totalRecords/totalBytes: records entering extraction (post F1-F9);
+    textRecords/textBytes: records with non-empty extracted text;
+    langRecords/langBytes: (record x lang) chunks excluding 'unk'.
+    """
+    total = result.prefiltered.agg(
+        F.count(F.lit(1)).alias("totalRecords"),
+        F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
+    )
+    kept = result.main
+    text = kept.agg(
+        F.count(F.lit(1)).alias("textRecords"),
+        F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
+    )
+    langs = explode_by_lang(kept).filter(~F.col("lang").isin("unk")).agg(
+        F.count(F.lit(1)).alias("langRecords"),
+        F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
+    )
+    return total.crossJoin(text).crossJoin(langs)
+
+
+def write_outputs(result: PipelineResult, out_dir: str,
+                  paragraph_identification: bool = False,
+                  fmt: str = "parquet") -> None:
+    """K1/K3: per-language partitioned main output + raw side outputs."""
+    rows = demux_by_lang(result.main, paragraph_identification)
+    (rows.write.mode("overwrite").partitionBy("lang").format(fmt)
+        .save(f"{out_dir}/text"))
+    result.robots.write.mode("overwrite").format(fmt).save(f"{out_dir}/robots")
+    result.pdf.write.mode("overwrite").format(fmt).save(f"{out_dir}/pdf")

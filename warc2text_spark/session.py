@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same settings are intended for cluster deployment (spark-submit
+--py-files warc2text_spark.zip); tests and the sandbox bench run local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "warc2text-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        # runtime re-planning: skew-join splitting + partition coalescing
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Arrow transfer for the two Python kernels; bounded batch size keeps
+        # executor memory flat even with 5 MB payload spans
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # split huge parquet files into ~128 MB tasks at scan time
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of cwd — the
+    local/test equivalent of ``spark-submit --py-files warc2text_spark.zip``."""
+    import pathlib
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path("/tmp") / f"warc2text_spark_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in pkg_dir.rglob("*.py"):
+                zf.write(py, f"warc2text_spark/{py.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # e.g. Spark Connect sessions: rely on --py-files
