@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The corpus is the interleaved spans table synthesized deterministically from
+the sf documents table (warc2text_spark/plans/spansgen.py), replicated
+REPLICATE× and materialized to parquet once (cache under .bench_cache/) so
+timed runs exercise the real scan -> filter-pushdown -> kernel path.
+
+Extra env knobs: SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE (default 20),
+BENCH_SKIP_CACHE=1 to force rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from warc2text_spark.plans.benchqueries import (  # noqa: E402
+    q_ann_cosine_topk,
+    q_dedup_exact,
+    q_minhash_pairs,
+    q_quality_score,
+    q_simhash,
+)
+from warc2text_spark.plans.pipeline import PipelineOptions, run_pipeline  # noqa: E402
+from warc2text_spark.plans.spansgen import build_spans  # noqa: E402
+from warc2text_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
+
+
+def corpus_path() -> str:
+    sf_tag = Path(SF_DIR).name
+    return str(Path(__file__).resolve().parent / ".bench_cache" /
+               f"{sf_tag}_x{REPLICATE}" / "spans")
+
+
+def ensure_corpus(spark) -> str:
+    path = corpus_path()
+    marker = Path(path) / "_SUCCESS"
+    if marker.exists() and not os.environ.get("BENCH_SKIP_CACHE"):
+        return path
+    build_spans(spark, SF_DIR, replicate=REPLICATE) \
+        .repartition(CPUS * 2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def force(df) -> int:
+    """Materialize fully without sink cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark("warc2text-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = ensure_corpus(spark)
+    spans = spark.read.parquet(path)
+    n_docs = spans.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: end-to-end extraction (filters -> kernels -> demux)
+    def run_extract():
+        res = run_pipeline(spans, PipelineOptions(
+            classifier="heuristic", num_partitions=CPUS * 2))
+        from warc2text_spark.plans.pipeline import demux_by_lang
+        force(demux_by_lang(res.main))
+
+    timed("extract_e2e", run_extract)
+    timed("dedup_exact", lambda: force(q_dedup_exact(spark, SF_DIR)))
+    timed("minhash_pairs", lambda: force(q_minhash_pairs(spark, SF_DIR)))
+    timed("simhash", lambda: force(q_simhash(spark, SF_DIR)))
+    timed("quality_score", lambda: force(q_quality_score(spark, SF_DIR)))
+    timed("ann_cosine_topk", lambda: force(q_ann_cosine_topk(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_e2e"], 1)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": Path(SF_DIR).name,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "extract_docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design notes (the part that matters at 10^12 docs):
+
+* exact dedup is a single hash-partitioned groupBy on a 128-bit digest —
+  map-side partial aggregation makes the shuffle carry one row per distinct
+  digest per partition;
+* MinHash+LSH turns near-dup detection into an equality join: per doc a
+  constant number of band signatures (computed as per-row array expressions,
+  no explode, no shuffle), then a self-join per band on the band value.
+  Band buckets are tiny, so AQE handles the residual skew; the quadratic
+  explosion of a similarity cross-join never happens;
+* embedding near-dup at small scale is an exact self-join; the scale path
+  is the same LSH trick over random-hyperplane sign bits (similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, dup_count, min_doc_id)."""
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min(F.col("doc_id").cast("string")).alias("min_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text_col: str = "text", k: int = 3):
+    """Word k-gram shingles as a per-row array expression."""
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)])),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       bands: int = 4) -> DataFrame:
+    """Per-doc MinHash band signatures: sig_b = min(md5(b || '|' || shingle)).
+
+    min-of-keyed-md5 is engine-portable (string min over hex digests) and
+    deterministic; ``bands`` independent hash families via the band prefix.
+    """
+    sh = shingles(text_col)
+
+    def band_sig(b: int):
+        # plain closure — a defaulted second lambda param would be bound to
+        # the array index by F.transform
+        prefix = f"{b}|"
+        return F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    cols = [F.col("doc_id").cast("string").alias("doc_id")]
+    for b in range(bands):
+        cols.append(band_sig(b).alias(f"sig{b}"))
+    return df.select(*cols)
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            bands: int = 4) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any band signature.
+    Equality join per band — the LSH bucket join, unioned and deduped."""
+    sigs = minhash_signatures(df, text_col, bands)
+    pairs = None
+    for b in range(bands):
+        a = sigs.select(F.col("doc_id").alias("a_id"), F.col(f"sig{b}").alias("s"))
+        c = sigs.select(F.col("doc_id").alias("b_id"), F.col(f"sig{b}").alias("s"))
+        p = a.join(c, "s").filter(F.col("a_id") < F.col("b_id")) \
+             .select("a_id", "b_id")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Exact cosine near-dup pairs over an embedding column (small/SF scale;
+    the 10^12 path buckets by hyperplane signs first — similarity.lsh_bits)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = df.select(F.col("vec_id"), v.alias("v"),
+                     F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+                     .alias("norm"))
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+                    F.col("norm").alias("a_n"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+                    F.col("norm").alias("b_n"))
+    j = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a_n") * F.col("b_n"))
+    return j.select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                    F.round(cos, 4).alias("cosine")) \
+            .filter(F.col("cosine") >= threshold)

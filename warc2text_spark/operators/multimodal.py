@@ -1,0 +1,108 @@
+"""Multimodal (image/audio/video) span handling.
+
+Media payloads are opaque base64/binary columns with typed metadata.  The
+Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
+real and tested; the actual codec work is stubbed behind clearly-marked
+hooks because no image/audio libraries exist in this environment — a
+deployment drops in Pillow/ffmpeg inside ``_decode_image_stub``.
+"""
+
+from __future__ import annotations
+
+import base64
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = {
+    b"\x89PNG\r\n\x1a\n": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"GIF87a": "image/gif",
+    b"GIF89a": "image/gif",
+    b"RIFF": "audio/wav",   # (RIFF container; WEBP also matches — refine per fourcc)
+    b"ID3": "audio/mpeg",
+    b"%PDF": "application/pdf",
+    b"IMG": "x-test/fake",  # deterministic fixture payloads
+}
+
+
+def sniff_media_type(payload: bytes) -> str:
+    for magic, mime in MAGIC.items():
+        if payload.startswith(magic):
+            return mime
+    return "application/octet-stream"
+
+
+def media_metadata(spans_df: DataFrame) -> DataFrame:
+    """Native projection: per media span, decoded byte length + a cheap
+    prefix sniff — no Python, full pushdown."""
+    media = (
+        spans_df.select(F.col("doc_id"), F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+    )
+    payload = F.unbase64(F.col("s.media_ref"))
+    return media.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("s.offset").alias("offset"),
+        F.octet_length(payload).cast("long").alias("media_bytes"),
+        (F.substring(payload.cast("string"), 1, 3) == "IMG").alias("is_fake_img"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """Decode hook.  Real deployment:
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, ...}
+
+    Here: deterministic fake features derived from the bytes so the full
+    Spark plumbing (Arrow batches, schema, partitioning) is exercised.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+        raise NotImplementedError(
+            "real image decode not wired in this environment")
+    except ImportError:
+        pass
+    return {
+        "media_type": sniff_media_type(payload),
+        "width": 1 + payload[0] % 64 if payload else 0,
+        "height": 1 + payload[-1] % 64 if payload else 0,
+        "n_bytes": len(payload),
+    }
+
+
+MEDIA_FEATURES_SCHEMA = ("doc_id string, offset int, media_type string, "
+                         "width int, height int, n_bytes long")
+
+
+def extract_media_features(spans_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over media spans: Arrow-batched,
+    one Python crossing, vectorized pandas ops around the decode hook."""
+    media = (
+        spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(base64.b64decode(ref) if ref else b"")
+                for ref in pdf["media_ref"]
+            ]
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "media_type": [f["media_type"] for f in feats],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "n_bytes": [f["n_bytes"] for f in feats],
+            })
+            yield out
+
+    return media.mapInPandas(run, MEDIA_FEATURES_SCHEMA)

@@ -1,0 +1,78 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk`` — brute-force exact top-k (the correctness baseline);
+  one pass over the table, no shuffle besides the final top-k (a global
+  sort limited to k, which Spark executes as per-partition top-k + merge —
+  TakeOrderedAndProject, not a full sort).
+* ``lsh_bits`` / ``lsh_topk`` — random-hyperplane LSH: sign bits of dot
+  products against a fixed set of hyperplane vectors give a bucket key;
+  candidates come from the query's bucket only.  At 10^12 rows the bucket
+  join replaces the full scan; hyperplanes here are rows of the embedding
+  table itself (deterministic, engine-portable) — a production deployment
+  would broadcast a fixed random matrix instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_scores(df: DataFrame, query: list[float],
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cosine vs the broadcast query vector) — exact, one scan."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return df.select(F.col("vec_id").cast("long").alias("vec_id"),
+                     cos.alias("cosine"))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding") -> DataFrame:
+    scored = cosine_scores(df, query, vec_col)
+    return (scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round("cosine", 4).alias("cosine")))
+
+
+def lsh_bits(df: DataFrame, hyperplanes: list[list[float]],
+             vec_col: str = "embedding") -> DataFrame:
+    """Bucket key: concatenated sign bits of <v, h_i>."""
+    v = _as_double(F.col(vec_col))
+    bits = [F.when(_dot(v, F.array(*[F.lit(float(x)) for x in h])) > 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for h in hyperplanes]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_topk(df: DataFrame, query: list[float],
+             hyperplanes: list[list[float]], k: int = 10,
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: rank only the query's LSH bucket (the 10^12-scale path)."""
+    bucketed = lsh_bits(df, hyperplanes, vec_col)
+    qdf = lsh_bits(
+        df.sparkSession.createDataFrame([(0, query)], "vec_id long, embedding array<double>"),
+        hyperplanes)
+    qbucket = [r.bucket for r in qdf.collect()][0]
+    cand = bucketed.filter(F.col("bucket") == qbucket)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (cand.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+            .select("vec_id", F.round("cosine", 4).alias("cosine")))

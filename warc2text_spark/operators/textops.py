@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines — all native Catalyst
+expressions (no Python in the hot path), designed to scale: every operator
+here is a per-row projection or a hash-partitioned aggregation with map-side
+combine; nothing shuffles more than once.
+
+Operators: token counting, quality scoring, document fingerprinting,
+stopword-based language scoring.  DuckDB-mirrorable semantics (the driver's
+oracle) — see plans/benchqueries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio features (rounded for stability)."""
+    t = F.col(text_col)
+    w = tokens(t)
+    n_tok = F.size(w).cast("long")
+    n_chars = F.octet_length(t).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*QUALITY_STOPWORDS))).cast("long")
+    avg_tok = F.round((F.octet_length(F.replace(t, F.lit(" "), F.lit(""))) / n_tok)
+                      .cast("double"), 4)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        F.round((n_stop / n_tok).cast("double"), 4).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", gram: int = 5) -> DataFrame:
+    """Document fingerprint: min MD5 over character n-grams (a 1-band
+    minhash — stable under small edits elsewhere in the doc)."""
+    t = F.col(text_col)
+    n = F.greatest(F.octet_length(t) - (gram - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.md5(F.substring(t, i, gram)))
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_min(grams).alias("fingerprint"),
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: per token, bit i comes from the top bit of the i-th
+    hex nibble of md5(token); per-doc majority vote per bit.  Pure string
+    ops so the same logic runs on any SQL engine at any scale."""
+    w = tokens(F.col(text_col))
+    high = tuple("89abcdef")
+
+    def votes_for(i: int):
+        # NB: a plain closure, not a default-arg lambda — F.transform treats
+        # a second parameter (even defaulted) as the array-index argument
+        return F.transform(w, lambda x: F.when(
+            F.substring(F.md5(x), i + 1, 1).isin(*high), F.lit(1)
+        ).otherwise(F.lit(-1)))
+
+    bit_cols = []
+    for i in range(16):
+        total = F.aggregate(votes_for(i), F.lit(0), lambda a, b: a + b)
+        bit_cols.append(F.when(total > 0, F.lit(1 << (15 - i))).otherwise(F.lit(0)))
+    sim = bit_cols[0]
+    for b in bit_cols[1:]:
+        sim = sim + b
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        sim.cast("long").alias("simhash"),
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-set Jaccard between each doc and its doc_id+1 neighbour —
+    the exact-similarity primitive; at scale candidates come from LSH
+    buckets (see dedup.minhash_*) instead of a cross join."""
+    a = df.select(F.col("doc_id").alias("a_id"),
+                  F.array_distinct(tokens(F.col(text_col))).alias("a_w"))
+    b = df.select((F.col("doc_id") - 1).alias("b_join"),
+                  F.col("doc_id").alias("b_id"),
+                  F.array_distinct(tokens(F.col(text_col))).alias("b_w"))
+    j = a.join(b, a.a_id == b.b_join)
+    inter = F.size(F.array_intersect("a_w", "b_w"))
+    union = F.size(F.array_union("a_w", "b_w"))
+    return j.select(
+        F.col("a_id").cast("string").alias("doc_id"),
+        F.col("b_id").cast("string").alias("other_id"),
+        F.round((inter / union).cast("double"), 4).alias("jaccard"),
+    )

@@ -1,0 +1,420 @@
+"""Query catalog: every operator exposed as (spark, sf_dir) -> DataFrame,
+with a DuckDB oracle SQL twin for the driver's correctness gate.
+
+The extraction queries run the REAL pipeline (native filters + Arrow
+kernels) over the spans table synthesized from ``documents``
+(plans/spansgen.py); because the synthesis is closed-form, the oracle can
+compute the expected extraction output directly from ``documents`` in pure
+SQL.  Column names/types are aligned pairwise (the driver hashes values
+after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textops
+from ..operators.filters import split_stream
+from ..operators.multimodal import media_metadata
+from .pipeline import PipelineOptions, counters, demux_by_lang, run_pipeline
+from .spansgen import build_spans
+
+NL = "chr(10)"
+
+# ---- oracle fragments (DuckDB dialect) — expected plaintext per variant ----
+EXP_STD = (f"'doc ' || doc_id || {NL} || source || {NL} || "
+           f"replace(text, 'a', '&') || {NL} || 'tag ' || lang || {NL}")
+EXP_ENT = f"replace(text, 'e', 'é') || ' A' || {NL}"
+EXP_V3 = f"source || {NL} || replace(text, 'o', '0') || {NL}"
+EXP_SCRIPT = f"text || {NL}"
+EXP_PLAIN = f"replace(text, ' ', {NL}) || {NL}"
+
+EXP_CASE = f"""case doc_id % 10
+    when 2 then {EXP_ENT}
+    when 3 then {EXP_V3}
+    when 4 then {EXP_SCRIPT}
+    when 5 then {EXP_PLAIN}
+    else {EXP_STD} end"""
+
+# payload reconstructions (DuckDB dialect) for the byte counters
+PAY_STD = ("'<html><head><title>doc ' || doc_id || '</title></head><body><h1>' || "
+           "source || '</h1><p>' || replace(text, 'a', '&amp;') || "
+           "'</p><div>tag ' || lang || '</div></body></html>'")
+PAY_ENT = ("'<html><body><p>' || replace(text, 'e', '&eacute;') || "
+           "'&nbsp;&shy;&#65;&bogus;</p></body></html>'")
+PAY_SCRIPT = ("'<html><body><script>var x = \"' || doc_id || '\";</script><p>' || "
+              "text || '</p><noscript>ignored words</noscript></body></html>'")
+PAY_PLAIN = f"' ' || replace(text, ' ', ' ' || {NL} || ' ') || ' '"
+PAY_V3 = ("strlen('<h1>' || source || '</h1>') + "
+          "strlen('<p>' || replace(text, 'o', '0') || '</p>') + "
+          "cast(strlen(to_base64(encode('IMG' || doc_id))) * 3 / 4 as bigint)")
+
+PAY_BYTES_CASE = f"""case doc_id % 10
+    when 2 then strlen({PAY_ENT})
+    when 3 then {PAY_V3}
+    when 4 then strlen({PAY_SCRIPT})
+    when 5 then strlen({PAY_PLAIN})
+    else strlen({PAY_STD}) end"""
+
+# derived dedup corpora (same logic both engines)
+_CLONES_SQL = ("select doc_id, text from documents union all "
+               "select doc_id + 100000, text from documents where doc_id % 5 = 0")
+_EMB_CLONES_SQL = ("select vec_id, embedding from embeddings union all "
+                   "select vec_id + 100000 as vec_id, embedding from embeddings "
+                   "where vec_id % 50 = 0")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _clone_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") % 5 == 0) \
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.unionByName(extra)
+
+
+def _clone_emb(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    extra = e.filter(F.col("vec_id") % 50 == 0) \
+             .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return e.unionByName(extra)
+
+
+def _pipeline(spark, sf_dir, **opts):
+    return run_pipeline(build_spans(spark, sf_dir),
+                        PipelineOptions(classifier="skip", **opts))
+
+
+# ---------------- extraction queries -------------------------------------
+
+def q_extract_text(spark, sf_dir) -> DataFrame:
+    return _pipeline(spark, sf_dir).main.select("doc_id", "plaintext")
+
+
+def q_extract_spans(spark, sf_dir) -> DataFrame:
+    main = _pipeline(spark, sf_dir).main
+    return main.select(
+        "doc_id", F.posexplode("spans").alias("ord", "s")
+    ).select("doc_id", "ord", F.col("s.kind").alias("kind"),
+             F.col("s.text").alias("text"),
+             F.col("s.media_ref").alias("media_ref"),
+             F.col("s.offset").alias("offset"))
+
+
+def q_filter_stage(spark, sf_dir) -> DataFrame:
+    main, _, _ = split_stream(build_spans(spark, sf_dir))
+    return main.select("doc_id")
+
+
+def q_robots_route(spark, sf_dir) -> DataFrame:
+    _, robots, _ = split_stream(build_spans(spark, sf_dir))
+    return robots.select("doc_id")
+
+
+def q_counters(spark, sf_dir) -> DataFrame:
+    return counters(_pipeline(spark, sf_dir))
+
+
+def q_paragraph_id(spark, sf_dir) -> DataFrame:
+    res = _pipeline(spark, sf_dir)
+    rows = demux_by_lang(res.main, paragraph_identification=True)
+    return rows.filter(F.col("doc_id").cast("long") % 10 == 5) \
+               .select("doc_id", "chunk")
+
+
+def q_lang_histogram(spark, sf_dir) -> DataFrame:
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def q_media_metadata(spark, sf_dir) -> DataFrame:
+    return media_metadata(build_spans(spark, sf_dir))
+
+
+# ---------------- text analysis ------------------------------------------
+
+def q_token_count(spark, sf_dir) -> DataFrame:
+    return textops.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    return textops.simhash16(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    return textops.jaccard_pairs(_docs(spark, sf_dir))
+
+
+# ---------------- dedup ----------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    return dedup.exact_duplicates(_clone_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_clone_docs(spark, sf_dir)) \
+        .select(F.col("a_id").cast("string").alias("a_id"),
+                F.col("b_id").cast("string").alias("b_id"))
+
+
+def q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    return dedup.embedding_near_duplicates(_clone_emb(spark, sf_dir))
+
+
+# ---------------- similarity search ---------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), 10)
+
+
+def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), planes, 10)
+
+
+# ---------------- oracle SQL (DuckDB dialect) -------------------------------
+
+def _simhash_oracle() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    bits = ", ".join(
+        f"case when sum(case when substr(m, {i + 1}, 1) in {high} then 1 "
+        f"else -1 end) > 0 then {1 << (15 - i)} else 0 end as b{i}"
+        for i in range(16))
+    total = " + ".join(f"b{i}" for i in range(16))
+    return f"""
+with w as (select doc_id, unnest(string_split(text, ' ')) as word from documents),
+h as (select doc_id, md5(word) as m from w),
+bits as (select doc_id, {bits} from h group by doc_id)
+select cast(doc_id as varchar) as doc_id, cast({total} as bigint) as simhash from bits"""
+
+
+def _minhash_sig_exprs(src: str = "select doc_id, text from documents") -> str:
+    sig = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}|' || s))) as sig{b}"
+        for b in range(4))
+    return f"""
+with t as (select doc_id, text, string_split(text, ' ') as w from ({src})),
+s as (select doc_id, case when len(w) >= 3
+        then list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        else [text] end as sh from t)
+select cast(doc_id as varchar) as doc_id, {sig} from s"""
+
+
+def _minhash_pairs_oracle() -> str:
+    sigs = _minhash_sig_exprs(_CLONES_SQL)
+    joins = " union ".join(
+        f"select a.doc_id as a_id, b.doc_id as b_id from sigs a "
+        f"join sigs b on a.sig{b} = b.sig{b} and a.doc_id < b.doc_id"
+        for b in range(4))
+    return f"with sigs as ({sigs}) select distinct a_id, b_id from ({joins})"
+
+
+_EMB_M = """
+m as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v,
+             sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))) as nrm
+      from {src})"""
+
+
+def oracle_sql() -> dict[str, str]:
+    nl = NL
+    return {
+        "extract_text": f"""
+            select cast(doc_id as varchar) as doc_id, {EXP_CASE} as plaintext
+            from documents where doc_id % 10 <= 5""",
+        "extract_spans": f"""
+            with base as (select * from documents where doc_id % 10 <= 5)
+            select cast(doc_id as varchar) as doc_id, 0 as ord, 'text' as kind,
+                   {EXP_CASE} as text, '' as media_ref, 0 as "offset"
+              from base where doc_id % 10 <> 3
+            union all
+            select cast(doc_id as varchar), 0, 'text', source || {nl}, '', 0
+              from base where doc_id % 10 = 3
+            union all
+            select cast(doc_id as varchar), 1, 'media', '',
+                   to_base64(encode('IMG' || doc_id)), 1
+              from base where doc_id % 10 = 3
+            union all
+            select cast(doc_id as varchar), 2, 'text',
+                   replace(text, 'o', '0') || {nl}, '', 2
+              from base where doc_id % 10 = 3""",
+        "filter_stage": """
+            select cast(doc_id as varchar) as doc_id from documents
+            where doc_id % 10 <= 5""",
+        "robots_route": """
+            select cast(doc_id as varchar) as doc_id from documents
+            where doc_id % 10 = 9""",
+        "counters": f"""
+            with kept as (select *, {EXP_CASE} as exp from documents where doc_id % 10 <= 5)
+            select count(*)::bigint as totalRecords,
+                   sum({PAY_BYTES_CASE})::bigint as totalBytes,
+                   count(*)::bigint as textRecords,
+                   sum(strlen(exp))::bigint as textBytes,
+                   count(*)::bigint as langRecords,
+                   sum(strlen(exp))::bigint as langBytes
+            from kept""",
+        "paragraph_id": f"""
+            with w as (select doc_id, unnest(string_split(text, ' ')) as word,
+                              generate_subscripts(string_split(text, ' '), 1) as i,
+                              len(string_split(text, ' ')) as n
+                       from documents where doc_id % 10 = 5)
+            select cast(doc_id as varchar) as doc_id,
+                   string_agg(word || chr(9) || i || ':' || n, {nl} order by i) || {nl} as chunk
+            from w group by doc_id""",
+        "lang_histogram": """
+            select lang, count(*)::bigint as n_docs, sum(n_chars)::bigint as sum_chars
+            from documents group by lang""",
+        "media_metadata": """
+            select cast(doc_id as varchar) as doc_id, 1 as "offset",
+                   strlen('IMG' || doc_id)::bigint as media_bytes,
+                   true as is_fake_img
+            from documents where doc_id % 10 = 3""",
+        "token_count": """
+            select cast(doc_id as varchar) as doc_id,
+                   len(string_split(text, ' '))::bigint as n_tokens
+            from documents""",
+        "quality_score": """
+            select cast(doc_id as varchar) as doc_id,
+                   strlen(text)::bigint as n_chars,
+                   len(string_split(text, ' '))::bigint as n_tokens,
+                   cast(round(strlen(replace(text, ' ', ''))
+                        / len(string_split(text, ' ')), 4) as double) as avg_token_len,
+                   cast(round(len(list_filter(string_split(text, ' '),
+                        t -> t in ('the','and','of','to','in','is')))
+                        / len(string_split(text, ' ')), 4) as double) as stopword_ratio
+            from documents""",
+        "fingerprint": """
+            select cast(doc_id as varchar) as doc_id,
+                   list_min(list_transform(
+                       range(1, greatest(strlen(text) - 4, 1) + 1),
+                       i -> md5(substr(text, i::INT, 5)))) as fingerprint
+            from documents""",
+        "simhash": _simhash_oracle(),
+        "jaccard_pairs": """
+            with t as (select doc_id, list_distinct(string_split(text, ' ')) as w
+                       from documents)
+            select cast(a.doc_id as varchar) as doc_id,
+                   cast(b.doc_id as varchar) as other_id,
+                   cast(round(len(list_intersect(a.w, b.w))
+                        / len(list_distinct(list_concat(a.w, b.w))), 4) as double) as jaccard
+            from t a join t b on b.doc_id = a.doc_id + 1""",
+        "dedup_exact": f"""
+            with c as ({_CLONES_SQL})
+            select md5(text) as text_hash, count(*)::bigint as dup_count,
+                   min(cast(doc_id as varchar)) as min_doc_id
+            from c group by 1 having count(*) > 1""",
+        "minhash_signatures": _minhash_sig_exprs(),
+        "minhash_pairs": _minhash_pairs_oracle(),
+        "embedding_neardup": f"""
+            with c as ({_EMB_CLONES_SQL}),
+            {_EMB_M.format(src='c')}
+            select a.vec_id as a_id, b.vec_id as b_id,
+                   cast(round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) as double) as cosine
+            from m a join m b on a.vec_id < b.vec_id
+            where list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.999""",
+        "ann_cosine_topk": f"""
+            with {_EMB_M.format(src='embeddings').lstrip()},
+            q as (select v as qv, nrm as qn from m where vec_id = 0)
+            select cast(vec_id as bigint) as vec_id,
+                   cast(round(cosine, 4) as double) as cosine
+            from (select vec_id,
+                         list_sum(list_transform(range(1, len(v) + 1),
+                              i -> v[i] * qv[i])) / (nrm * qn) as cosine
+                  from m, q)
+            order by cosine desc, vec_id limit 10""",
+        "ann_lsh_topk": f"""
+            with {_EMB_M.format(src='embeddings').lstrip()},
+            h as (select vec_id as hid, v as hv from m where vec_id between 1 and 8),
+            b as (select m.vec_id,
+                         string_agg(case when list_sum(list_transform(
+                             range(1, len(m.v) + 1), i -> m.v[i] * h.hv[i])) > 0
+                             then '1' else '0' end, '' order by h.hid) as bucket
+                  from m, h group by m.vec_id),
+            q as (select v as qv, nrm as qn from m where vec_id = 0),
+            qb as (select bucket as qbucket from b where vec_id = 0)
+            select cast(m.vec_id as bigint) as vec_id,
+                   cast(round(list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn), 4) as double) as cosine
+            from m, q, qb join b on b.vec_id = m.vec_id
+            where b.bucket = qbucket
+            order by list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn) desc, m.vec_id
+            limit 10""",
+    }
+
+
+def queries():
+    return {
+        "extract_text": q_extract_text,
+        "extract_spans": q_extract_spans,
+        "filter_stage": q_filter_stage,
+        "robots_route": q_robots_route,
+        "counters": q_counters,
+        "paragraph_id": q_paragraph_id,
+        "lang_histogram": q_lang_histogram,
+        "media_metadata": q_media_metadata,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # rows-only (no SQL-expressible oracle): heuristic language demux
+        # and JSONL serialization checked by pytest goldens instead
+        "langid_demux": q_langid_demux,
+        "jsonl_lines": q_jsonl_lines,
+        "media_features": q_media_features,
+    }
+
+
+def q_langid_demux(spark, sf_dir) -> DataFrame:
+    res = run_pipeline(build_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic"))
+    return demux_by_lang(res.main).groupBy("lang") \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_jsonl_lines(spark, sf_dir) -> DataFrame:
+    from .pipeline import jsonl_projection
+    res = _pipeline(spark, sf_dir)
+    return jsonl_projection(demux_by_lang(res.main))
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    from ..operators.multimodal import extract_media_features
+    return extract_media_features(build_spans(spark, sf_dir))

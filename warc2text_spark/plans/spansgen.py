@@ -1,0 +1,88 @@
+"""Deterministic synthesis of the interleaved spans table from the
+driver-provided ``documents`` parquet (doc_id, text, lang, source, n_chars).
+
+The BASELINE.json input table (doc_id, spans array<struct<kind,text,
+media_ref,offset>> + header metadata) does not ship with the testdata, so
+it is derived here — pure native SQL, no RNG, closed-form — which lets the
+DuckDB oracle compute the *expected pipeline output* directly from
+``documents`` (plans/benchqueries.py).
+
+Variant by ``doc_id % 10``:
+
+  0,1  standard HTML page (title/h1/p/div; ``&amp;`` entities); 1 has a
+       NULL http_status (F5 null-pass coverage)
+  2    entity-quirk page (&eacute;/&nbsp;/&shy;/&#65;/&bogus;)
+  3    interleaved: text h1 + passthrough media (base64 'IMG<id>') + text p
+  4    script/noscript suppression page, bare 'text/html' content type
+  5    text/plain payload (trimLines path)
+  6    warc_type=request        -> dropped (F4)
+  7    http_status=404          -> dropped (F5)
+  8    url ends in .png         -> dropped (F9)
+  9    /robots.txt url          -> routed (F3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# payload builders (Spark SQL dialect). NB: keep in sync with the oracle
+# fragments in benchqueries.py (DuckDB dialect).
+HTML_STD = ("concat('<html><head><title>doc ', nid, '</title></head><body><h1>', "
+            "source, '</h1><p>', replace(text, 'a', '&amp;'), "
+            "'</p><div>tag ', lang, '</div></body></html>')")
+HTML_ENT = ("concat('<html><body><p>', replace(text, 'e', '&eacute;'), "
+            "'&nbsp;&shy;&#65;&bogus;</p></body></html>')")
+HTML_SCRIPT = ("concat('<html><body><script>var x = \"', nid, '\";</script><p>', "
+               "text, '</p><noscript>ignored words</noscript></body></html>')")
+HTML_V3_H1 = "concat('<h1>', source, '</h1>')"
+HTML_V3_P = "concat('<p>', replace(text, 'o', '0'), '</p>')"
+PLAIN = "concat(' ', replace(text, ' ', concat(' ', chr(10), ' ')), ' ')"
+MEDIA_B64 = "base64(concat('IMG', nid))"
+
+
+def _tspan(text_expr: str, offset: int = 0) -> str:
+    return (f"named_struct('kind', 'text', 'text', {text_expr}, "
+            f"'media_ref', '', 'offset', {offset})")
+
+
+SPANS_EXPR = f"""case nid % 10
+  when 3 then array(
+    {_tspan(HTML_V3_H1, 0)},
+    named_struct('kind', 'media', 'text', '', 'media_ref', {MEDIA_B64}, 'offset', 1),
+    {_tspan(HTML_V3_P, 2)})
+  when 2 then array({_tspan(HTML_ENT)})
+  when 4 then array({_tspan(HTML_SCRIPT)})
+  when 5 then array({_tspan(PLAIN)})
+  else array({_tspan(HTML_STD)})
+end"""
+
+
+def build_spans(spark, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """The interleaved input table.  ``replicate`` scales the corpus for
+    benchmarking (new ids keep the variant distribution; deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.selectExpr("doc_id as onid", "text", "lang", "source")
+    if replicate > 1:
+        reps = spark.range(replicate).selectExpr("id as rep")
+        base = base.crossJoin(reps).selectExpr(
+            f"onid * {replicate} + rep as nid", "text", "lang", "source")
+    else:
+        base = base.selectExpr("onid as nid", "text", "lang", "source")
+    return base.selectExpr(
+        "cast(nid as string) as doc_id",
+        """case when nid % 10 = 9 then concat('https://s', nid % 20, '.example/robots.txt')
+                when nid % 10 = 8 then concat('https://s', nid % 20, '.example/img', nid, '.png')
+                else concat('https://s', nid % 20, '.example/page', nid, '.html') end as url""",
+        "case when nid % 10 = 6 then 'request' else 'response' end as warc_type",
+        "'application/http; msgtype=response' as warc_ct",
+        """case when nid % 10 = 7 then '404 Not Found'
+                when nid % 10 = 1 then cast(null as string)
+                else '200 OK' end as http_status""",
+        """case when nid % 10 = 5 then 'text/plain'
+                when nid % 10 = 4 then 'text/html'
+                else 'text/html; charset=utf-8' end as http_ct""",
+        "'' as content_enc",
+        "'' as transfer_enc",
+        "'2024-01-01T00:00:00Z' as warc_date",
+        f"{SPANS_EXPR} as spans",
+    )
