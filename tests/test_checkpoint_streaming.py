@@ -1,0 +1,79 @@
+"""Checkpoint-ledger resume and streaming-pipeline tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from warc2text_spark.plans.checkpoint import (
+    BatchJobConfig,
+    completed_buckets,
+    run_batch,
+    with_bucket,
+)
+from warc2text_spark.plans.pipeline import PipelineOptions
+from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+
+
+def make_docs(spark, n=40):
+    rows = [_doc(f"doc-{i:04d}", [_t(f"<p>body {i} of document</p>")])
+            for i in range(n)]
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+
+
+def test_run_batch_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = make_docs(spark)
+    cfg = BatchJobConfig(out_dir=out, num_buckets=8, waves=4,
+                         options=PipelineOptions(classifier="skip"))
+
+    # simulate a crash: process only the first wave's buckets by pretending
+    # the rest are... easier: run waves over a restricted bucket range by
+    # running with a df limited to some buckets, then resume with the full df
+    bucketed = with_bucket(df, 8)
+    first_half = bucketed.filter(F.col("bucket") < 4).drop("bucket")
+    run_batch(spark, first_half, cfg)
+    done_after_crash = completed_buckets(spark, out)
+    assert done_after_crash  # some buckets recorded
+
+    # resume with the full input: completed buckets must be skipped
+    summary = run_batch(spark, df, cfg)
+    assert summary["buckets_skipped"] == len(done_after_crash)
+
+    result = spark.read.parquet(f"{out}/text")
+    got = sorted(r.doc_id for r in result.select("doc_id").collect())
+    assert got == sorted(f"doc-{i:04d}" for i in range(40))  # no dups, no gaps
+
+    ledger = spark.read.parquet(f"{out}/_ledger")
+    agg = ledger.groupBy("bucket").count().collect()
+    totals = ledger.agg(F.sum("n_kept").alias("k")).collect()[0]
+    assert totals.k == 40
+    metrics = spark.read.parquet(f"{out}/_metrics")
+    assert metrics.agg(F.sum("n_rows")).collect()[0][0] == 40
+    assert {r.bucket for r in agg} == set(range(8))
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    out = str(tmp_path / "out2")
+    df = make_docs(spark, 10)
+    cfg = BatchJobConfig(out_dir=out, num_buckets=4, waves=2,
+                         options=PipelineOptions(classifier="skip"))
+    run_batch(spark, df, cfg)
+    summary = run_batch(spark, df, cfg)
+    assert summary["buckets_processed"] == 0
+    assert spark.read.parquet(f"{out}/text").count() == 10
+
+
+@pytest.mark.parametrize("n", [25])
+def test_streaming_pipeline(spark, tmp_path, n):
+    from warc2text_spark.streaming.stream_pipeline import run_streaming_pipeline
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "sout")
+    make_docs(spark, n).repartition(3).write.parquet(inp)
+    run_streaming_pipeline(spark, inp, out,
+                           PipelineOptions(classifier="skip"))
+    got = spark.read.parquet(f"{out}/text")
+    assert got.count() == n
+    assert got.select("lang").distinct().collect()[0].lang == "unlabeled"
+
+    # idempotent restart: the checkpoint remembers processed files
+    run_streaming_pipeline(spark, inp, out, PipelineOptions(classifier="skip"))
+    assert spark.read.parquet(f"{out}/text").count() == n

@@ -1,0 +1,119 @@
+"""Resumable batch execution: bucket ledger + per-partition lineage/metrics.
+
+The reference has no resume story — a killed run reprocesses whole WARCs
+(SURVEY.md §4).  At 10^12 documents that is not acceptable, so the batch
+runner shards the corpus into ``num_buckets`` deterministic buckets by
+``xxhash64(doc_id)`` (also the skew-defusing salt key), processes them in
+waves, and records a ledger row per completed bucket.  A restart anti-joins
+the ledger and only runs missing buckets; output is partitioned by
+``bucket`` so completed work is never rewritten.
+
+Per-bucket ledger rows double as the lineage manifest + extraction metrics
+(records in/out, language histogram, byte counters) required by the north
+rule; they land in ``<out>/_ledger`` (parquet, append-only) and per-wave
+run counters in ``<out>/_metrics``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.langid_op import explode_by_lang
+from .pipeline import PipelineOptions, run_pipeline
+
+LEDGER_SCHEMA = ("bucket int, n_input bigint, n_kept bigint, n_lang_rows bigint, "
+                 "text_bytes bigint, wave int, run_id string")
+
+
+@dataclass
+class BatchJobConfig:
+    out_dir: str
+    num_buckets: int = 64
+    waves: int = 8
+    run_id: str = "run0"
+    salt: int = 0
+    options: PipelineOptions | None = None
+
+
+def with_bucket(df: DataFrame, num_buckets: int, salt: int = 0) -> DataFrame:
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_buckets))
+        .cast("int"))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    try:
+        rows = spark.read.parquet(f"{out_dir}/_ledger") \
+            .select("bucket").distinct().collect()
+        return {r.bucket for r in rows}
+    except Exception:
+        return set()
+
+
+def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
+    """Process all not-yet-completed buckets in waves; returns a summary.
+
+    Each wave is one Spark job: filter to the wave's buckets -> pipeline ->
+    append output partitioned by (bucket, lang) -> append ledger rows.
+    A crash between waves loses at most one wave of work; a crash *during*
+    a wave leaves no ledger rows for it, so the restart redoes the wave and
+    overwrites its partitions (dynamic partition overwrite keeps completed
+    buckets intact).
+    """
+    opts = cfg.options or PipelineOptions()
+    done = completed_buckets(spark, cfg.out_dir)
+    todo = [b for b in range(cfg.num_buckets) if b not in done]
+    bucketed = with_bucket(df, cfg.num_buckets, cfg.salt)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    waves_run = 0
+    per_wave = max(1, (len(todo) + cfg.waves - 1) // max(cfg.waves, 1))
+    for w in range(0, len(todo), per_wave):
+        wave_buckets = todo[w:w + per_wave]
+        wave_df = bucketed.filter(F.col("bucket").isin(wave_buckets))
+        res = run_pipeline(wave_df.drop("bucket"), opts)
+        from .pipeline import partition_safe_lang
+        rows = partition_safe_lang(explode_by_lang(res.main))
+        rows = with_bucket(rows, cfg.num_buckets, cfg.salt)
+        (rows.write.mode("overwrite").partitionBy("bucket", "lang")
+             .parquet(f"{cfg.out_dir}/text"))
+
+        # lineage manifest + metrics per bucket, in one aggregation pass
+        inputs = with_bucket(res.prefiltered.select("doc_id"),
+                             cfg.num_buckets, cfg.salt) \
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_input"))
+        kept = with_bucket(res.main.select("doc_id", "plaintext"),
+                           cfg.num_buckets, cfg.salt) \
+            .groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.octet_length("plaintext")).alias("text_bytes"))
+        langs = rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_lang_rows"))
+        ledger = (inputs.join(kept, "bucket", "left")
+                  .join(langs, "bucket", "left")
+                  .na.fill(0)
+                  .withColumn("wave", F.lit(waves_run))
+                  .withColumn("run_id", F.lit(cfg.run_id))
+                  .select("bucket", "n_input", "n_kept", "n_lang_rows",
+                          "text_bytes", "wave", "run_id"))
+        ledger.write.mode("append").parquet(f"{cfg.out_dir}/_ledger")
+
+        # per-lang histogram for this wave -> metrics table
+        hist = rows.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.octet_length("chunk")).alias("lang_bytes")) \
+            .withColumn("wave", F.lit(waves_run)) \
+            .withColumn("run_id", F.lit(cfg.run_id))
+        hist.write.mode("append").parquet(f"{cfg.out_dir}/_metrics")
+        waves_run += 1
+
+    return {
+        "buckets_total": cfg.num_buckets,
+        "buckets_skipped": len(done),
+        "buckets_processed": len(todo),
+        "waves_run": waves_run,
+    }

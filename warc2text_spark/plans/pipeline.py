@@ -157,11 +157,19 @@ def counters(result: PipelineResult) -> DataFrame:
     return total.crossJoin(text).crossJoin(langs)
 
 
+def partition_safe_lang(rows: DataFrame) -> DataFrame:
+    """Empty-string partition values round-trip as NULL under the Hive
+    layout; the skip classifier's "" label becomes an explicit directory."""
+    return rows.withColumn(
+        "lang", F.when(F.col("lang") == "", F.lit("unlabeled"))
+                 .otherwise(F.col("lang")))
+
+
 def write_outputs(result: PipelineResult, out_dir: str,
                   paragraph_identification: bool = False,
                   fmt: str = "parquet") -> None:
     """K1/K3: per-language partitioned main output + raw side outputs."""
-    rows = demux_by_lang(result.main, paragraph_identification)
+    rows = partition_safe_lang(demux_by_lang(result.main, paragraph_identification))
     (rows.write.mode("overwrite").partitionBy("lang").format(fmt)
         .save(f"{out_dir}/text"))
     result.robots.write.mode("overwrite").format(fmt).save(f"{out_dir}/robots")
