@@ -1,0 +1,43 @@
+"""Property test: the fused body-scan fast path is output-identical to the
+token-at-a-time reference loop, on fixtures and on randomized HTML."""
+
+import random
+
+from warc2text_spark.functions.textextract import parse_tag_filters, process_html
+from warc2text_spark.sources.fixtures import fixture_cases
+
+FILTERS = parse_tag_filters("meta\tname\tbad\ndiv\tclass\t^ooter")
+
+
+def both(data: bytes):
+    return (process_html(data, FILTERS, fused=True),
+            process_html(data, FILTERS, fused=False))
+
+
+def test_fixture_inputs_identical():
+    rows, _ = fixture_cases()
+    for row in rows:
+        for s in row["spans"]:
+            if s["kind"] == "text":
+                data = s["text"].encode("utf-8")
+                a, b = both(data)
+                assert a == b, row["doc_id"]
+
+
+PIECES = [
+    "<p>", "</p>", "<div id='x'>", "</div>", "<br>", "<img src=x>",
+    "<script>", "</script>", "<style>", "</style>", "<b>", "</b>",
+    "word", "two words", "&amp;", "&bogus;", "&#65;", "&", "&&", " ",
+    "   ", "\t\n", "<!-- comment -->", "<![CDATA[x]]>", "<meta name=\"bad\">",
+    "<", ">", "a<b", "x" * 1500, "é ü", "<p", "</", "<//x>", "\x07",
+    "<noscript>hidden</noscript>", "<w:p><w:t>t</w:t></w:p>",
+]
+
+
+def test_randomized_equivalence():
+    rng = random.Random(42)
+    for _ in range(400):
+        n = rng.randint(1, 25)
+        doc = "".join(rng.choice(PIECES) for _ in range(n)).encode("utf-8")
+        a, b = both(doc)
+        assert a == b, doc[:200]

@@ -94,15 +94,72 @@ def _filter_ok(tag: bytes, attr: bytes, value: bytes, tag_filters) -> bool:
     return not any(r.search(value) for r in regexes)
 
 
-def process_html(data: bytes, tag_filters=None) -> tuple[bytes, int]:
-    """Extract plain text from HTML bytes; returns (text, error_code)."""
+import re as _re
+
+# body tokenization, fused: ws run | '&'-led word | plain word — exactly the
+# token boundaries of scan_body (xh_scanner.cc:28-67)
+_BODY_RUNS = _re.compile(rb"[ \t\n\r\f]+|&[^<& \t\n\r\f]*|[^<& \t\n\r\f]+")
+_CAP = sc.MAX_TOKEN_SIZE - 1
+
+
+_WS_RUN = _re.compile(rb"[ \t\n\r\f]+")
+_WS_SET = frozenset(b" \t\n\r\f")
+
+
+def _fused_body(s: sc.Scanner, out: bytearray, suppress: bool) -> None:
+    """Apply a whole body segment (up to the next '<' or EOF) to ``out``
+    with the exact per-token effects of the scan_body/assembly loop —
+    WORD append (1023-byte cap per token), SPACE -> single space."""
+    buf, pos = s.buf, s.pos
+    lt = buf.find(0x3C, pos)  # '<'
+    if lt < 0:
+        lt = s.end
+    seg = buf[pos:lt]
+    s.pos = lt
+    if not seg:
+        return
+    if suppress:
+        # words contribute nothing; any whitespace run -> one addSpace
+        if _WS_RUN.search(seg) and out and out[-1] not in _C_ISSPACE:
+            out.append(0x20)
+        return
+    if len(seg) <= _CAP:
+        # no token can exceed the cap: collapse ws runs to single spaces
+        seg = _WS_RUN.sub(b" ", seg)
+        if seg[0] == 0x20 and (not out or out[-1] in _C_ISSPACE):
+            seg = seg[1:]
+        out += seg
+        return
+    for m in _BODY_RUNS.finditer(seg):
+        g = m.group()
+        if g[0] in _WS_SET:
+            if out and out[-1] not in _C_ISSPACE:
+                out.append(0x20)
+        else:
+            out += g[:_CAP] if len(g) > _CAP else g
+
+
+def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[bytes, int]:
+    """Extract plain text from HTML bytes; returns (text, error_code).
+
+    ``fused=True`` takes the vectorized fast path for body segments (same
+    output by construction; equivalence is property-tested against the
+    token-at-a-time path, which mirrors the reference loop html.cc:44-87).
+    """
     tag_filters = tag_filters or {}
     s = sc.Scanner(data)
     out = bytearray()
     retval = SUCCESS
     tag = b""
     t = sc.TT_SPACE
+    body_func = sc.Scanner._scan_body
     while t != sc.TT_EOF and t != sc.TT_ERROR:
+        # NB: compare the underlying function — bound methods are re-created
+        # on each attribute access, so `s._scan is s._scan_body` is never true
+        if fused and s._scan.__func__ is body_func:
+            _fused_body(s, out, tag in NOTEXT_TAGS)
+            if s.pos >= s.end:
+                break
         t, value = s.next_token()
         if t == sc.TT_ERROR:
             retval = HTML_PARSING_ERROR

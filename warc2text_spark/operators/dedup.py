@@ -46,39 +46,56 @@ def shingles(text_col: str = "text", k: int = 3):
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        bands: int = 4) -> DataFrame:
-    """Per-doc MinHash band signatures: sig_b = min(md5(b || '|' || shingle)).
+    """Per-doc MinHash band signatures.
 
-    min-of-keyed-md5 is engine-portable (string min over hex digests) and
-    deterministic; ``bands`` independent hash families via the band prefix.
+    ONE md5 per shingle; band b takes the minimum over shingles of the
+    8-hex-char window starting at hex digit 4b of that digest — b
+    statistically independent hash families for the price of one digest
+    (the md5-per-band variant costs bands x the hashing and dominated the
+    whole query).  String-min over hex windows is engine-portable and
+    deterministic.
     """
-    sh = shingles(text_col)
+    hashes = F.transform(shingles(text_col), lambda s: F.md5(s))
+    with_h = df.select(F.col("doc_id"), hashes.alias("hs"))
 
     def band_sig(b: int):
         # plain closure — a defaulted second lambda param would be bound to
         # the array index by F.transform
-        prefix = f"{b}|"
+        start = 1 + 4 * b
         return F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+            F.col("hs"), lambda h: F.substring(h, start, 8)))
 
     cols = [F.col("doc_id").cast("string").alias("doc_id")]
     for b in range(bands):
         cols.append(band_sig(b).alias(f"sig{b}"))
-    return df.select(*cols)
+    return with_h.select(*cols)
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             bands: int = 4) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any band signature.
-    Equality join per band — the LSH bucket join, unioned and deduped."""
+
+    ONE equality self-join on (band, sig) over the exploded signature rows
+    — signatures are computed once (not re-evaluated per join side), and
+    the whole LSH bucket join costs a single shuffle regardless of the
+    number of bands.  Bucket skew (a viral boilerplate signature) is
+    handled by AQE skew-join splitting."""
     sigs = minhash_signatures(df, text_col, bands)
-    pairs = None
-    for b in range(bands):
-        a = sigs.select(F.col("doc_id").alias("a_id"), F.col(f"sig{b}").alias("s"))
-        c = sigs.select(F.col("doc_id").alias("b_id"), F.col(f"sig{b}").alias("s"))
-        p = a.join(c, "s").filter(F.col("a_id") < F.col("b_id")) \
-             .select("a_id", "b_id")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    pairs_struct = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+        for b in range(bands)])
+    long = sigs.select("doc_id", F.explode(pairs_struct).alias("bs")) \
+               .select("doc_id", F.col("bs.band").alias("band"),
+                       F.col("bs.sig").alias("sig"))
+    # materialize signatures once — both join sides derive from `long`, and
+    # without a lineage break Catalyst re-evaluates the md5-over-shingles
+    # pipeline per side (at cluster scale: write sigs to a table instead)
+    long = long.persist()
+    a = long.select(F.col("doc_id").alias("a_id"), "band", "sig")
+    b = long.select(F.col("doc_id").alias("b_id"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:

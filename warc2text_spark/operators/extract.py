@@ -54,7 +54,9 @@ SPAN_TYPE = pa.struct([
 KERNEL_INPUT_COLS = ["doc_id", "url", "http_ct", "content_enc",
                      "transfer_enc", "warc_date", "spans"]
 
-_OUT_SCHEMA = pa.schema([
+LANG_TYPE = pa.list_(pa.struct([("lang", pa.string()), ("chunk", pa.string())]))
+
+_OUT_FIELDS = [
     ("doc_id", pa.string()),
     ("url", pa.string()),
     ("http_ct", pa.string()),
@@ -63,11 +65,14 @@ _OUT_SCHEMA = pa.schema([
     ("err", pa.int32()),
     ("plaintext", pa.string()),
     ("spans", pa.list_(SPAN_TYPE)),
-])
+]
+_OUT_SCHEMA = pa.schema(_OUT_FIELDS)
+_OUT_SCHEMA_LANGS = pa.schema(_OUT_FIELDS + [("langs", LANG_TYPE)])
 
 OUTPUT_DDL = ("doc_id string, url string, http_ct string, warc_date string, "
               "charset string, err int, plaintext string, "
               "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+OUTPUT_DDL_LANGS = OUTPUT_DDL + ", langs array<struct<lang:string,chunk:string>>"
 
 
 @dataclass
@@ -76,6 +81,11 @@ class ExtractOptions:
     tag_filters_invert: bool = False
     skip_extraction: bool = False
     encode_urls: bool = False
+    # when set ('skip'|'heuristic'|'multilang'), language identification is
+    # fused into this kernel — one JVM<->Python crossing instead of two
+    # (the standalone Kernel 2 in langid_op.py re-serializes every carried
+    # column, which doubles Arrow traffic at scale)
+    classifier: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -153,15 +163,20 @@ def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
 def make_extract_kernel(opts: ExtractOptions | None = None):
     opts = opts or ExtractOptions()
     tag_filters_text = opts.tag_filters_text
+    classifier = opts.classifier
+    schema = _OUT_SCHEMA_LANGS if classifier else _OUT_SCHEMA
 
     def kernel(batches):
         tag_filters = parse_tag_filters(tag_filters_text) if tag_filters_text else {}
+        detector = None
+        if classifier:
+            from ..functions.langid import get_detector
+            detector = get_detector(classifier)
         for batch in batches:
             cols = {name: batch.column(i).to_pylist()
                     for i, name in enumerate(batch.schema.names)}
             n = batch.num_rows
-            out = {"doc_id": [], "url": [], "http_ct": [], "warc_date": [],
-                   "charset": [], "err": [], "plaintext": [], "spans": []}
+            out = {f.name: [] for f in schema}
             for i in range(n):
                 row = {k: v[i] for k, v in cols.items()}
                 charset, err, plaintext, spans = _clean_one_doc(row, tag_filters, opts)
@@ -179,9 +194,18 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                     {"kind": k, "text": t, "media_ref": m, "offset": o}
                     for (k, t, m, o) in spans
                 ])
+                if detector is not None:
+                    # only surviving docs need language labels
+                    if err == rec.SUCCESS and plaintext:
+                        chunks = detector.detect(plaintext)
+                        out["langs"].append(sorted(
+                            ({"lang": k, "chunk": v} for k, v in chunks.items()),
+                            key=lambda d: d["lang"]))
+                    else:
+                        out["langs"].append([])
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out[f.name], type=f.type) for f in _OUT_SCHEMA],
-                schema=_OUT_SCHEMA)
+                [pa.array(out[f.name], type=f.type) for f in schema],
+                schema=schema)
 
     return kernel
 
@@ -218,4 +242,5 @@ def run_extract(df: DataFrame, opts: ExtractOptions | None = None,
     projected = df.select(*cols)
     if num_partitions:
         projected = salted_repartition(projected, num_partitions)
-    return projected.mapInArrow(make_extract_kernel(opts), OUTPUT_DDL)
+    ddl = OUTPUT_DDL_LANGS if (opts and opts.classifier) else OUTPUT_DDL
+    return projected.mapInArrow(make_extract_kernel(opts), ddl)

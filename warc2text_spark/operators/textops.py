@@ -64,21 +64,21 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     ops so the same logic runs on any SQL engine at any scale."""
     w = tokens(F.col(text_col))
     high = tuple("89abcdef")
-
-    def votes_for(i: int):
-        # NB: a plain closure, not a default-arg lambda — F.transform treats
-        # a second parameter (even defaulted) as the array-index argument
-        return F.transform(w, lambda x: F.when(
-            F.substring(F.md5(x), i + 1, 1).isin(*high), F.lit(1)
-        ).otherwise(F.lit(-1)))
-
-    bit_cols = []
-    for i in range(16):
-        total = F.aggregate(votes_for(i), F.lit(0), lambda a, b: a + b)
-        bit_cols.append(F.when(total > 0, F.lit(1 << (15 - i))).otherwise(F.lit(0)))
-    sim = bit_cols[0]
-    for b in bit_cols[1:]:
-        sim = sim + b
+    # md5 once per token, then one aggregate pass accumulating all 16 bit
+    # counters (zip_with over a 16-slot vector) — not 16 passes
+    hashes = F.transform(w, lambda x: F.md5(x))
+    zeros = F.array_repeat(F.lit(0), 16)
+    counts = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(1), F.lit(16)),
+            lambda a, i: a + F.when(
+                F.substring(h, i, 1).isin(*high), F.lit(1)).otherwise(F.lit(-1))))
+    weights = F.array(*[F.lit(1 << (15 - i)) for i in range(16)])
+    sim = F.aggregate(
+        F.zip_with(counts, weights,
+                   lambda c, wt: F.when(c > 0, wt).otherwise(F.lit(0))),
+        F.lit(0), lambda a, b: a + b)
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         sim.cast("long").alias("simhash"),

@@ -218,15 +218,16 @@ select cast(doc_id as varchar) as doc_id, cast({total} as bigint) as simhash fro
 
 def _minhash_sig_exprs(src: str = "select doc_id, text from documents") -> str:
     sig = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{b}|' || s))) as sig{b}"
+        f"list_min(list_transform(hs, h -> substr(h, {1 + 4 * b}, 8))) as sig{b}"
         for b in range(4))
     return f"""
 with t as (select doc_id, text, string_split(text, ' ') as w from ({src})),
 s as (select doc_id, case when len(w) >= 3
         then list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        else [text] end as sh from t)
-select cast(doc_id as varchar) as doc_id, {sig} from s"""
+        else [text] end as sh from t),
+hh as (select doc_id, list_transform(sh, s -> md5(s)) as hs from s)
+select cast(doc_id as varchar) as doc_id, {sig} from hh"""
 
 
 def _minhash_pairs_oracle() -> str:

@@ -35,6 +35,9 @@ class PipelineOptions:
     num_partitions: int | None = None   # salted repartition before Kernel 1
     paragraph_identification: bool = False
     max_record_size: int = flt.MAX_RECORD_SIZE
+    # fuse langid into Kernel 1 (one Python crossing); False = standalone
+    # Kernel 2 (useful when langid runs on a different cadence/model)
+    fuse_langid: bool = True
 
 
 @dataclass
@@ -61,12 +64,14 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
             tag_filters_invert=opts.tag_filters_invert,
             skip_extraction=opts.skip_extraction,
             encode_urls=opts.encode_urls,
+            classifier=opts.classifier if opts.fuse_langid else None,
         ),
         num_partitions=opts.num_partitions,
     )
     kept = ext.filter(keep_predicate(opts.tag_filters_invert, opts.skip_extraction))
-    langed = run_langid(kept, opts.classifier)
-    return PipelineResult(main=langed, robots=robots, pdf=pdf, extracted=ext,
+    if not opts.fuse_langid:
+        kept = run_langid(kept, opts.classifier)
+    return PipelineResult(main=kept, robots=robots, pdf=pdf, extracted=ext,
                           prefiltered=main0)
 
 
