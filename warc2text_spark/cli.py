@@ -1,0 +1,158 @@
+"""Command-line entry point with the reference's flag surface.
+
+A warc2text user maps their invocation 1:1 (reference options:
+/root/reference/warc2text_main.cc:40-66):
+
+    warc2text -o out -f url,text --classifier cld2 x.warc.gz
+ -> python -m warc2text_spark -o out -f url,text --classifier heuristic \
+        --input spans_table/
+
+Differences, by design (SURVEY.md §7): input is the interleaved spans table
+(Iceberg/parquet), not WARC files; per-language *files* become a
+lang-partitioned columnar dataset keyed by doc_id (the positional-line
+contract is replaced by explicit keys); ``--compress`` selects the parquet
+codec.  ``html`` output (the raw payload) is available with
+``--skip-text-extraction``, matching the reference's jsonl ``h`` field.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+OUTPUT_FIELDS = {"url", "text", "mime", "file", "date", "metadata", "html"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="warc2text_spark",
+        description="PySpark-native warc2text: interleaved spans table -> "
+                    "per-language extracted text")
+    p.add_argument("--input", "-i", nargs="+", required=True,
+                   help="spans table location(s): parquet path or Iceberg table")
+    p.add_argument("--output", "-o", default=".", help="output location")
+    p.add_argument("--files", "-f", default="url,text",
+                   help="comma list of output fields (url,text,mime,file,date,metadata,html)")
+    p.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"],
+                   help="input table format (default: sniff)")
+    p.add_argument("--classifier", default="heuristic",
+                   choices=["skip", "heuristic", "multilang"])
+    p.add_argument("--multilang", action="store_true",
+                   help="alias for --classifier multilang")
+    p.add_argument("--tag-filters", dest="tag_filters")
+    p.add_argument("--invert-tag-filters", action="store_true")
+    p.add_argument("--url-filters", dest="url_filters")
+    p.add_argument("--pdfpass", help="write routed PDF records here")
+    p.add_argument("--robotspass", help="write routed robots.txt records here")
+    p.add_argument("--robots-process", action="store_true")
+    p.add_argument("--paragraph-identification", action="store_true")
+    p.add_argument("--skip-text-extraction", action="store_true")
+    p.add_argument("--encode-urls", action="store_true")
+    p.add_argument("--jsonl", action="store_true")
+    p.add_argument("--stdout", action="store_true",
+                   help="print JSONL to stdout (requires --jsonl)")
+    p.add_argument("--compress", default="gzip",
+                   choices=["gzip", "zstd", "snappy", "none"])
+    p.add_argument("--max-record-size", type=int, default=20,
+                   help="max record size in MB (default 20)")
+    p.add_argument("--num-partitions", type=int, default=None,
+                   help="salted repartition width (skew defense)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--verbose", "-v", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.stdout and not args.jsonl:
+        print("--stdout requires --jsonl", file=sys.stderr)
+        return 1
+    fields = [f for f in args.files.split(",") if f]
+    unknown = set(fields) - OUTPUT_FIELDS
+    if unknown:
+        print(f"unknown output files: {sorted(unknown)}", file=sys.stderr)
+        return 1
+
+    from .plans.pipeline import (PipelineOptions, counters, demux_by_lang,
+                                 jsonl_projection, partition_safe_lang)
+    from .plans.pipeline import run_pipeline
+    from .session import get_spark
+    from .sources.table_io import read_input, write_output
+
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("warc2text-spark-cli", master=args.master)
+
+    classifier = "multilang" if args.multilang else args.classifier
+    tag_filters_text = open(args.tag_filters).read() if args.tag_filters else ""
+    user_url_filter = None
+    if args.url_filters:
+        from .functions.urlutil import combine_url_filters
+        rx = combine_url_filters(open(args.url_filters).read().splitlines())
+        user_url_filter = rx.pattern if rx else None
+
+    df = read_input(spark, args.input[0], args.format)
+    for loc in args.input[1:]:
+        df = df.unionByName(read_input(spark, loc, args.format))
+
+    opts = PipelineOptions(
+        classifier=classifier,
+        tag_filters_text=tag_filters_text,
+        tag_filters_invert=args.invert_tag_filters,
+        skip_extraction=args.skip_text_extraction,
+        encode_urls=args.encode_urls,
+        robots_process=args.robots_process,
+        user_url_filter=user_url_filter,
+        num_partitions=args.num_partitions,
+        paragraph_identification=args.paragraph_identification,
+        max_record_size=args.max_record_size * 1024 * 1024,
+    )
+    res = run_pipeline(df, opts)
+
+    if args.pdfpass:
+        write_output(res.pdf, args.pdfpass)
+    if args.robotspass:
+        write_output(res.robots, args.robotspass)
+
+    rows = demux_by_lang(res.main, args.paragraph_identification)
+    if args.jsonl:
+        out = jsonl_projection(rows, args.skip_text_extraction)
+        if args.stdout:
+            for r in out.toLocalIterator():
+                print(r.jsonl)
+        else:
+            out.write.mode("overwrite").text(
+                f"{args.output}/jsonl",
+                compression=None if args.compress == "none" else args.compress)
+    else:
+        cols = {"url": F.col("url"),
+                "text": F.col("chunk").alias("text"),
+                "mime": F.col("http_ct").alias("mime"),
+                "file": F.concat_ws(":", "doc_id", F.lit("0"),
+                                    F.octet_length("plaintext")).alias("file"),
+                "date": F.col("warc_date").alias("date"),
+                "metadata": F.col("charset").alias("metadata_charset"),
+                "html": F.col("plaintext").alias("html")}
+        selected = [F.col("doc_id"), F.col("lang")] + [cols[f] for f in fields]
+        out = partition_safe_lang(rows).select(*selected)
+        write_output(out, f"{args.output}/text", partition_by=("lang",),
+                     compression=None if args.compress == "none" else args.compress)
+
+    if args.verbose:
+        c = counters(res).collect()[0]
+        print(f"total records: {c.totalRecords}", file=sys.stderr)
+        print(f"text records: {c.textRecords}", file=sys.stderr)
+        print(f"lang records: {c.langRecords}", file=sys.stderr)
+        print(f"total bytes: {c.totalBytes}", file=sys.stderr)
+        print(f"text bytes: {c.textBytes}", file=sys.stderr)
+        print(f"lang bytes: {c.langBytes}", file=sys.stderr)
+
+    if own_spark:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

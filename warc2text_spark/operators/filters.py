@@ -129,15 +129,29 @@ def split_stream(
 
     robots/pdf are side-routed records (written out raw by the caller,
     K3 semantics); main is the stream that continues into extraction.
+
+    The two non-trivial derived values (payload byte count — an array
+    aggregate — and the cleaned MIME type) are materialized once as helper
+    columns: Catalyst does not common-subexpression-eliminate lambda
+    aggregates across predicate terms, so inlining them evaluates the spans
+    walk ~5x per row (observed in the physical plan).
     """
-    alive = oversize_ok(max_record_size) & nonempty_payload()
+    cols = df.columns
+    pb = F.col("_pb")
+    cct = F.col("_cct")
+    staged = df.withColumn("_pb", payload_bytes()).withColumn("_cct", clean_http_ct())
+
+    alive = (pb <= F.lit(max_record_size)) & (pb > 0)
     robots_pred = alive & is_robots_txt() & F.lit(not robots_process)
-    robots_df = df.filter(robots_pred)
+    robots_df = staged.filter(robots_pred).select(*cols)
 
     after_robots = alive & ~robots_pred
     typed = after_robots & warc_type_ok() & http_status_ok() & warc_ct_ok()
-    pdf_pred = typed & is_pdf()
-    pdf_df = df.filter(pdf_pred)
+    pdf_pred = typed & is_pdf(clean_ct=cct)
+    pdf_df = staged.filter(pdf_pred).select(*cols)
 
-    main = df.filter(typed & ~is_pdf() & payload_size_ok() & url_ok(user_url_filter))
+    main = staged.filter(
+        typed & ~is_pdf(clean_ct=cct) & (pb <= F.lit(MAX_PAYLOAD_SIZE))
+        & url_ok(user_url_filter)
+    ).select(*cols)
     return main, robots_df, pdf_df
