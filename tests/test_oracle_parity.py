@@ -65,7 +65,7 @@ def test_query_matches_oracle(name, spark, ddb):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ["langid_demux", "jsonl_lines", "media_features"]:
+    for name in ["langid_demux", "multilang_demux", "jsonl_lines", "media_features"]:
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() > 0, name
 

@@ -115,7 +115,11 @@ def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
         if kind == "media":
             media_ref = s.get("media_ref") or ""
             if zip_ct:
-                payload = base64.b64decode(media_ref) if media_ref else b""
+                try:
+                    payload = base64.b64decode(media_ref) if media_ref else b""
+                except Exception:
+                    # unreadable payload bytes: same fate as an unreadable zip
+                    return "", rec.ZIP_READ_ERROR, "", []
                 payload = transport.transport_decode(payload, transfer_enc, content_enc)
                 text, serr, cs = rec.clean_payload(
                     payload, clean_ct, declared, url,

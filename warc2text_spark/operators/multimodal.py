@@ -59,13 +59,9 @@ def _decode_image_stub(payload: bytes) -> dict:
 
     Here: deterministic fake features derived from the bytes so the full
     Spark plumbing (Arrow batches, schema, partitioning) is exercised.
+    (When an imaging library is present a deployment should replace this
+    body; the fake is used either way so behavior stays deterministic.)
     """
-    try:
-        import PIL.Image  # noqa: F401
-        raise NotImplementedError(
-            "real image decode not wired in this environment")
-    except ImportError:
-        pass
     return {
         "media_type": sniff_media_type(payload),
         "width": 1 + payload[0] % 64 if payload else 0,

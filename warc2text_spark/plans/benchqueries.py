@@ -139,6 +139,25 @@ def q_media_metadata(spark, sf_dir) -> DataFrame:
     return media_metadata(build_spans(spark, sf_dir))
 
 
+def q_extract_skip_text(spark, sf_dir) -> DataFrame:
+    """EP-B --skip-text-extraction: plaintext carries the raw payload."""
+    res = _pipeline(spark, sf_dir, skip_extraction=True)
+    return res.main.select("doc_id", F.col("plaintext").alias("payload"))
+
+
+def q_encode_urls(spark, sf_dir) -> DataFrame:
+    """T8 --encode-urls over the kept docs (v0 urls carry a space)."""
+    res = _pipeline(spark, sf_dir, encode_urls=True)
+    return res.main.select("doc_id", "url")
+
+
+def q_multilang_demux(spark, sf_dir) -> DataFrame:
+    res = run_pipeline(build_spans(spark, sf_dir),
+                       PipelineOptions(classifier="multilang"))
+    return demux_by_lang(res.main).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+
+
 # ---------------- text analysis ------------------------------------------
 
 def q_token_count(spark, sf_dir) -> DataFrame:
@@ -273,6 +292,24 @@ def oracle_sql() -> dict[str, str]:
         "robots_route": """
             select cast(doc_id as varchar) as doc_id from documents
             where doc_id % 10 = 9""",
+        "extract_skip_text": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   case doc_id % 10
+                     when 2 then {PAY_ENT}
+                     when 3 then '<h1>' || source || '</h1>' ||
+                                 '<p>' || replace(text, 'o', '0') || '</p>'
+                     when 4 then {PAY_SCRIPT}
+                     when 5 then {PAY_PLAIN}
+                     else {PAY_STD} end as payload
+            from documents where doc_id % 10 <= 5""",
+        "encode_urls": """
+            select cast(doc_id as varchar) as doc_id,
+                   case when doc_id % 10 = 0
+                        then 'https://s' || (doc_id % 20) || '.example/page'
+                             || doc_id || '.html?q=a%20b'
+                        else 'https://s' || (doc_id % 20) || '.example/page'
+                             || doc_id || '.html' end as url
+            from documents where doc_id % 10 <= 5""",
         "counters": f"""
             with kept as (select *, {EXP_CASE} as exp from documents where doc_id % 10 <= 5)
             select count(*)::bigint as totalRecords,
@@ -378,6 +415,8 @@ def queries():
     return {
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
+        "extract_skip_text": q_extract_skip_text,
+        "encode_urls": q_encode_urls,
         "filter_stage": q_filter_stage,
         "robots_route": q_robots_route,
         "counters": q_counters,
@@ -398,6 +437,7 @@ def queries():
         # rows-only (no SQL-expressible oracle): heuristic language demux
         # and JSONL serialization checked by pytest goldens instead
         "langid_demux": q_langid_demux,
+        "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,
     }

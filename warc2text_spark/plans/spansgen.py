@@ -72,6 +72,7 @@ def build_spans(spark, sf_dir: str, replicate: int = 1) -> DataFrame:
         "cast(nid as string) as doc_id",
         """case when nid % 10 = 9 then concat('https://s', nid % 20, '.example/robots.txt')
                 when nid % 10 = 8 then concat('https://s', nid % 20, '.example/img', nid, '.png')
+                when nid % 10 = 0 then concat('https://s', nid % 20, '.example/page', nid, '.html?q=a b')
                 else concat('https://s', nid % 20, '.example/page', nid, '.html') end as url""",
         "case when nid % 10 = 6 then 'request' else 'response' end as warc_type",
         "'application/http; msgtype=response' as warc_ct",
