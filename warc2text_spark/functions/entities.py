@@ -32,12 +32,13 @@ All character-class tests are ASCII-only (C locale semantics).
 from __future__ import annotations
 
 import html.entities
+import re
 
 from ._entity_data import OVERRIDES, REMOVALS
 
-_ASCII_DIGITS = set("0123456789")
-_ASCII_ALPHA = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
-_ASCII_XDIGITS = _ASCII_DIGITS | set("abcdefABCDEF")
+_DEC_RUN = re.compile(r"[0-9]*")
+_HEX_RUN = re.compile(r"[0-9a-fA-F]*")
+_NAME_RUN = re.compile(r"[0-9a-zA-Z]*")
 
 _UNICODE_MAX = 0x10FFFF
 _ULONG_MAX = 2**64 - 1
@@ -59,7 +60,13 @@ NAMED_ENTITIES: dict[str, str] = _build_table()
 
 
 def find_entity_end(source: str, pos: int) -> int | None:
-    """Scan an entity starting at ``source[pos] == '&'``; see module doc."""
+    """Scan an entity starting at ``source[pos] == \'&\'``; see module doc.
+
+    The reference's per-char class loop (entities.cc:36-47) collapses to one
+    regex run per mode: the run's end IS the first invalid character (';'
+    is in no run class, and for decimal mode an alpha terminator and a
+    non-alnum terminator return the same position).
+    """
     numeric = False
     hexmode = False
     pos += 1
@@ -74,21 +81,11 @@ def find_entity_end(source: str, pos: int) -> int | None:
     if source[pos] in "xX":
         hexmode = True
         pos += 1
-    while pos < n:
-        c = source[pos]
-        if c == ";":
-            return pos
-        digit = c in _ASCII_DIGITS
-        alpha = c in _ASCII_ALPHA
-        xdigit = c in _ASCII_XDIGITS
-        if numeric and not hexmode and alpha:
-            return pos
-        if hexmode and not xdigit:
-            return pos
-        if not alpha and not digit:
-            return pos
-        pos += 1
-    return None
+    run = _HEX_RUN if hexmode else (_DEC_RUN if numeric else _NAME_RUN)
+    end = run.match(source, pos).end()
+    if end >= n:
+        return None
+    return end
 
 
 def codepoint_to_text(cp: int) -> str:

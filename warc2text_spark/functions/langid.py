@@ -46,12 +46,27 @@ def _tokenize(text: str) -> list[str]:
     return text.lower().split()
 
 
-def _hits(tokens: list[str]) -> dict[str, int]:
-    hits = {}
+def _build_word_langs() -> dict[str, tuple[str, ...]]:
+    out: dict[str, list[str]] = {}
     for lang, words in _STOPWORDS.items():
-        n = sum(1 for t in tokens if t in words)
-        if n:
-            hits[lang] = n
+        for w in words:
+            out.setdefault(w, []).append(lang)
+    return {w: tuple(ls) for w, ls in out.items()}
+
+
+_WORD_LANGS = _build_word_langs()
+
+
+def _hits(tokens: list[str]) -> dict[str, int]:
+    # one pass over the tokens with a combined word->langs table (vs one
+    # scan per language)
+    hits: dict[str, int] = {}
+    wl = _WORD_LANGS
+    for t in tokens:
+        langs = wl.get(t)
+        if langs:
+            for lang in langs:
+                hits[lang] = hits.get(lang, 0) + 1
     return hits
 
 

@@ -64,6 +64,9 @@ _WS = b" \t\n\r\f"
 _WS_SET = frozenset(_WS)
 _WORD_RUN = re.compile(rb"[^<& \t\n\r\f]*")
 _SPACE_RUN = re.compile(rb"[ \t\n\r\f]*")
+# tag-name run: any bytes except the scan_tag delimiters (ws, '/', '>');
+# first char additionally not '!' (special tokens take the slow loop)
+_TAG_NAME_RUN = re.compile(rb"[^!< \t\n\r\f/>][^ \t\n\r\f/>]*")
 
 
 def _is_ws(c: int) -> bool:
@@ -159,6 +162,51 @@ class Scanner:
         if is_tail:
             c = self._get()
         tb = self._tag_buf
+
+        # fast path: plain tag name not starting with '!' (no special-token
+        # checks can fire) followed by a delimiter — one regex instead of a
+        # per-byte loop.  Byte-exact with the slow loop below.
+        if c and c != 0x21:  # '!'
+            m = _TAG_NAME_RUN.match(self.buf, self.pos - 1)
+            if m is not None:
+                name = m.group()
+                end = m.end()
+                if end < self.end:
+                    nl = len(name)
+                    if nl <= MAX_NAME_SIZE - 1:
+                        tb[:nl] = name
+                        self.tag_name_length = nl
+                    else:
+                        tb[: MAX_NAME_SIZE - 1] = name[: MAX_NAME_SIZE - 1]
+                        self.tag_name_length = MAX_NAME_SIZE - 1
+                    self.tag_name = bytes(tb[: self.tag_name_length])
+                    self.pos = end
+                    d = self.buf[end]  # delimiter: ws, '/', or '>'
+                    if d in _WS_SET:
+                        self.pos = end + 1
+                        d = self._skip_ws()
+                        if d == 0:
+                            return TT_ERROR, b""
+                        if is_tail:
+                            if d == 0x3E:
+                                return TT_TAG_END, b""
+                            return TT_ERROR, b""
+                        self._push_back(d)
+                    else:
+                        if is_tail:
+                            self.pos = end + 1
+                            if d == 0x3E:
+                                return TT_TAG_END, b""
+                            return TT_ERROR, b""
+                    self._scan = self._scan_head
+                    return TT_TAG_START, b""
+                # name runs to EOF: fall through via slow loop semantics
+                self.pos = self.end
+                nl = min(len(name), MAX_NAME_SIZE - 1)
+                tb[:nl] = name[:nl]
+                self.tag_name_length = nl
+                self.tag_name = bytes(tb[:nl])
+                return TT_ERROR, b""
         while c:
             if c in _WS_SET:
                 c = self._skip_ws()
