@@ -1,0 +1,67 @@
+"""Multimodal plumbing (resize, frame sampling) + streaming windowed-agg demo."""
+
+from warc2text_spark.operators.multimodal import (
+    extract_media_features,
+    media_metadata,
+    resize_media,
+    sample_frames,
+    sniff_media_type,
+)
+from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _m, _t
+
+
+def media_df(spark):
+    rows = [
+        _doc("m1", [_t("<p>text</p>", 0), _m(b"\x89PNG\r\n\x1a\nimagebytes" * 20, 1)]),
+        _doc("m2", [_m(b"\xff\xd8\xffjpegdata" * 10, 0)]),
+    ]
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+
+
+def test_sniff():
+    assert sniff_media_type(b"\x89PNG\r\n\x1a\nxx") == "image/png"
+    assert sniff_media_type(b"\xff\xd8\xffxx") == "image/jpeg"
+    assert sniff_media_type(b"junk") == "application/octet-stream"
+
+
+def test_media_metadata_and_features(spark):
+    df = media_df(spark)
+    meta = {r.doc_id: r.media_bytes for r in media_metadata(df).collect()}
+    assert meta["m1"] == len(b"\x89PNG\r\n\x1a\nimagebytes" * 20)
+    feats = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert feats["m1"].media_type == "image/png"
+    assert feats["m2"].media_type == "image/jpeg"
+    assert feats["m1"].width >= 1 and feats["m1"].n_bytes == meta["m1"]
+
+
+def test_resize_and_frames(spark):
+    df = media_df(spark)
+    resized = resize_media(df, max_dim=16).collect()
+    assert all(r.resized_bytes == len(r.resized) <= 64 for r in resized)
+    frames = sample_frames(df, n_frames=3).collect()
+    assert len(frames) == 2 * 3
+    assert {(f.doc_id, f.frame_idx) for f in frames} == \
+        {(d, i) for d in ("m1", "m2") for i in range(3)}
+    assert all(len(f.frame) >= 1 for f in frames)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from warc2text_spark.streaming.events_demo import (
+        windowed_event_counts,
+        windowed_event_counts_batch,
+    )
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "ev")
+    events.write.parquet(inp)
+    out = str(tmp_path / "agg")
+    windowed_event_counts(spark, inp, out, window="6 hours", watermark="1 hour")
+    got = spark.read.parquet(f"{out}/counts")
+    exp = windowed_event_counts_batch(events, "6 hours")
+    # append mode emits only watermark-closed windows: all but (at most)
+    # the trailing open window per type
+    assert (exp.count() - exp.select("event_type").distinct().count()
+            <= got.count() <= exp.count())
+    rows = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    exp_rows = {(r.window_start, r.event_type): r.n_events for r in exp.collect()}
+    for k, v in rows.items():
+        assert exp_rows[k] == v

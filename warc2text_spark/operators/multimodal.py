@@ -102,3 +102,71 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
+    """Resize hook.  Real deployment: PIL thumbnail + re-encode.  Here: a
+    deterministic fake (truncate/pad to a size derived from max_dim) so the
+    binary-in/binary-out plumbing and schema are exercised."""
+    target = min(len(payload), max_dim * 4) or 1
+    return (payload * ((target // max(len(payload), 1)) + 1))[:target]
+
+
+RESIZED_SCHEMA = "doc_id string, offset int, resized binary, resized_bytes long"
+
+
+def resize_media(spans_df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """mapInPandas binary->binary transform over media spans (the resize /
+    thumbnail stage of a multimodal training pipeline)."""
+    media = (
+        spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.unbase64(F.col("s.media_ref")).alias("payload"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_image_stub(bytes(p or b""), max_dim)
+                       for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "offset": pdf["offset"],
+                "resized": resized,
+                "resized_bytes": [len(r) for r in resized],
+            })
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id string, offset int, frame_idx int, frame binary")
+
+
+def sample_frames(spans_df: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame (deterministic byte-slice fake in place of an ffmpeg decode; the
+    1->N row expansion and schema are the real contract)."""
+    media = (
+        spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.unbase64(F.col("s.media_ref")).alias("payload"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "offset": [], "frame_idx": [], "frame": []}
+            for doc_id, offset, payload in zip(pdf["doc_id"], pdf["offset"],
+                                               pdf["payload"]):
+                data = bytes(payload or b"")
+                step = max(len(data) // max(n_frames, 1), 1)
+                for i in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["offset"].append(offset)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(data[i * step:(i + 1) * step] or b"\0")
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -27,6 +27,20 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_ISH_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-style pre-tokenization count: letter runs, digit runs, and
+    punctuation runs count separately (the usual byte-BPE pre-split shape,
+    ASCII classes so the regex is engine-portable)."""
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_TOKEN))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / stopword-ratio features (rounded for stability)."""
     t = F.col(text_col)

@@ -164,6 +164,10 @@ def q_token_count(spark, sf_dir) -> DataFrame:
     return textops.token_count(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark, sf_dir) -> DataFrame:
+    return textops.token_count_bpe(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir) -> DataFrame:
     return textops.quality_score(_docs(spark, sf_dir))
 
@@ -339,6 +343,12 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id as varchar) as doc_id,
                    len(string_split(text, ' '))::bigint as n_tokens
             from documents""",
+        "token_count_bpe": r"""
+            select cast(doc_id as varchar) as doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]+'))::bigint
+                       as n_bpe_tokens
+            from documents""",
         "quality_score": """
             select cast(doc_id as varchar) as doc_id,
                    strlen(text)::bigint as n_chars,
@@ -424,6 +434,7 @@ def queries():
         "lang_histogram": q_lang_histogram,
         "media_metadata": q_media_metadata,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
