@@ -151,6 +151,48 @@ def q_encode_urls(spark, sf_dir) -> DataFrame:
     return res.main.select("doc_id", "url")
 
 
+def q_langid_labels(spark, sf_dir) -> DataFrame:
+    """Heuristic language label per kept doc (checked against a pure-SQL
+    replication of the stopword-margin classifier over the closed-form
+    expected plaintext)."""
+    res = run_pipeline(build_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic"))
+    return res.main.select(
+        "doc_id", F.element_at("langs", 1)["lang"].alias("lang"))
+
+
+def _langid_oracle() -> str:
+    from ..functions.langid import _STOPWORDS
+    values = ", ".join(f"('{w}', '{lang}')"
+                       for lang, words in sorted(_STOPWORDS.items())
+                       for w in sorted(words))
+    return rf"""
+with kept as (select doc_id, {EXP_CASE} as exp
+              from documents where doc_id % 10 <= 5),
+toks as (select doc_id,
+                unnest(list_filter(string_split_regex(lower(exp), '\s+'),
+                                   x -> x <> '')) as w
+         from kept),
+sw(w, lang) as (values {values}),
+hits as (select t.doc_id, s.lang, count(*) as cnt
+         from toks t join sw s on t.w = s.w group by 1, 2),
+ranked as (select doc_id, lang, cnt,
+                  row_number() over (partition by doc_id
+                                     order by cnt desc, lang) as rn
+           from hits),
+top2 as (select a.doc_id, a.lang as top_lang, a.cnt as top_cnt,
+                coalesce(b.cnt, 0) as second_cnt
+         from (select * from ranked where rn = 1) a
+         left join (select * from ranked where rn = 2) b using (doc_id)),
+labeled as (select doc_id,
+                   case when top_cnt * 1.0 / (top_cnt + second_cnt) >= 0.5
+                        then top_lang else 'unk' end as lang
+            from top2)
+select cast(k.doc_id as varchar) as doc_id,
+       coalesce(l.lang, 'unk') as lang
+from kept k left join labeled l on l.doc_id = k.doc_id"""
+
+
 def q_multilang_demux(spark, sf_dir) -> DataFrame:
     res = run_pipeline(build_spans(spark, sf_dir),
                        PipelineOptions(classifier="multilang"))
@@ -366,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
                        i -> md5(substr(text, i::INT, 5)))) as fingerprint
             from documents""",
         "simhash": _simhash_oracle(),
+        "langid_labels": _langid_oracle(),
         "jaccard_pairs": """
             with t as (select doc_id, list_distinct(string_split(text, ' ')) as w
                        from documents)
@@ -448,6 +491,7 @@ def queries():
         # rows-only (no SQL-expressible oracle): heuristic language demux
         # and JSONL serialization checked by pytest goldens instead
         "langid_demux": q_langid_demux,
+        "langid_labels": q_langid_labels,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,
