@@ -79,22 +79,22 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
         from .pipeline import partition_safe_lang
         rows = partition_safe_lang(explode_by_lang(res.main))
         rows = with_bucket(rows, cfg.num_buckets, cfg.salt)
+        # the wave's extracted rows feed the write AND three aggregations;
+        # without a persist each of those re-runs the extraction kernel
+        rows = rows.persist()
         (rows.write.mode("overwrite").partitionBy("bucket", "lang")
              .parquet(f"{cfg.out_dir}/text"))
 
-        # lineage manifest + metrics per bucket, in one aggregation pass
+        # lineage manifest + metrics per bucket, from the persisted rows
+        # (n_input needs the pre-kernel frame — scan+filters only, cheap)
         inputs = with_bucket(res.prefiltered.select("doc_id"),
                              cfg.num_buckets, cfg.salt) \
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_input"))
-        kept = with_bucket(res.main.select("doc_id", "plaintext"),
-                           cfg.num_buckets, cfg.salt) \
-            .groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.sum(F.octet_length("plaintext")).alias("text_bytes"))
-        langs = rows.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_lang_rows"))
+        kept = rows.groupBy("bucket").agg(
+            F.count_distinct("doc_id").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_lang_rows"),
+            F.sum(F.octet_length("chunk")).alias("text_bytes"))
         ledger = (inputs.join(kept, "bucket", "left")
-                  .join(langs, "bucket", "left")
                   .na.fill(0)
                   .withColumn("wave", F.lit(waves_run))
                   .withColumn("run_id", F.lit(cfg.run_id))
@@ -109,6 +109,7 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
             .withColumn("wave", F.lit(waves_run)) \
             .withColumn("run_id", F.lit(cfg.run_id))
         hist.write.mode("append").parquet(f"{cfg.out_dir}/_metrics")
+        rows.unpersist()
         waves_run += 1
 
     return {
