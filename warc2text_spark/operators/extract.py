@@ -90,14 +90,21 @@ class ExtractOptions:
 
 
 def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
-    """Returns (charset, err, plaintext, spans_out) for one document."""
-    url = row.get("url") or ""
-    clean_ct, declared = rec.clean_content_type(row.get("http_ct") or "")
-    transfer_enc = row.get("transfer_enc") or ""
-    content_enc = row.get("content_enc") or ""
-    spans = sorted(row.get("spans") or [], key=lambda s: s.get("offset") or 0)
+    """Dict-based wrapper (tests/fuzz); the kernel calls _clean_doc."""
+    return _clean_doc(row.get("url"), row.get("http_ct"),
+                      row.get("content_enc"), row.get("transfer_enc"),
+                      row.get("spans"), tag_filters, opts)
 
-    zip_ct = None
+
+def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
+               tag_filters, opts: ExtractOptions):
+    """Returns (charset, err, plaintext, spans_out) for one document."""
+    url = url or ""
+    clean_ct, declared = rec.clean_content_type(http_ct or "")
+    transfer_enc = transfer_enc or ""
+    content_enc = content_enc or ""
+    spans = sorted(spans_in or [], key=lambda s: s.get("offset") or 0)
+
     from ..functions import ziputil
     zip_ct = ziputil.zip_content_type(clean_ct, url)
     non_text = bool(clean_ct) and clean_ct not in rec.TEXT_CONTENT_TYPES
@@ -179,18 +186,23 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
         for batch in batches:
             cols = {name: batch.column(i).to_pylist()
                     for i, name in enumerate(batch.schema.names)}
-            n = batch.num_rows
+            empty = [None] * batch.num_rows
             out = {f.name: [] for f in schema}
-            for i in range(n):
-                row = {k: v[i] for k, v in cols.items()}
-                charset, err, plaintext, spans = _clean_one_doc(row, tag_filters, opts)
-                url = row.get("url") or ""
+            for doc_id, url0, http_ct, content_enc, transfer_enc, warc_date, sp in zip(
+                    cols.get("doc_id", empty), cols.get("url", empty),
+                    cols.get("http_ct", empty), cols.get("content_enc", empty),
+                    cols.get("transfer_enc", empty), cols.get("warc_date", empty),
+                    cols.get("spans", empty)):
+                charset, err, plaintext, spans = _clean_doc(
+                    url0, http_ct, content_enc, transfer_enc, sp,
+                    tag_filters, opts)
+                url = url0 or ""
                 if opts.encode_urls:
                     url = encode_url(url)
-                out["doc_id"].append(row.get("doc_id"))
+                out["doc_id"].append(doc_id)
                 out["url"].append(url)
-                out["http_ct"].append(row.get("http_ct") or "")
-                out["warc_date"].append(row.get("warc_date") or "")
+                out["http_ct"].append(http_ct or "")
+                out["warc_date"].append(warc_date or "")
                 out["charset"].append(charset)
                 out["err"].append(err)
                 out["plaintext"].append(plaintext)

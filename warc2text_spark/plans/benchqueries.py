@@ -151,6 +151,44 @@ def q_encode_urls(spark, sf_dir) -> DataFrame:
     return res.main.select("doc_id", "url")
 
 
+def q_extract_zip(spark, sf_dir) -> DataFrame:
+    """Zipped document formats + declared-charset fallback through the
+    full pipeline, driver-checked: each document's text is wrapped in a
+    minimal DOCX (word/document.xml, latin-1 encoded with 'o' -> 'ö') and
+    carried as a base64 media span; the charset param on the DOCX MIME
+    drives the detect-fallback -> transcode path (record.cc:231-251).
+    Expected output is closed-form: replace(text,'o','ö') || '\\n'.
+    """
+    import base64
+    import io
+    import zipfile
+
+    from ..sources.fixtures import INPUT_SCHEMA
+    docs = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    ct = ("application/vnd.openxmlformats-officedocument.wordprocessingml"
+          ".document; charset=iso-8859-1")
+    rows = []
+    for r in docs:
+        xml = ("<w:document><w:p><w:r><w:t>"
+               + r.text.replace("o", "ö")
+               + "</w:t></w:r></w:p></w:document>").encode("latin-1")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zi = zipfile.ZipInfo("word/document.xml", date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(zi, xml)
+        rows.append(dict(
+            doc_id=str(r.doc_id), url=f"https://z.example/{r.doc_id}.docx",
+            warc_type="response", warc_ct="application/http; msgtype=response",
+            http_status="200 OK", http_ct=ct, content_enc="", transfer_enc="",
+            warc_date="2024-01-01T00:00:00Z",
+            spans=[dict(kind="media", text="",
+                        media_ref=base64.b64encode(buf.getvalue()).decode(),
+                        offset=0)]))
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    return res.main.select("doc_id", "plaintext", "charset")
+
+
 def q_langid_labels(spark, sf_dir) -> DataFrame:
     """Heuristic language label per kept doc (checked against a pure-SQL
     replication of the stopword-margin classifier over the closed-form
@@ -409,6 +447,12 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         "simhash": _simhash_oracle(),
         "langid_labels": _langid_oracle(),
+        "extract_zip": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   replace(text, 'o', 'ö') || {NL} as plaintext,
+                   case when text like '%o%' then 'iso-8859-1'
+                        else 'ascii' end as charset
+            from documents""",
         "jaccard_pairs": """
             with t as (select doc_id, list_distinct(string_split(text, ' ')) as w
                        from documents)
@@ -469,6 +513,7 @@ def queries():
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
         "extract_skip_text": q_extract_skip_text,
+        "extract_zip": q_extract_zip,
         "encode_urls": q_encode_urls,
         "filter_stage": q_filter_stage,
         "robots_route": q_robots_route,
