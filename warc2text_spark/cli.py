@@ -35,8 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", "-o", default=".", help="output location")
     p.add_argument("--files", "-f", default="url,text",
                    help="comma list of output fields (url,text,mime,file,date,metadata,html)")
-    p.add_argument("--format", default=None, choices=[None, "parquet", "iceberg"],
-                   help="input table format (default: sniff)")
+    p.add_argument("--format", default=None,
+                   choices=[None, "parquet", "iceberg", "warc"],
+                   help="input format (default: sniff table format; 'warc' "
+                        "ingests .warc.gz files directly)")
     p.add_argument("--classifier", default="heuristic",
                    choices=["skip", "heuristic", "multilang"])
     p.add_argument("--multilang", action="store_true",
@@ -93,11 +95,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         rx = combine_url_filters(open(args.url_filters).read().splitlines())
         user_url_filter = rx.pattern if rx else None
 
-    df = read_input(spark, args.input[0], args.format)
-    for loc in args.input[1:]:
-        df = df.unionByName(read_input(spark, loc, args.format))
+    media_text_mode = "passthrough"
+    if args.format == "warc":
+        from .sources.warcio import warc_to_spans_df
+        max_bytes = args.max_record_size * 1024 * 1024
+        df = warc_to_spans_df(spark, args.input[0], max_bytes)
+        for loc in args.input[1:]:
+            df = df.unionByName(warc_to_spans_df(spark, loc, max_bytes))
+        media_text_mode = "extract"  # media spans are raw non-UTF8 payloads
+    else:
+        df = read_input(spark, args.input[0], args.format)
+        for loc in args.input[1:]:
+            df = df.unionByName(read_input(spark, loc, args.format))
 
     opts = PipelineOptions(
+        media_text_mode=media_text_mode,
         classifier=classifier,
         tag_filters_text=tag_filters_text,
         tag_filters_invert=args.invert_tag_filters,

@@ -86,6 +86,12 @@ class ExtractOptions:
     # (the standalone Kernel 2 in langid_op.py re-serializes every carried
     # column, which doubles Arrow traffic at scale)
     classifier: str | None = None
+    # 'passthrough' (default): non-zip media spans are preserved untouched,
+    # keeping the interleaving (FIXTURES.md F17).  'extract': media spans
+    # carry raw payload *bytes* (e.g. non-UTF-8 text from WARC ingestion,
+    # sources/warcio.py) and run the charset/extraction path like a text
+    # payload.
+    media_text_mode: str = "passthrough"
     extra: dict = field(default_factory=dict)
 
 
@@ -121,7 +127,7 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
         offset = s.get("offset") or 0
         if kind == "media":
             media_ref = s.get("media_ref") or ""
-            if zip_ct:
+            if zip_ct or opts.media_text_mode == "extract":
                 try:
                     payload = base64.b64decode(media_ref) if media_ref else b""
                 except Exception:

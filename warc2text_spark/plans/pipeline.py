@@ -38,6 +38,8 @@ class PipelineOptions:
     # fuse langid into Kernel 1 (one Python crossing); False = standalone
     # Kernel 2 (useful when langid runs on a different cadence/model)
     fuse_langid: bool = True
+    # see ExtractOptions.media_text_mode ('extract' for WARC-ingested docs)
+    media_text_mode: str = "passthrough"
 
 
 @dataclass
@@ -65,6 +67,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
             skip_extraction=opts.skip_extraction,
             encode_urls=opts.encode_urls,
             classifier=opts.classifier if opts.fuse_langid else None,
+            media_text_mode=opts.media_text_mode,
         ),
         num_partitions=opts.num_partitions,
     )
