@@ -32,8 +32,13 @@ def test_end_to_end(spark, tmp_path):
     kept = {k for k, v in expected.items() if v is not None}
     assert {r.doc_id for r in got.collect()} == kept
     assert set(got.columns) == {"doc_id", "lang", "url", "text", "mime", "date"}
-    assert [r.doc_id for r in spark.read.parquet(str(tmp_path / "pdf")).collect()] \
-        == ["f14-0001"]
+    # K3: side outputs are re-gzipped WARC records
+    import glob
+    from warc2text_spark.sources.warcio import parse_warc_file
+    pdf_files = glob.glob(str(tmp_path / "pdf" / "*.warc.gz"))
+    rows = [r for f in pdf_files
+            for r in parse_warc_file(open(f, "rb").read(), "pdfpass")]
+    assert [r["url"] for r in rows] == ["https://a.b/d.pdf"]
 
 
 def test_jsonl_output(spark, tmp_path):

@@ -144,3 +144,37 @@ def test_warc_to_pipeline_end_to_end(spark, warc_file):
     assert got["https://a.example/5.html"] == "chunked\n"
     assert [r.url for r in res.robots.collect()] == \
         ["https://a.example/robots.txt"]
+
+
+def test_warc_side_output_roundtrip(spark, warc_file, tmp_path):
+    """Routed robots records written back as .warc.gz re-parse cleanly."""
+    from warc2text_spark.plans.pipeline import PipelineOptions, run_pipeline
+    from warc2text_spark.sinks.warc_writer import write_warc_gz
+    from warc2text_spark.sources.warcio import parse_warc_file, warc_to_spans_df
+    df = warc_to_spans_df(spark, warc_file)
+    res = run_pipeline(df, PipelineOptions(classifier="skip",
+                                           media_text_mode="extract"))
+    out = str(tmp_path / "robots_pass")
+    write_warc_gz(res.robots.coalesce(1), out)
+    import glob
+    files = glob.glob(f"{out}/*.warc.gz")
+    assert len(files) == 1
+    rows = parse_warc_file(open(files[0], "rb").read(), "roundtrip")
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://a.example/robots.txt"
+    assert rows[0]["spans"][0]["text"] == "User-agent: *"
+
+
+def test_keep_payload_html_field(spark, warc_file, tmp_path):
+    import base64
+    from warc2text_spark.cli import main
+    out = str(tmp_path / "out")
+    rc = main(["-i", warc_file, "-o", out, "--format", "warc",
+               "-f", "url,text,html", "--classifier", "skip",
+               "--compress", "none"], spark=spark)
+    assert rc == 0
+    got = {r.url: r for r in spark.read.parquet(f"{out}/text").collect()}
+    r = got["https://a.example/5.html"]
+    # html = b64 of the transport-DECODED payload (dechunked)
+    assert base64.b64decode(r.html) == b"<p>chunked</p>"
+    assert r.text == "chunked\n"

@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     opts = PipelineOptions(
         media_text_mode=media_text_mode,
+        keep_payload="html" in fields and not args.skip_text_extraction,
         classifier=classifier,
         tag_filters_text=tag_filters_text,
         tag_filters_invert=args.invert_tag_filters,
@@ -123,10 +124,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     res = run_pipeline(df, opts)
 
+    # K3: side outputs as re-gzipped WARC records (warcpreprocessor.cc:268-302)
+    from .sinks.warc_writer import write_warc_gz
     if args.pdfpass:
-        write_output(res.pdf, args.pdfpass)
+        write_warc_gz(res.pdf, args.pdfpass)
     if args.robotspass:
-        write_output(res.robots, args.robotspass)
+        write_warc_gz(res.robots, args.robotspass)
 
     rows = demux_by_lang(res.main, args.paragraph_identification)
     if args.jsonl:
@@ -146,7 +149,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                     F.octet_length("plaintext")).alias("file"),
                 "date": F.col("warc_date").alias("date"),
                 "metadata": F.col("charset").alias("metadata_charset"),
-                "html": F.col("plaintext").alias("html")}
+                # b64 of the transport-decoded payload (bilangwriter.cc:126-131);
+                # with --skip-text-extraction plaintext IS the payload
+                "html": (F.col("payload_b64") if "html" in fields
+                         and not args.skip_text_extraction
+                         else F.base64(F.col("plaintext").cast("binary"))
+                         ).alias("html")}
         selected = [F.col("doc_id"), F.col("lang")] + [cols[f] for f in fields]
         out = partition_safe_lang(rows).select(*selected)
         write_output(out, f"{args.output}/text", partition_by=("lang",),

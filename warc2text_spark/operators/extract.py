@@ -66,13 +66,26 @@ _OUT_FIELDS = [
     ("plaintext", pa.string()),
     ("spans", pa.list_(SPAN_TYPE)),
 ]
-_OUT_SCHEMA = pa.schema(_OUT_FIELDS)
-_OUT_SCHEMA_LANGS = pa.schema(_OUT_FIELDS + [("langs", LANG_TYPE)])
+def _out_schema(classifier, keep_payload):
+    fields = list(_OUT_FIELDS)
+    if keep_payload:
+        fields.append(("payload_b64", pa.string()))
+    if classifier:
+        fields.append(("langs", LANG_TYPE))
+    return pa.schema(fields)
 
 OUTPUT_DDL = ("doc_id string, url string, http_ct string, warc_date string, "
               "charset string, err int, plaintext string, "
               "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
-OUTPUT_DDL_LANGS = OUTPUT_DDL + ", langs array<struct<lang:string,chunk:string>>"
+
+
+def _out_ddl(classifier, keep_payload):
+    ddl = OUTPUT_DDL
+    if keep_payload:
+        ddl += ", payload_b64 string"
+    if classifier:
+        ddl += ", langs array<struct<lang:string,chunk:string>>"
+    return ddl
 
 
 @dataclass
@@ -92,6 +105,9 @@ class ExtractOptions:
     # sources/warcio.py) and run the charset/extraction path like a text
     # payload.
     media_text_mode: str = "passthrough"
+    # carry the transport-decoded payload bytes (base64) through the kernel
+    # — needed for the reference's '-f html' output (bilangwriter.cc:126-131)
+    keep_payload: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -99,7 +115,7 @@ def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
     """Dict-based wrapper (tests/fuzz); the kernel calls _clean_doc."""
     return _clean_doc(row.get("url"), row.get("http_ct"),
                       row.get("content_enc"), row.get("transfer_enc"),
-                      row.get("spans"), tag_filters, opts)
+                      row.get("spans"), tag_filters, opts)[:4]
 
 
 def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
@@ -115,10 +131,11 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
     zip_ct = ziputil.zip_content_type(clean_ct, url)
     non_text = bool(clean_ct) and clean_ct not in rec.TEXT_CONTENT_TYPES
     if non_text and not zip_ct:
-        return "", rec.NOT_VALID_RECORD, "", []
+        return "", rec.NOT_VALID_RECORD, "", [], b""
 
     out_spans = []
     texts = []
+    raw_parts = []
     err = rec.SUCCESS
     charset = ""
     filtered = False
@@ -132,8 +149,10 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                     payload = base64.b64decode(media_ref) if media_ref else b""
                 except Exception:
                     # unreadable payload bytes: same fate as an unreadable zip
-                    return "", rec.ZIP_READ_ERROR, "", []
+                    return "", rec.ZIP_READ_ERROR, "", [], b""
                 payload = transport.transport_decode(payload, transfer_enc, content_enc)
+                if opts.keep_payload:
+                    raw_parts.append(payload)
                 text, serr, cs = rec.clean_payload(
                     payload, clean_ct, declared, url,
                     tag_filters=tag_filters,
@@ -155,6 +174,8 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
 
         payload = (s.get("text") or "").encode("utf-8")
         payload = transport.transport_decode(payload, transfer_enc, content_enc)
+        if opts.keep_payload:
+            raw_parts.append(payload)
         text, serr, cs = rec.clean_payload(
             payload, clean_ct, declared, url,
             tag_filters=tag_filters,
@@ -174,14 +195,15 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
     if err == rec.SUCCESS and filtered:
         err = rec.FILTERED_DOCUMENT_ERROR
     plaintext = "".join(texts)
-    return charset, err, plaintext, out_spans
+    return charset, err, plaintext, out_spans, b"".join(raw_parts)
 
 
 def make_extract_kernel(opts: ExtractOptions | None = None):
     opts = opts or ExtractOptions()
     tag_filters_text = opts.tag_filters_text
     classifier = opts.classifier
-    schema = _OUT_SCHEMA_LANGS if classifier else _OUT_SCHEMA
+    keep_payload = opts.keep_payload
+    schema = _out_schema(classifier, keep_payload)
 
     def kernel(batches):
         tag_filters = parse_tag_filters(tag_filters_text) if tag_filters_text else {}
@@ -199,7 +221,7 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                     cols.get("http_ct", empty), cols.get("content_enc", empty),
                     cols.get("transfer_enc", empty), cols.get("warc_date", empty),
                     cols.get("spans", empty)):
-                charset, err, plaintext, spans = _clean_doc(
+                charset, err, plaintext, spans, raw = _clean_doc(
                     url0, http_ct, content_enc, transfer_enc, sp,
                     tag_filters, opts)
                 url = url0 or ""
@@ -216,6 +238,9 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                     {"kind": k, "text": t, "media_ref": m, "offset": o}
                     for (k, t, m, o) in spans
                 ])
+                if keep_payload:
+                    out["payload_b64"].append(
+                        base64.b64encode(raw).decode("ascii"))
                 if detector is not None:
                     # only surviving docs need language labels
                     if err == rec.SUCCESS and plaintext:
@@ -264,5 +289,6 @@ def run_extract(df: DataFrame, opts: ExtractOptions | None = None,
     projected = df.select(*cols)
     if num_partitions:
         projected = salted_repartition(projected, num_partitions)
-    ddl = OUTPUT_DDL_LANGS if (opts and opts.classifier) else OUTPUT_DDL
+    ddl = _out_ddl(opts.classifier if opts else None,
+                   opts.keep_payload if opts else False)
     return projected.mapInArrow(make_extract_kernel(opts), ddl)

@@ -40,6 +40,8 @@ class PipelineOptions:
     fuse_langid: bool = True
     # see ExtractOptions.media_text_mode ('extract' for WARC-ingested docs)
     media_text_mode: str = "passthrough"
+    # carry transport-decoded payload (base64) for '-f html' outputs
+    keep_payload: bool = False
 
 
 @dataclass
@@ -68,6 +70,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
             encode_urls=opts.encode_urls,
             classifier=opts.classifier if opts.fuse_langid else None,
             media_text_mode=opts.media_text_mode,
+            keep_payload=opts.keep_payload,
         ),
         num_partitions=opts.num_partitions,
     )
