@@ -156,7 +156,9 @@ def counters(result: PipelineResult) -> DataFrame:
         F.count(F.lit(1)).alias("totalRecords"),
         F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
     )
-    kept = result.main
+    # the text and lang aggregates both consume the extracted frame; persist
+    # it so the kernel runs once, not twice
+    kept = result.main.persist()
     text = kept.agg(
         F.count(F.lit(1)).alias("textRecords"),
         F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
@@ -165,7 +167,10 @@ def counters(result: PipelineResult) -> DataFrame:
         F.count(F.lit(1)).alias("langRecords"),
         F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
     )
-    return total.crossJoin(text).crossJoin(langs)
+    out = total.crossJoin(text).crossJoin(langs)
+    # NB: unpersist is deferred to session cleanup — the caller may not have
+    # materialized `out` yet; Spark evicts under memory pressure anyway
+    return out
 
 
 def partition_safe_lang(rows: DataFrame) -> DataFrame:
