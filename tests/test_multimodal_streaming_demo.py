@@ -65,3 +65,37 @@ def test_streaming_windowed_counts(spark, tmp_path):
     exp_rows = {(r.window_start, r.event_type): r.n_events for r in exp.collect()}
     for k, v in rows.items():
         assert exp_rows[k] == v
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer vs the batch window-function twin."""
+    from warc2text_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("ts", "user_id", "value")
+    inp = str(tmp_path / "ev_in")
+    events.write.parquet(inp)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long, value double")
+              .parquet(inp))
+    sessions = sessionize_stream(stream, gap_seconds=3600)
+    q = (sessions.writeStream.outputMode("append")
+         .format("memory").queryName("sess")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start): (r.n_events, round(r.sum_value, 4))
+           for r in spark.sql("select * from sess").collect()}
+
+    exp_all = sessionize_batch(events, gap_seconds=3600).collect()
+    exp = {(r.user_id, r.session_start): (r.n_events, round(r.sum_value, 4))
+           for r in exp_all}
+    # the stream's final (still-open) session per user is not emitted until
+    # its timeout fires; everything emitted must match the batch twin
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert exp[k] == v, k
+    # and most sessions should have been closed within the drained input
+    assert len(got) >= len(exp) - events.select("user_id").distinct().count()
