@@ -238,6 +238,30 @@ def q_multilang_demux(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"))
 
 
+def q_event_windows(spark, sf_dir) -> DataFrame:
+    """Tumbling-window event aggregation (batch twin of the streaming
+    windowed counts, streaming/events_demo.py)."""
+    from ..streaming.events_demo import windowed_event_counts_batch
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts_batch(events, "1 hour")
+    return out.select(F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+                      "event_type", "n_events",
+                      F.round("sum_value", 4).alias("sum_value"))
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization, batch form (window functions; the
+    streaming applyInPandasWithState twin is validated in pytest)."""
+    from ..streaming.sessionize import sessionize_batch
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("ts", "user_id", "value")
+    out = sessionize_batch(events, gap_seconds=1800)
+    return out.select("user_id",
+                      F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                      F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                      "n_events", F.round("sum_value", 4).alias("sum_value"))
+
+
 # ---------------- text analysis ------------------------------------------
 
 def q_token_count(spark, sf_dir) -> DataFrame:
@@ -411,6 +435,26 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id as varchar) as doc_id,
                    string_agg(word || chr(9) || i || ':' || n, {nl} order by i) || {nl} as chunk
             from w group by doc_id""",
+        "event_windows": """
+            select time_bucket(interval '1 hour', ts) as window_start,
+                   event_type, count(*)::bigint as n_events,
+                   cast(round(sum(value), 4) as double) as sum_value
+            from events group by 1, 2""",
+        "sessionize": """
+            with g as (
+              select user_id, ts, value,
+                     case when date_diff('second',
+                                lag(ts) over (partition by user_id order by ts),
+                                ts) > 1800 then 1 else 0 end as brk
+              from events),
+            s as (select user_id, ts, value,
+                         sum(brk) over (partition by user_id order by ts
+                                        rows unbounded preceding) as sid
+                  from g)
+            select user_id, min(ts) as session_start, max(ts) as session_end,
+                   count(*)::bigint as n_events,
+                   cast(round(sum(value), 4) as double) as sum_value
+            from s group by user_id, sid""",
         "lang_histogram": """
             select lang, count(*)::bigint as n_docs, sum(n_chars)::bigint as sum_chars
             from documents group by lang""",
@@ -520,6 +564,8 @@ def queries():
         "counters": q_counters,
         "paragraph_id": q_paragraph_id,
         "lang_histogram": q_lang_histogram,
+        "event_windows": q_event_windows,
+        "sessionize": q_sessionize,
         "media_metadata": q_media_metadata,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
