@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print JSONL to stdout (requires --jsonl)")
     p.add_argument("--compress", default="gzip",
                    choices=["gzip", "zstd", "snappy", "none"])
+    p.add_argument("--compress-level", type=int, default=3,
+                   help="zstd level for parquet output (gzip level is fixed "
+                        "by parquet-mr; reference default 3)")
+    p.add_argument("--buffer-size", type=int, default=32,
+                   help="writer buffer in KB -> parquet page size")
+    p.add_argument("--silent", "-s", action="store_true",
+                   help="only log errors")
     p.add_argument("--max-record-size", type=int, default=20,
                    help="max record size in MB (default 20)")
     p.add_argument("--num-partitions", type=int, default=None,
@@ -86,6 +93,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     own_spark = spark is None
     if own_spark:
         spark = get_spark("warc2text-spark-cli", master=args.master)
+    if args.silent:
+        spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.parquet.compression.codec",
+                   "uncompressed" if args.compress == "none" else args.compress)
+    if args.compress == "zstd":
+        spark.conf.set("spark.io.compression.zstd.level",
+                       str(args.compress_level))
+    # parquet page size is the closest analogue of the reference's write
+    # buffer (bilangwriter.cc:53, default 32 KB)
+    spark.conf.set("parquet.page.size", str(args.buffer_size * 1024))
 
     classifier = "multilang" if args.multilang else args.classifier
     tag_filters_text = open(args.tag_filters).read() if args.tag_filters else ""
