@@ -97,12 +97,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.parquet.compression.codec",
                    "uncompressed" if args.compress == "none" else args.compress)
-    if args.compress == "zstd":
-        spark.conf.set("spark.io.compression.zstd.level",
-                       str(args.compress_level))
-    # parquet page size is the closest analogue of the reference's write
-    # buffer (bilangwriter.cc:53, default 32 KB)
-    spark.conf.set("parquet.page.size", str(args.buffer_size * 1024))
+    # parquet-mr knobs are Hadoop confs (runtime Spark confs are locked):
+    # zstd level, and page size — the closest analogue of the reference's
+    # 32 KB writer buffer (bilangwriter.cc:53)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.compression.codec.zstd.level", str(args.compress_level))
+    hconf.set("parquet.page.size", str(args.buffer_size * 1024))
 
     classifier = "multilang" if args.multilang else args.classifier
     tag_filters_text = open(args.tag_filters).read() if args.tag_filters else ""
