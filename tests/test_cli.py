@@ -55,3 +55,16 @@ def test_jsonl_output(spark, tmp_path):
     assert {o["f"] for o in lines} == kept
     assert all(list(o)[:8] == ["f", "o", "s", "rs", "u", "c", "ts", "de"]
                for o in lines)
+
+
+def test_compress_level_and_buffer_flags(spark, tmp_path):
+    df, _ = fixture_df(spark)
+    inp = str(tmp_path / "cin")
+    df.write.parquet(inp)
+    out = str(tmp_path / "cout")
+    rc = main(["-i", inp, "-o", out, "--classifier", "skip",
+               "--compress", "zstd", "--compress-level", "5",
+               "--buffer-size", "64", "-s"], spark=spark)
+    assert rc == 0
+    import glob
+    assert glob.glob(f"{out}/text/lang=*/**/*.zstd.parquet", recursive=True)
