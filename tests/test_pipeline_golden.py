@@ -113,3 +113,17 @@ def test_no_per_row_python_in_plan(result):
     plan = res.main._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" in plan
+
+
+def test_write_outputs_observed_counters(spark, tmp_path):
+    from warc2text_spark.plans.pipeline import write_outputs
+    from warc2text_spark.sources.fixtures import fixture_df
+    df, expected = fixture_df(spark)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    metrics = write_outputs(res, str(tmp_path / "wo"))
+    kept = sum(1 for v in expected.values() if v is not None)
+    assert metrics["textRecords"] == kept
+    assert metrics["langRecords"] == kept  # skip classifier: 1 chunk/doc
+    assert metrics["langBytes"] > 0
+    back = spark.read.parquet(str(tmp_path / "wo/text"))
+    assert back.count() == kept

@@ -183,10 +183,28 @@ def partition_safe_lang(rows: DataFrame) -> DataFrame:
 
 def write_outputs(result: PipelineResult, out_dir: str,
                   paragraph_identification: bool = False,
-                  fmt: str = "parquet") -> None:
-    """K1/K3: per-language partitioned main output + raw side outputs."""
-    rows = partition_safe_lang(demux_by_lang(result.main, paragraph_identification))
+                  fmt: str = "parquet") -> dict:
+    """K1/K3: per-language partitioned main output + raw side outputs.
+
+    Returns the A1 counters observed *during* the main write — a single
+    pass, no extra aggregation jobs (``Observation`` attaches metric
+    expressions to the written frame; warcpreprocessor.hh:57-62)."""
+    from pyspark.sql import Observation
+    obs_docs = Observation("a1_docs")
+    main = result.main.observe(
+        obs_docs,
+        F.count(F.lit(1)).alias("textRecords"),
+        F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
+    )
+    rows = partition_safe_lang(demux_by_lang(main, paragraph_identification))
+    obs_rows = Observation("a1_langs")
+    rows = rows.observe(
+        obs_rows,
+        F.count(F.lit(1)).alias("langRecords"),
+        F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
+    )
     (rows.write.mode("overwrite").partitionBy("lang").format(fmt)
         .save(f"{out_dir}/text"))
     result.robots.write.mode("overwrite").format(fmt).save(f"{out_dir}/robots")
     result.pdf.write.mode("overwrite").format(fmt).save(f"{out_dir}/pdf")
+    return {**obs_docs.get, **obs_rows.get}
