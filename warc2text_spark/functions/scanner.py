@@ -67,6 +67,14 @@ _SPACE_RUN = re.compile(rb"[ \t\n\r\f]*")
 # tag-name run: any bytes except the scan_tag delimiters (ws, '/', '>');
 # first char additionally not '!' (special tokens take the slow loop)
 _TAG_NAME_RUN = re.compile(rb"[^!< \t\n\r\f/>][^ \t\n\r\f/>]*")
+# attribute fast paths (byte-exact with the scan_head loop; anything not
+# matching — EOF mid-attr, valueless attrs, '<' in names — takes the loop)
+_ATTR_QUOTED = re.compile(
+    rb"([^=<> \t\n\r\f]+)[ \t\n\r\f]*=[ \t\n\r\f]*(\"([^\"]*)\"|'([^']*)')")
+_ATTR_UNQUOTED = re.compile(
+    rb"([^=<> \t\n\r\f]+)[ \t\n\r\f]*=[ \t\n\r\f]*"
+    rb"([^ \t\n\r\f>\"'][^ \t\n\r\f>]*)([ \t\n\r\f>])")
+_ATTR_FAST_ENABLED = True  # differential tests flip this
 
 
 def _is_ws(c: int) -> bool:
@@ -261,6 +269,25 @@ class Scanner:
                 return TT_TAG_END, b""
             self._push_back(t)
             return TT_ERROR, b""
+
+        # fast path: `name = "value"` / `name = 'value'` / `name = token`
+        if c and _ATTR_FAST_ENABLED:
+            m = _ATTR_QUOTED.match(self.buf, self.pos - 1)
+            if m is not None:
+                self.attr_name = m.group(1)[: MAX_NAME_SIZE - 1]
+                val = m.group(3) if m.group(3) is not None else m.group(4)
+                self.value = val[: MAX_TOKEN_SIZE - 1]
+                self.pos = m.end()
+                return TT_ATTR, self.value
+            m = _ATTR_UNQUOTED.match(self.buf, self.pos - 1)
+            if m is not None:
+                self.attr_name = m.group(1)[: MAX_NAME_SIZE - 1]
+                # the reference drops the first unquoted-value char
+                # (xh_scanner.cc:143-146)
+                self.value = m.group(2)[1:][: MAX_TOKEN_SIZE - 1]
+                # a ws terminator is consumed; '>' is left for the head
+                self.pos = m.end() if m.group(3) != b">" else m.end() - 1
+                return TT_ATTR, self.value
 
         attr = bytearray()
         value = bytearray()

@@ -38,9 +38,14 @@ EXP_CASE = f"""case doc_id % 10
     else {EXP_STD} end"""
 
 # payload reconstructions (DuckDB dialect) for the byte counters
-PAY_STD = ("'<html><head><title>doc ' || doc_id || '</title></head><body><h1>' || "
-           "source || '</h1><p>' || replace(text, 'a', '&amp;') || "
-           "'</p><div>tag ' || lang || '</div></body></html>'")
+PAY_STD = ("'<html lang=\"' || lang || '\"><head><title>doc ' || doc_id || "
+           "'</title><meta name=\"viewport\" content=\"width=device-width, initial-scale=1\">"
+           "<link rel=\"stylesheet\" href=\"/static/site.css\"></head>"
+           "<body class=\"page theme-light\" data-doc=\"' || doc_id || '\">"
+           "<h1 id=\"title\" class=\"hero main\">' || source || "
+           "'</h1><p class=\"content body-text\" data-idx=\"' || (doc_id % 20) || '\">' || "
+           "replace(text, 'a', '&amp;') || "
+           "'</p><div role=contentinfo tabindex=0>tag ' || lang || '</div></body></html>'")
 PAY_ENT = ("'<html><body><p>' || replace(text, 'e', '&eacute;') || "
            "'&nbsp;&shy;&#65;&bogus;</p></body></html>'")
 PAY_SCRIPT = ("'<html><body><script>var x = \"' || doc_id || '\";</script><p>' || "

@@ -27,9 +27,16 @@ from pyspark.sql import DataFrame
 
 # payload builders (Spark SQL dialect). NB: keep in sync with the oracle
 # fragments in benchqueries.py (DuckDB dialect).
-HTML_STD = ("concat('<html><head><title>doc ', nid, '</title></head><body><h1>', "
-            "source, '</h1><p>', replace(text, 'a', '&amp;'), "
-            "'</p><div>tag ', lang, '</div></body></html>')")
+# v0/v1 pages carry realistic attribute load (attrs are dropped by
+# extraction, so expected text is unchanged; tag-filter eval still runs)
+HTML_STD = ("concat('<html lang=\"', lang, '\"><head><title>doc ', nid, "
+            "'</title><meta name=\"viewport\" content=\"width=device-width, initial-scale=1\">"
+            "<link rel=\"stylesheet\" href=\"/static/site.css\"></head>"
+            "<body class=\"page theme-light\" data-doc=\"', nid, '\">"
+            "<h1 id=\"title\" class=\"hero main\">', source, "
+            "'</h1><p class=\"content body-text\" data-idx=\"', nid % 20, '\">', "
+            "replace(text, 'a', '&amp;'), "
+            "'</p><div role=contentinfo tabindex=0>tag ', lang, '</div></body></html>')")
 HTML_ENT = ("concat('<html><body><p>', replace(text, 'e', '&eacute;'), "
             "'&nbsp;&shy;&#65;&bogus;</p></body></html>')")
 HTML_SCRIPT = ("concat('<html><body><script>var x = \"', nid, '\";</script><p>', "
