@@ -8,11 +8,12 @@ A warc2text user maps their invocation 1:1 (reference options:
         --input spans_table/
 
 Differences, by design (SURVEY.md §7): input is the interleaved spans table
-(Iceberg/parquet), not WARC files; per-language *files* become a
-lang-partitioned columnar dataset keyed by doc_id (the positional-line
-contract is replaced by explicit keys); ``--compress`` selects the parquet
-codec.  ``html`` output (the raw payload) is available with
-``--skip-text-extraction``, matching the reference's jsonl ``h`` field.
+(Iceberg/parquet) or raw WARC files (``--format warc``); per-language
+*files* become a lang-partitioned columnar dataset keyed by doc_id (the
+positional-line contract is replaced by explicit keys); ``--compress``
+selects the parquet codec.  ``-f html`` emits the base64 transport-decoded
+payload (bilangwriter.cc:126-131) in both normal and
+``--skip-text-extraction`` modes.
 """
 
 from __future__ import annotations

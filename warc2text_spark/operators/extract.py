@@ -120,7 +120,8 @@ def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
 
 def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                tag_filters, opts: ExtractOptions):
-    """Returns (charset, err, plaintext, spans_out) for one document."""
+    """Returns (charset, err, plaintext, spans_out, payload_bytes) for one
+    document (payload_bytes is b'' unless opts.keep_payload)."""
     url = url or ""
     clean_ct, declared = rec.clean_content_type(http_ct or "")
     transfer_enc = transfer_enc or ""

@@ -62,7 +62,11 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
     A crash between waves loses at most one wave of work; a crash *during*
     a wave leaves no ledger rows for it, so the restart redoes the wave and
     overwrites its partitions (dynamic partition overwrite keeps completed
-    buckets intact).
+    buckets intact).  Known edge: if a crashed wave had written partial
+    files for a bucket whose re-run keeps zero documents, the partial
+    (bucket, lang) partitions are not overwritten — consumers should treat
+    buckets absent from the ledger as invalid (the ledger is the commit
+    record, not the directory listing).
     """
     opts = cfg.options or PipelineOptions()
     done = completed_buckets(spark, cfg.out_dir)
