@@ -99,3 +99,22 @@ def test_stateful_sessionization(spark, tmp_path):
         assert exp[k] == v, k
     # and most sessions should have been closed within the drained input
     assert len(got) >= len(exp) - events.select("user_id").distinct().count()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN returns mostly the same neighbours as exact brute force."""
+    from warc2text_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0].embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, q, 10).collect()]
+    ivf = ivf_topk(emb, q, 10, n_clusters=8, n_probe=3)
+    got = [r.vec_id for r in ivf.collect()]
+    assert len(got) == 10
+    assert 0 in got  # the query vector itself is its own nearest neighbour
+    overlap = len(set(exact) & set(got))
+    assert overlap >= 5, (exact, got)  # approximate: decent recall
+    # determinism (fixed kmeans seed)
+    again = [r.vec_id for r in
+             ivf_topk(emb, q, 10, n_clusters=8, n_probe=3).collect()]
+    assert got == again

@@ -278,8 +278,12 @@ def keep_predicate(invert: bool = False, skip_extraction: bool = False) -> Colum
 def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
     """Spread documents uniformly (and deterministically) across partitions
     by hashed doc_id — defuses mega-document skew before the kernel stage
-    (north_rule requirement). AQE skew-join handles residual shuffle skew."""
-    key = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions))
+    (north_rule requirement). AQE skew-join handles residual shuffle skew.
+
+    NB: repartition on the *raw* 64-bit hash — wrapping it in
+    pmod(hash, n) first collapses the key space to n values which the
+    partitioner hashes again, leaving ~n/2 partitions empty."""
+    key = F.xxhash64(F.col("doc_id"), F.lit(salt))
     return df.repartition(num_partitions, key)
 
 

@@ -59,6 +59,39 @@ def lsh_bits(df: DataFrame, hyperplanes: list[list[float]],
     return df.withColumn("bucket", F.concat(*bits))
 
 
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             n_clusters: int = 8, n_probe: int = 2,
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the vectors, rank only the
+    ``n_probe`` clusters nearest the query.  The coarse quantizer is tiny
+    (fits the driver); assignment is one broadcast-applied map, so at
+    10^12 rows the scan prunes to n_probe/n_clusters of the data.
+    Deterministic via the fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(F.col("vec_id"),
+                     _as_double(F.col(vec_col)).alias("arr")) \
+             .withColumn("features", array_to_vector("arr"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features") \
+        .fit(feat)
+    assigned = model.transform(feat).withColumnRenamed("prediction", "cluster")
+
+    import numpy as np
+    centers = model.clusterCenters()
+    q = np.array(query, dtype=float)
+    dists = [float(np.linalg.norm(q - c)) for c in centers]
+    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    cos = _dot(F.col("arr"), qcol) / (_norm(F.col("arr")) * _norm(qcol))
+    return (cand.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+            .select("vec_id", F.round("cosine", 4).alias("cosine")))
+
+
 def lsh_topk(df: DataFrame, query: list[float],
              hyperplanes: list[list[float]], k: int = 10,
              vec_col: str = "embedding") -> DataFrame:
