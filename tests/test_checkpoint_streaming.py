@@ -25,14 +25,15 @@ def test_run_batch_and_resume(spark, tmp_path):
     cfg = BatchJobConfig(out_dir=out, num_buckets=8, waves=4,
                          options=PipelineOptions(classifier="skip"))
 
-    # simulate a crash: process only the first wave's buckets by pretending
-    # the rest are... easier: run waves over a restricted bucket range by
-    # running with a df limited to some buckets, then resume with the full df
-    bucketed = with_bucket(df, 8)
-    first_half = bucketed.filter(F.col("bucket") < 4).drop("bucket")
-    run_batch(spark, first_half, cfg)
+    # simulate a crash between waves: stop after 2 of the 4 waves (a real
+    # crash leaves no ledger rows for the incomplete wave, so the ledger
+    # state is exactly "first k waves committed")
+    crashed = BatchJobConfig(out_dir=out, num_buckets=8, waves=4,
+                             options=PipelineOptions(classifier="skip"),
+                             stop_after_waves=2)
+    run_batch(spark, df, crashed)
     done_after_crash = completed_buckets(spark, out)
-    assert done_after_crash  # some buckets recorded
+    assert done_after_crash and len(done_after_crash) < 8  # partial progress
 
     # resume with the full input: completed buckets must be skipped
     summary = run_batch(spark, df, cfg)
@@ -49,6 +50,22 @@ def test_run_batch_and_resume(spark, tmp_path):
     metrics = spark.read.parquet(f"{out}/_metrics")
     assert metrics.agg(F.sum("n_rows")).collect()[0][0] == 40
     assert {r.bucket for r in agg} == set(range(8))
+
+
+def test_empty_buckets_get_ledger_rows(spark, tmp_path):
+    # A bucket whose wave yields zero prefiltered rows must still get a
+    # ledger row (n_input=0) so it is marked complete and never reprocessed.
+    out = str(tmp_path / "out3")
+    df = make_docs(spark, 2)  # 2 docs over 8 buckets: most buckets empty
+    cfg = BatchJobConfig(out_dir=out, num_buckets=8, waves=2,
+                         options=PipelineOptions(classifier="skip"))
+    run_batch(spark, df, cfg)
+    ledger = spark.read.parquet(f"{out}/_ledger")
+    assert {r.bucket for r in ledger.select("bucket").collect()} == set(range(8))
+    empties = ledger.filter(F.col("n_input") == 0).collect()
+    assert empties and all(r.n_kept == 0 for r in empties)
+    summary = run_batch(spark, df, cfg)
+    assert summary["buckets_processed"] == 0
 
 
 def test_rerun_is_noop(spark, tmp_path):

@@ -31,6 +31,9 @@ PIECES = [
     "   ", "\t\n", "<!-- comment -->", "<![CDATA[x]]>", "<meta name=\"bad\">",
     "<", ">", "a<b", "x" * 1500, "é ü", "<p", "</", "<//x>", "\x07",
     "<noscript>hidden</noscript>", "<w:p><w:t>t</w:t></w:p>",
+    # \x0b is C-isspace but not scanner-whitespace: it ends words for
+    # _add_space purposes while living inside WORD tokens
+    "\x0b", "y\x0b z", "<s>", "<scrip>",
 ]
 
 

@@ -127,3 +127,34 @@ def test_write_outputs_observed_counters(spark, tmp_path):
     assert metrics["langBytes"] > 0
     back = spark.read.parquet(str(tmp_path / "wo/text"))
     assert back.count() == kept
+
+
+def test_write_outputs_excludes_unk_from_lang_counters(spark, tmp_path):
+    # warcpreprocessor.cc:219-226: 'unk' chunks are written but excluded
+    # from langRecords/langBytes — write_outputs must agree with counters()
+    from warc2text_spark.plans.pipeline import write_outputs
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+    df = spark.createDataFrame([
+        _doc("en-1", [_t("<p>the cat and the dog of the house</p>")]),
+        _doc("unk-1", [_t("<p>zzz qqq xxx www</p>")]),
+    ], schema=INPUT_SCHEMA)
+    res = run_pipeline(df, PipelineOptions(classifier="heuristic"))
+    metrics = write_outputs(res, str(tmp_path / "wo_unk"))
+    assert metrics["textRecords"] == 2
+    assert metrics["langRecords"] == 1  # unk excluded
+    c = counters(res).collect()[0]
+    assert metrics["langRecords"] == c.langRecords
+    assert metrics["langBytes"] == c.langBytes
+    # unk rows are still written (the exclusion is counters-only)
+    back = spark.read.parquet(str(tmp_path / "wo_unk/text"))
+    assert back.filter("lang = 'unk'").count() == 1
+
+
+def test_counters_releases_persisted_frames(spark):
+    from warc2text_spark.sources.fixtures import fixture_df
+    df, _ = fixture_df(spark)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    counters(res).collect()
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) <= len(before)  # no cached partitions left behind

@@ -66,20 +66,29 @@ def test_entity_decl_detection_needs_clean_stale_byte():
     toks2 = tokens(b"<longtagname></longtagname><!ENTITY x 'y'><p>a</p>")
     kinds2 = [t[0] for t in toks2]
     assert sc.TT_ENTITY_START not in kinds2
+    # ...but a subsequent 7-byte tag name re-zeroes byte 7 via the driver's
+    # get_tag_name NUL write, so the check fires again (history-sensitive)
+    toks3 = tokens(b"<abcdefgh>x</abcdefgh><abcdefg>y</abcdefg><!ENTITY x 'y'>")
+    assert sc.TT_ENTITY_START in [t[0] for t in toks3]
 
 
-def test_stale_buffer_makes_single_s_tag_a_script():
-    # quirk: the script check is strncmp(tag_name, "script", 6) on the
-    # persistent buffer; after '<script>...</script>', a '<s>' tag leaves
-    # buffer 'script' (s overwrites s) and raw-scans to '</s...>'!
-    doc = b"<p>a</p><script>x</script><s>hidden</s9padd><p>b</p>"
-    # closing detection inside scan_special uses current tag_name 's'
-    # (length 1): any '<' '/' X '>' with X[1:1]=='' matches -> '</s...>'
-    # wait: with tag_len 1 the backward compare is empty and it needs
-    # value[vl-3]=='<', value[vl-2]=='/', so any '</X>'... assert via output
-    text, err = process_html(doc)
-    assert b"hidden" not in text
-    assert text.startswith(b"a\n")
+def test_short_tag_after_script_is_not_special():
+    # The reference driver NUL-terminates the persistent name buffer on
+    # every TAG_START/TAG_END (get_tag_name, xh_scanner.cc:24 via
+    # html.cc:63), so a tag that is a prefix of a previous script/style
+    # name can never stale-match strncmp(tag_name, "script", 6): '<s>'
+    # right after '</script>' parses normally and its text is kept.
+    text, err = process_html(b"<script>x</script><s>hidden</s> tail")
+    assert text == b"hidden tail\n"
+    text2, _ = process_html(b"<script>x</script><scrip>also</scrip> t")
+    assert text2 == b"also t\n"
+    # '<scriptx>' still raw-scans (strncmp compares only 6 bytes and the
+    # name is 7 long, so the NUL at index 7 doesn't matter)
+    text3, _ = process_html(b"<scriptx>gone</scriptx>kept")
+    assert b"gone" not in text3 and b"kept" in text3
+    # same rule for style's 5-byte compare
+    text4, _ = process_html(b"<style>x</style><st>in</st> y")
+    assert text4 == b"in y\n"
 
 
 def test_attr_value_cap_1023():

@@ -192,6 +192,19 @@ def test_replace_ctrl():
     assert replace_ctrl(b"a\x07b\nc\x7fd") == b"a b\nc d"
 
 
+def test_vertical_tab_ends_words_for_add_space():
+    # \x0b is C-isspace (so addSpace after it is a no-op) but not
+    # scanner-whitespace (so it sits inside WORD tokens): the space after
+    # 'y\x0b' must be swallowed, on both the fused and unfused paths.
+    for fused in (True, False):
+        text, err = process_html(b"<p>x y\x0b z</p>", fused=fused)
+        assert text == b"x y\x0bz\n", fused
+    # \x0b at a segment edge and at output end
+    for fused in (True, False):
+        text, _ = process_html(b"<p>a\x0b</p><p>b</p>", fused=fused)
+        assert text == b"a\nb\n", fused
+
+
 # --- ODF/OOXML tags ----------------------------------------------------------
 def test_odf_word_tags():
     text, _ = ext("<w:document><w:p><w:r><w:t>hello</w:t></w:r></w:p>"

@@ -49,6 +49,21 @@ def test_split_members_oversize_skipped():
     assert got == [b"small", b"", b"after"]
 
 
+def test_split_members_decompression_bomb_streamed():
+    # A ~512 MB member (compressing to ~0.5 MB) must be skipped without
+    # materializing its payload: inflation is chunked with max_length and
+    # buffering stops at the cap, draining only to find the boundary.
+    bomb = b"\0" * (128 * 1024 * 1024)
+    data = as_warc_gz(b"before", bomb, b"after")
+    import tracemalloc
+    tracemalloc.start()
+    got = [m[2] for m in split_members(data, max_record_size=1024 * 1024)]
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got == [b"before", b"", b"after"]
+    assert peak < 32 * 1024 * 1024  # never held the inflated member
+
+
 def test_read_header_grammar():
     content = b"WARC/1.0\r\nA-Key: v1\r\nB:    spaced\r\n\r\npayload"
     ps, h = read_header(content, 10)

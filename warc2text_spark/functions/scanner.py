@@ -15,7 +15,11 @@ semantics — including its quirks, which are load-bearing for output parity:
   overwrites it at xh_scanner.cc:143-146);
 * ``<script``/``<style`` heads switch to raw scanning (scan_special) only
   when the *first 6/5 bytes* of the tag name match (strncmp,
-  xh_scanner.cc:73-79) — so ``<scriptx>`` raw-scans too;
+  xh_scanner.cc:73-79) — so ``<scriptx>`` raw-scans too; the driver
+  (html.cc:63) calls ``get_tag_name()`` on every TAG_START/TAG_END, which
+  NUL-terminates the persistent name buffer (xh_scanner.cc:24), so a short
+  tag following ``</script>`` can never stale-match — we emulate that NUL
+  write at each TAG_START/TAG_END emission;
 * scan_special's close-tag check never compares ``tag_name[0]``
   (the do-while at xh_scanner.cc:300-305 stops at i==1), and works in
   1023-byte windows: a close tag straddling a window boundary is missed
@@ -162,6 +166,16 @@ class Scanner:
             self._tag_buf[self.tag_name_length] = c
             self.tag_name_length += 1
 
+    def _terminate_name(self) -> None:
+        # The reference driver calls get_tag_name() on every TAG_START and
+        # TAG_END (html.cc:63), which writes tag_name[tag_name_length] = 0
+        # (xh_scanner.cc:24).  The stale bytes beyond the length are
+        # load-bearing (scan_head's strncmp for script/style, the !ENTITY
+        # 8th-byte check), so the NUL must land exactly where and when the
+        # reference's does.  tag_name_length is capped at MAX_NAME_SIZE-1,
+        # so the write is always in bounds.
+        self._tag_buf[self.tag_name_length] = 0
+
     def _scan_tag(self):
         # xh_scanner.cc:165-215 (caller consumed '<')
         self.tag_name_length = 0
@@ -197,6 +211,7 @@ class Scanner:
                             return TT_ERROR, b""
                         if is_tail:
                             if d == 0x3E:
+                                self._terminate_name()
                                 return TT_TAG_END, b""
                             return TT_ERROR, b""
                         self._push_back(d)
@@ -204,9 +219,11 @@ class Scanner:
                         if is_tail:
                             self.pos = end + 1
                             if d == 0x3E:
+                                self._terminate_name()
                                 return TT_TAG_END, b""
                             return TT_ERROR, b""
                     self._scan = self._scan_head
+                    self._terminate_name()
                     return TT_TAG_START, b""
                 # name runs to EOF: fall through via slow loop semantics
                 self.pos = self.end
@@ -245,10 +262,12 @@ class Scanner:
             return TT_ERROR, b""
         if is_tail:
             if c == 0x3E:
+                self._terminate_name()
                 return TT_TAG_END, b""
             return TT_ERROR, b""
         self._push_back(c)
         self._scan = self._scan_head
+        self._terminate_name()
         return TT_TAG_START, b""
 
     # --- tag head (attributes) ----------------------------------------------
@@ -256,6 +275,9 @@ class Scanner:
         # xh_scanner.cc:69-161
         c = self._skip_ws()
         if c == 0x3E:  # '>'
+            # strncmp over the persistent buffer (xh_scanner.cc:73-79); the
+            # driver's get_tag_name NUL write (emulated in _terminate_name)
+            # guarantees shorter tags never stale-match leftover bytes
             tb = self._tag_buf
             if tb[:6] == b"script" or tb[:5] == b"style":
                 self._scan = self._scan_special
@@ -266,6 +288,7 @@ class Scanner:
             t = self._get()
             if t == 0x3E:
                 self._scan = self._scan_body
+                self._terminate_name()
                 return TT_TAG_END, b""
             self._push_back(t)
             return TT_ERROR, b""
@@ -354,6 +377,7 @@ class Scanner:
         if self._got_tail:
             self._scan = self._scan_body
             self._got_tail = False
+            self._terminate_name()
             return TT_TAG_END, b""
         tl = self.tag_name_length
         tb = self._tag_buf

@@ -123,8 +123,11 @@ def _fused_body(s: sc.Scanner, out: bytearray, suppress: bool) -> None:
         if _WS_RUN.search(seg) and out and out[-1] not in _C_ISSPACE:
             out.append(0x20)
         return
-    if len(seg) <= _CAP:
-        # no token can exceed the cap: collapse ws runs to single spaces
+    if len(seg) <= _CAP and 0x0B not in seg:
+        # no token can exceed the cap: collapse ws runs to single spaces.
+        # \x0b disables this: it is C-isspace (makes _add_space a no-op
+        # after it) but not scanner-whitespace (so it sits inside words),
+        # breaking the collapse-to-single-space equivalence.
         seg = _WS_RUN.sub(b" ", seg)
         if seg[0] == 0x20 and (not out or out[-1] in _C_ISSPACE):
             seg = seg[1:]

@@ -36,6 +36,10 @@ class BatchJobConfig:
     run_id: str = "run0"
     salt: int = 0
     options: PipelineOptions | None = None
+    # stop after this many waves (None = run all): bounds work per
+    # invocation for cron-style runners and lets tests simulate a crash
+    # between waves without faking the input
+    stop_after_waves: int | None = None
 
 
 def with_bucket(df: DataFrame, num_buckets: int, salt: int = 0) -> DataFrame:
@@ -77,6 +81,8 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
     waves_run = 0
     per_wave = max(1, (len(todo) + cfg.waves - 1) // max(cfg.waves, 1))
     for w in range(0, len(todo), per_wave):
+        if cfg.stop_after_waves is not None and waves_run >= cfg.stop_after_waves:
+            break
         wave_buckets = todo[w:w + per_wave]
         wave_df = bucketed.filter(F.col("bucket").isin(wave_buckets))
         res = run_pipeline(wave_df.drop("bucket"), opts)
@@ -90,10 +96,18 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
              .parquet(f"{cfg.out_dir}/text"))
 
         # lineage manifest + metrics per bucket, from the persisted rows
-        # (n_input needs the pre-kernel frame — scan+filters only, cheap)
-        inputs = with_bucket(res.prefiltered.select("doc_id"),
-                             cfg.num_buckets, cfg.salt) \
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_input"))
+        # (n_input needs the pre-kernel frame — scan+filters only, cheap).
+        # Left-join from the wave's full bucket list so a bucket whose wave
+        # yields zero prefiltered rows still gets a ledger row (n_input=0)
+        # and is marked complete — otherwise sparse/fully-filtered buckets
+        # are reprocessed on every restart.
+        attempted = spark.createDataFrame(
+            [(int(b),) for b in wave_buckets], "bucket int")
+        inputs = attempted.join(
+            with_bucket(res.prefiltered.select("doc_id"),
+                        cfg.num_buckets, cfg.salt)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_input")),
+            "bucket", "left").na.fill({"n_input": 0})
         kept = rows.groupBy("bucket").agg(
             F.count_distinct("doc_id").alias("n_kept"),
             F.count(F.lit(1)).alias("n_lang_rows"),

@@ -152,25 +152,32 @@ def counters(result: PipelineResult) -> DataFrame:
     textRecords/textBytes: records with non-empty extracted text;
     langRecords/langBytes: (record x lang) chunks excluding 'unk'.
     """
-    total = result.prefiltered.agg(
-        F.count(F.lit(1)).alias("totalRecords"),
-        F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
-    )
     # the text and lang aggregates both consume the extracted frame; persist
-    # it so the kernel runs once, not twice
+    # it so the kernel runs once, not twice.  The three aggregates are each
+    # a single row, so they are collected eagerly here and the persist is
+    # released before returning — no cached partitions outlive the call.
     kept = result.main.persist()
-    text = kept.agg(
-        F.count(F.lit(1)).alias("textRecords"),
-        F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
-    )
-    langs = explode_by_lang(kept).filter(~F.col("lang").isin("unk")).agg(
-        F.count(F.lit(1)).alias("langRecords"),
-        F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
-    )
-    out = total.crossJoin(text).crossJoin(langs)
-    # NB: unpersist is deferred to session cleanup — the caller may not have
-    # materialized `out` yet; Spark evicts under memory pressure anyway
-    return out
+    try:
+        total = result.prefiltered.agg(
+            F.count(F.lit(1)).alias("totalRecords"),
+            F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
+        ).collect()[0]
+        text = kept.agg(
+            F.count(F.lit(1)).alias("textRecords"),
+            F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
+        ).collect()[0]
+        langs = explode_by_lang(kept).filter(~F.col("lang").isin("unk")).agg(
+            F.count(F.lit(1)).alias("langRecords"),
+            F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
+        ).collect()[0]
+    finally:
+        kept.unpersist()
+    spark = result.main.sparkSession
+    return spark.createDataFrame(
+        [(total.totalRecords, total.totalBytes, text.textRecords,
+          text.textBytes, langs.langRecords, langs.langBytes)],
+        "totalRecords bigint, totalBytes bigint, textRecords bigint, "
+        "textBytes bigint, langRecords bigint, langBytes bigint")
 
 
 def partition_safe_lang(rows: DataFrame) -> DataFrame:
@@ -198,10 +205,14 @@ def write_outputs(result: PipelineResult, out_dir: str,
     )
     rows = partition_safe_lang(demux_by_lang(main, paragraph_identification))
     obs_rows = Observation("a1_langs")
+    # langRecords/langBytes exclude 'unk' chunks (warcpreprocessor.cc:219-226;
+    # same rule as counters()) even though unk rows are still written
+    not_unk = F.col("lang") != "unk"
     rows = rows.observe(
         obs_rows,
-        F.count(F.lit(1)).alias("langRecords"),
-        F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
+        F.count(F.when(not_unk, 1)).alias("langRecords"),
+        F.coalesce(F.sum(F.when(not_unk, F.octet_length("chunk"))),
+                   F.lit(0)).alias("langBytes"),
     )
     (rows.write.mode("overwrite").partitionBy("lang").format(fmt)
         .save(f"{out_dir}/text"))

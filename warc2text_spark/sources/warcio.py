@@ -48,19 +48,32 @@ def split_members(data: bytes, max_record_size: int = MAX_RECORD_SIZE
     warcreader.cc:56-60)."""
     pos = 0
     n = len(data)
+    chunk_size = 1 << 20
     while pos < n:
         d = zlib.decompressobj(wbits=47)  # 32+15: auto gzip/zlib
         out = bytearray()
         oversize = False
+        # Inflate in bounded chunks (the reference streams 4 KB buffers,
+        # warcreader.cc:27-29,56-60): once the member exceeds the cap, stop
+        # buffering but keep draining to d.eof so the member boundary is
+        # still found — a decompression-bomb member is skipped, not OOMed.
+        tail = data[pos:]
         try:
-            chunk = d.decompress(data[pos:])
+            while not d.eof:
+                chunk = d.decompress(d.unconsumed_tail or tail,
+                                     max_length=chunk_size)
+                tail = b""
+                if not oversize:
+                    out += chunk
+                    if len(out) > max_record_size:
+                        oversize = True
+                        out = bytearray()
+                if d.eof:
+                    break
+                if not d.unconsumed_tail:
+                    return  # truncated member: stop (reference behavior)
         except zlib.error:
             return  # stream no longer inflates: stop (reference behavior)
-        out += chunk
-        if not d.eof:
-            return
-        if len(out) > max_record_size:
-            oversize = True
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             return
