@@ -64,10 +64,10 @@ def test_query_matches_oracle(name, spark, ddb):
     assert got == exp, f"{name}: first mismatches: {mism}"
 
 
-def test_rows_only_queries_run(spark):
-    for name in ["langid_demux", "multilang_demux", "jsonl_lines", "media_features"]:
-        df = QUERIES[name](spark, SF_DIR)
-        assert df.count() > 0, name
+def test_every_query_has_an_oracle():
+    # since round 2 the catalog is fully oracle-covered: any queries()
+    # entry without an oracle_sql() twin is a regression
+    assert sorted(QUERIES) == sorted(ORACLES)
 
 
 def test_entry_smoke(spark):

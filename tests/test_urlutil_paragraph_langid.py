@@ -91,3 +91,72 @@ def test_multilang_detector():
     assert out == {"en": en + "\n", "es": es + "\n"}
     # unreliable -> unk with whole text
     assert HeuristicMultiDetector().detect("zzz qqq\n") == {"unk": "zzz qqq\n"}
+
+
+def test_script_range_classification():
+    # non-Latin scripts classify via Unicode ranges when stopword evidence
+    # is absent (zero-dependency CLD2-breadth stand-in)
+    cases = {
+        "zh": "这是一个关于语言识别的测试文档内容",
+        "ja": "これは言語識別のテストです漢字も含む",
+        "ko": "이것은 언어 식별 테스트 문서입니다",
+        "ru": "это тестовый документ для определения языка",
+        "ar": "هذه وثيقة اختبار لتحديد اللغة",
+        "hi": "यह भाषा पहचान के लिए परीक्षण दस्तावेज़ है",
+        "el": "αυτό είναι ένα δοκιμαστικό έγγραφο",
+        "he": "זהו מסמך בדיקה לזיהוי שפה",
+        "th": "นี่คือเอกสารทดสอบการระบุภาษา",
+    }
+    for lang, text in cases.items():
+        got, conf = classify(text)
+        assert got == lang and conf >= 0.5, (lang, got, conf)
+    # mixed Han+kana resolves to Japanese, Han alone to Chinese
+    assert classify("日本語のテキストです")[0] == "ja"
+    assert classify("中文文本内容测试")[0] == "zh"
+    # below the evidence floor -> unk (too short to be reliable)
+    assert classify("до")[0] == "unk"
+    # stopword evidence still wins for Latin-script languages (the script
+    # path never fires when stopwords hit, keeping the SQL oracle exact)
+    assert classify("the cat and the dog of the house")[0] == "en"
+
+
+def test_multilang_detector_script_chunks():
+    en = "the cat and the dog are in the house with the mouse"
+    ru = "это документ на русском языке для проверки системы"
+    out = HeuristicMultiDetector().detect(en + "\n" + ru + "\n")
+    assert out == {"en": en + "\n", "ru": ru + "\n"}
+
+
+def test_detect_chunks_resultchunk_invariants():
+    # ResultChunk shape (lang_cld2.cc:20-75): chunks tile the UTF-8 bytes
+    # contiguously from 0; per-lang concatenation preserves text order and
+    # every reassembled chunk is a substring of the original
+    det = HeuristicMultiDetector()
+    texts = [
+        "the cat and the dog\nel perro y el gato en la casa\n",
+        "это русский текст в документе\nplain noise line\n",
+        "",
+        "single line no newline",
+        "a\n\n\nb\n",
+        "é ü ö\nthe cat and the dog of the house\n",
+    ]
+    for text in texts:
+        data = text.encode("utf-8")
+        chunks = det.detect_chunks(text)
+        pos = 0
+        for off, nbytes, lang in chunks:
+            assert off == pos and nbytes > 0
+            pos += nbytes
+        assert pos == len(data)
+        out = det.detect(text)
+        for lang, chunk in out.items():
+            if lang == "unk" and len(out) == 1 and chunk == text:
+                continue  # unreliable: whole text under unk
+            # order-preserving subsequence of the original bytes
+            cb = chunk.encode("utf-8")
+            idx = 0
+            for off, nbytes, clang in chunks:
+                if clang == lang:
+                    assert cb[idx:idx + nbytes] == data[off:off + nbytes]
+                    idx += nbytes
+            assert idx == len(cb)

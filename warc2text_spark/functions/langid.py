@@ -41,6 +41,54 @@ _STOPWORDS = {
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
 
+# Unicode script-range evidence for non-Latin languages (CLD2 covers these
+# via script detection, cld2 public tables; this is the zero-dependency
+# stand-in).  Each (start, end_inclusive, class); 'han'/'kana' combine into
+# zh/ja below.  Fires only when the stopword tables produced no evidence,
+# so Latin-script classification (and its SQL oracle twin) is unchanged.
+_SCRIPT_RANGES = (
+    (0x0370, 0x03FF, "el"),   # Greek
+    (0x0400, 0x04FF, "ru"),   # Cyrillic
+    (0x0590, 0x05FF, "he"),   # Hebrew
+    (0x0600, 0x06FF, "ar"),   # Arabic
+    (0x0750, 0x077F, "ar"),   # Arabic Supplement
+    (0x0900, 0x097F, "hi"),   # Devanagari
+    (0x0E00, 0x0E7F, "th"),   # Thai
+    (0x1100, 0x11FF, "ko"),   # Hangul Jamo
+    (0x3040, 0x309F, "kana"),  # Hiragana
+    (0x30A0, 0x30FF, "kana"),  # Katakana
+    (0x3400, 0x4DBF, "han"),  # CJK Ext A
+    (0x4E00, 0x9FFF, "han"),  # CJK Unified
+    (0xAC00, 0xD7AF, "ko"),   # Hangul syllables
+)
+
+# minimum script-evidence characters before a label is emitted (CLD2-style
+# reliability floor on very short non-Latin runs)
+_MIN_SCRIPT_EVIDENCE = 4
+
+
+def _script_scores(text: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x0370:  # fast path: ASCII/Latin-1/Latin Extended
+            continue
+        for start, end, cls in _SCRIPT_RANGES:
+            if start <= cp <= end:
+                counts[cls] = counts.get(cls, 0) + 1
+                break
+    if not counts:
+        return counts
+    han = counts.pop("han", 0)
+    kana = counts.pop("kana", 0)
+    # Han + any kana => Japanese; Han alone => Chinese (CLD2's effective
+    # rule for unhinted text)
+    if kana:
+        counts["ja"] = counts.get("ja", 0) + kana + han
+    elif han:
+        counts["zh"] = counts.get("zh", 0) + han
+    return counts
+
 
 def _tokenize(text: str) -> list[str]:
     return text.lower().split()
@@ -75,10 +123,14 @@ def classify(text: str) -> tuple[str, float]:
 
     Confidence is margin-based — top / (top + runner-up) — so shared
     function words across related languages don't sink a clear winner.
+    Stopword evidence (Latin-script languages) is tried first; when it is
+    empty, Unicode script ranges classify zh/ja/ko/ru/ar/hi/el/he/th.
     """
     hits = _hits(_tokenize(text))
     if not hits:
-        return UNKNOWN_LANG, 0.0
+        hits = _script_scores(text)
+        if not hits or max(hits.values()) < _MIN_SCRIPT_EVIDENCE:
+            return UNKNOWN_LANG, 0.0
     ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
     top_lang, top = ranked[0]
     second = ranked[1][1] if len(ranked) > 1 else 0
@@ -105,28 +157,52 @@ class HeuristicDetector:
 
 class HeuristicMultiDetector:
     """Multilang detection with CLD2-multilang shape (lang_cld2.cc:20-75):
-    classify per line, keep the top <=3 languages by assigned bytes,
-    reassemble each language's chunk in text order, drop empty chunks;
-    unreliable (no evidence at all) => whole text under unk."""
+    the text is tiled into ResultChunk-shaped byte ranges (offset, n_bytes,
+    lang) over its UTF-8 encoding, the top <=3 languages are ranked by
+    assigned bytes (CLD2's percents), and each language's output is the
+    concatenation of its byte slices in text order (the reference's
+    ``ref->append(text, chunk.offset, chunk.bytes)``, lang_cld2.cc:60-66);
+    empty chunks are erased (lang_cld2.cc:70-73); unreliable (no confident
+    chunk at all) => whole text under unk (lang_cld2.cc:35-38).
+
+    Chunk boundaries here are newline positions (the deterministic stand-in
+    for CLD2's internal segmentation); boundaries always fall on ASCII
+    bytes, so every slice is valid UTF-8.
+    """
+
+    def detect_chunks(self, text: str) -> list[tuple[int, int, str]]:
+        """ResultChunk-shaped (offset, n_bytes, lang) list tiling the UTF-8
+        encoding of ``text``: offsets are contiguous from 0 and n_bytes sum
+        to the encoded length (property-tested invariants)."""
+        data = text.encode("utf-8")
+        chunks: list[tuple[int, int, str]] = []
+        start = 0
+        n = len(data)
+        while start < n:
+            nl = data.find(b"\n", start)
+            end = n if nl < 0 else nl + 1
+            seg = data[start:end]
+            lang, prob = classify(seg.decode("utf-8"))
+            chunks.append((start, end - start,
+                           lang if prob >= _THRESHOLD else UNKNOWN_LANG))
+            start = end
+        return chunks
 
     def detect(self, text: str) -> dict[str, str]:
-        lines = text.split("\n")
-        labeled: list[tuple[str, str]] = []
-        for i, line in enumerate(lines):
-            chunk = line + ("\n" if i < len(lines) - 1 else "")
-            lang, prob = classify(line)
-            labeled.append((lang if prob >= _THRESHOLD else UNKNOWN_LANG, chunk))
+        data = text.encode("utf-8")
+        chunks = self.detect_chunks(text)
         by_bytes: dict[str, int] = {}
-        for lang, chunk in labeled:
+        for _, nbytes, lang in chunks:
             if lang != UNKNOWN_LANG:
-                by_bytes[lang] = by_bytes.get(lang, 0) + len(chunk.encode("utf-8"))
+                by_bytes[lang] = by_bytes.get(lang, 0) + nbytes
         if not by_bytes:
             return {UNKNOWN_LANG: text}
         top = sorted(by_bytes, key=lambda k: (-by_bytes[k], k))[:3]
         out: dict[str, str] = {}
-        for lang, chunk in labeled:
-            if lang in top:
-                out[lang] = out.get(lang, "") + chunk
+        for off, nbytes, lang in chunks:
+            if lang in top and nbytes:
+                out[lang] = out.get(lang, "") \
+                    + data[off:off + nbytes].decode("utf-8")
         return {k: v for k, v in out.items() if v}
 
 

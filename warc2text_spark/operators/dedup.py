@@ -98,6 +98,38 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
             .select("a_id", "b_id").distinct())
 
 
+def embedding_near_duplicates_lsh(df: DataFrame,
+                                  hyperplanes: list[list[float]],
+                                  threshold: float = 0.999) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH bucketing
+    (similarity.lsh_bits) -> equality self-join on the bucket key -> exact
+    cosine filter within buckets.  With B well-chosen hyperplanes the
+    bucket join touches ~N^2/2^B candidate pairs instead of N^2 — this is
+    the 10^12-row path (the crossJoin in embedding_near_duplicates is the
+    small-scale exact baseline).  Recall note: near-identical vectors can
+    straddle a bucket boundary when a dot product sits near 0; production
+    runs use multiple bucket tables (band trick) to drive misses down."""
+    from .similarity import lsh_bits
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = lsh_bits(df, hyperplanes).select(
+        F.col("vec_id"), F.col("bucket"), v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        .alias("norm"))
+    # bucketing evaluates B dot products per row: compute once, not per side
+    base = base.persist()
+    a = base.select(F.col("vec_id").alias("a_id"), "bucket",
+                    F.col("v").alias("a_v"), F.col("norm").alias("a_n"))
+    b = base.select(F.col("vec_id").alias("b_id"), "bucket",
+                    F.col("v").alias("b_v"), F.col("norm").alias("b_n"))
+    j = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a_n") * F.col("b_n"))
+    return j.select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                    F.round(cos, 4).alias("cosine")) \
+            .filter(F.col("cosine") >= threshold)
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column (small/SF scale;
     the 10^12 path buckets by hyperplane signs first — similarity.lsh_bits)."""

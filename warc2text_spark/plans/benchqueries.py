@@ -162,35 +162,12 @@ def q_extract_zip(spark, sf_dir) -> DataFrame:
     minimal DOCX (word/document.xml, latin-1 encoded with 'o' -> 'ö') and
     carried as a base64 media span; the charset param on the DOCX MIME
     drives the detect-fallback -> transcode path (record.cc:231-251).
-    Expected output is closed-form: replace(text,'o','ö') || '\\n'.
+    Synthesis runs executor-side (spansgen.build_zip_spans — no driver
+    collect); expected output stays closed-form: replace(text,'o','ö')+'\\n'.
     """
-    import base64
-    import io
-    import zipfile
-
-    from ..sources.fixtures import INPUT_SCHEMA
-    docs = _docs(spark, sf_dir).select("doc_id", "text").collect()
-    ct = ("application/vnd.openxmlformats-officedocument.wordprocessingml"
-          ".document; charset=iso-8859-1")
-    rows = []
-    for r in docs:
-        xml = ("<w:document><w:p><w:r><w:t>"
-               + r.text.replace("o", "ö")
-               + "</w:t></w:r></w:p></w:document>").encode("latin-1")
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-            zi = zipfile.ZipInfo("word/document.xml", date_time=(2024, 1, 1, 0, 0, 0))
-            zf.writestr(zi, xml)
-        rows.append(dict(
-            doc_id=str(r.doc_id), url=f"https://z.example/{r.doc_id}.docx",
-            warc_type="response", warc_ct="application/http; msgtype=response",
-            http_status="200 OK", http_ct=ct, content_enc="", transfer_enc="",
-            warc_date="2024-01-01T00:00:00Z",
-            spans=[dict(kind="media", text="",
-                        media_ref=base64.b64encode(buf.getvalue()).decode(),
-                        offset=0)]))
-    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
-    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    from .spansgen import build_zip_spans
+    res = run_pipeline(build_zip_spans(spark, sf_dir),
+                       PipelineOptions(classifier="skip"))
     return res.main.select("doc_id", "plaintext", "charset")
 
 
@@ -205,10 +182,7 @@ def q_langid_labels(spark, sf_dir) -> DataFrame:
 
 
 def _langid_oracle() -> str:
-    from ..functions.langid import _STOPWORDS
-    values = ", ".join(f"('{w}', '{lang}')"
-                       for lang, words in sorted(_STOPWORDS.items())
-                       for w in sorted(words))
+    values = _stopword_values()
     return rf"""
 with kept as (select doc_id, {EXP_CASE} as exp
               from documents where doc_id % 10 <= 5),
@@ -236,11 +210,87 @@ select cast(k.doc_id as varchar) as doc_id,
 from kept k left join labeled l on l.doc_id = k.doc_id"""
 
 
+def _stopword_values() -> str:
+    from ..functions.langid import _STOPWORDS
+    return ", ".join(f"('{w}', '{lang}')"
+                     for lang, words in sorted(_STOPWORDS.items())
+                     for w in sorted(words))
+
+
+def _multilang_demux_oracle() -> str:
+    """SQL twin of HeuristicMultiDetector over the closed-form expected
+    plaintext: per newline-delimited byte chunk, stopword-margin label
+    (>= 0.5); per doc, top <=3 langs by assigned bytes; one chunk per
+    (doc, top lang); docs with no confident chunk emit one unk chunk."""
+    values = _stopword_values()
+    return rf"""
+with kept as (select doc_id, {EXP_CASE} as exp
+              from documents where doc_id % 10 <= 5),
+lines as (select doc_id,
+                 unnest(string_split(exp, chr(10))) as line,
+                 generate_subscripts(string_split(exp, chr(10)), 1) as i,
+                 len(string_split(exp, chr(10))) as n
+          from kept),
+toks as (select doc_id, i,
+                unnest(list_filter(string_split_regex(lower(line), '\s+'),
+                                   x -> x <> '')) as w
+         from lines),
+sw(w, lang) as (values {values}),
+hits as (select t.doc_id, t.i, s.lang, count(*) as cnt
+         from toks t join sw s on t.w = s.w group by 1, 2, 3),
+ranked as (select doc_id, i, lang, cnt,
+                  row_number() over (partition by doc_id, i
+                                     order by cnt desc, lang) as rn
+           from hits),
+linelang as (select a.doc_id, a.i,
+                    case when a.cnt * 1.0 / (a.cnt + coalesce(b.cnt, 0)) >= 0.5
+                         then a.lang else 'unk' end as lang
+             from (select * from ranked where rn = 1) a
+             left join (select * from ranked where rn = 2) b
+                    using (doc_id, i)),
+chunks as (select l.doc_id, l.i, coalesce(ll.lang, 'unk') as lang,
+                  strlen(l.line) + case when l.i < l.n then 1 else 0 end as nbytes
+           from lines l left join linelang ll using (doc_id, i)),
+bybytes as (select doc_id, lang, sum(nbytes) as b
+            from chunks where lang <> 'unk' group by 1, 2),
+top3 as (select doc_id, lang from
+            (select doc_id, lang,
+                    row_number() over (partition by doc_id
+                                       order by b desc, lang) as rn
+             from bybytes) where rn <= 3)
+select lang, count(*)::bigint as n_chunks from top3 group by lang
+union all
+select 'unk', count(*)::bigint from kept k
+where not exists (select 1 from bybytes b where b.doc_id = k.doc_id)
+having count(*) > 0"""
+
+
 def q_multilang_demux(spark, sf_dir) -> DataFrame:
     res = run_pipeline(build_spans(spark, sf_dir),
                        PipelineOptions(classifier="multilang"))
     return demux_by_lang(res.main).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_chunks"))
+
+
+def _jsonl_oracle() -> str:
+    """String-built twin of jsonl_projection's to_json output (ordered keys
+    f,o,s,rs,u,c,ts,de,ps,p; 'l' omitted under the skip classifier).
+    DuckDB's to_json and Spark's to_json escape identically for this data
+    (\\n, quotes, backslash; non-ASCII left raw)."""
+    url = ("'https://s' || (doc_id % 20) || '.example/page' || doc_id || "
+           "case when doc_id % 10 = 0 then '.html?q=a b' else '.html' end")
+    ct = "case when doc_id % 10 = 5 then 'text/plain' else 'text/html' end"
+    return f"""
+with kept as (select doc_id, {EXP_CASE} as exp
+              from documents where doc_id % 10 <= 5)
+select '{{"f":' || to_json(cast(doc_id as varchar))::varchar
+       || ',"o":0,"s":' || strlen(exp) || ',"rs":' || strlen(exp)
+       || ',"u":' || to_json({url})::varchar
+       || ',"c":' || to_json({ct})::varchar
+       || ',"ts":"2024-01-01T00:00:00Z","de":"ascii"'
+       || ',"ps":' || strlen(exp) || ',"p":' || to_json(exp)::varchar
+       || '}}' as jsonl
+from kept"""
 
 
 def q_event_windows(spark, sf_dir) -> DataFrame:
@@ -311,6 +361,17 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
 
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return dedup.embedding_near_duplicates(_clone_emb(spark, sf_dir))
+
+
+def q_neardup_lsh(spark, sf_dir) -> DataFrame:
+    """The scaled embedding-dedup path, oracle-verified: LSH bucketing ->
+    within-bucket exact cosine (no crossJoin anywhere in the plan)."""
+    emb = _emb(spark, sf_dir)
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    return dedup.embedding_near_duplicates_lsh(_clone_emb(spark, sf_dir),
+                                               planes)
 
 
 # ---------------- similarity search ---------------------------------------
@@ -496,6 +557,15 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         "simhash": _simhash_oracle(),
         "langid_labels": _langid_oracle(),
+        "langid_demux": (f"select lang, count(*)::bigint as n_docs from "
+                         f"({_langid_oracle()}) group by lang"),
+        "multilang_demux": _multilang_demux_oracle(),
+        "jsonl_lines": _jsonl_oracle(),
+        "media_features": """
+            select cast(doc_id as varchar) as doc_id, 1 as "offset",
+                   'x-test/fake' as media_type, 10 as width, 52 as height,
+                   (3 + strlen(cast(doc_id as varchar)))::bigint as n_bytes
+            from documents where doc_id % 10 = 3""",
         "extract_zip": f"""
             select cast(doc_id as varchar) as doc_id,
                    replace(text, 'o', 'ö') || {NL} as plaintext,
@@ -526,6 +596,25 @@ def oracle_sql() -> dict[str, str]:
             from m a join m b on a.vec_id < b.vec_id
             where list_sum(list_transform(range(1, len(a.v) + 1),
                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.999""",
+        "neardup_lsh": f"""
+            with c as ({_EMB_CLONES_SQL}),
+            {_EMB_M.format(src='c')},
+            h as (select vec_id as hid, list_transform(embedding, x -> x::DOUBLE) as hv
+                  from embeddings where vec_id between 1 and 8),
+            b as (select m.vec_id,
+                         string_agg(case when list_sum(list_transform(
+                             range(1, len(m.v) + 1), i -> m.v[i] * h.hv[i])) > 0
+                             then '1' else '0' end, '' order by h.hid) as bucket
+                  from m, h group by m.vec_id),
+            mb as (select m.vec_id, m.v, m.nrm, b.bucket
+                   from m join b using (vec_id))
+            select a.vec_id as a_id, b2.vec_id as b_id,
+                   cast(round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm), 4) as double) as cosine
+            from mb a join mb b2
+              on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+            where list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm) >= 0.999""",
         "ann_cosine_topk": f"""
             with {_EMB_M.format(src='embeddings').lstrip()},
             q as (select v as qv, nrm as qn from m where vec_id = 0)
@@ -582,10 +671,9 @@ def queries():
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "neardup_lsh": q_neardup_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        # rows-only (no SQL-expressible oracle): heuristic language demux
-        # and JSONL serialization checked by pytest goldens instead
         "langid_demux": q_langid_demux,
         "langid_labels": q_langid_labels,
         "multilang_demux": q_multilang_demux,

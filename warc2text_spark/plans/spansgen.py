@@ -64,6 +64,63 @@ SPANS_EXPR = f"""case nid % 10
 end"""
 
 
+def build_zip_spans(spark, sf_dir: str) -> DataFrame:
+    """DOCX-wrapped corpus for the zip/charset pipeline path: each
+    document's text (latin-1 encoded, 'o' -> 'ö') inside a minimal
+    ``word/document.xml`` zip, carried as a base64 media span with a
+    declared ``charset=iso-8859-1`` on the DOCX MIME.
+
+    The zip bytes are a pure function of each row, so the synthesis runs
+    executor-side (mapInPandas over ``documents``) — no driver collect, no
+    scale ceiling.  Expected output stays closed-form for the oracle:
+    replace(text,'o','ö') || '\\n'.
+    """
+    import base64
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import INPUT_SCHEMA
+
+    ct = ("application/vnd.openxmlformats-officedocument.wordprocessingml"
+          ".document; charset=iso-8859-1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
+                                    "http_status", "http_ct", "content_enc",
+                                    "transfer_enc", "warc_date", "spans")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                xml = ("<w:document><w:p><w:r><w:t>"
+                       + text.replace("o", "ö")
+                       + "</w:t></w:r></w:p></w:document>").encode("latin-1")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zi = zipfile.ZipInfo("word/document.xml",
+                                         date_time=(2024, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, xml)
+                rows["doc_id"].append(str(doc_id))
+                rows["url"].append(f"https://z.example/{doc_id}.docx")
+                rows["warc_type"].append("response")
+                rows["warc_ct"].append("application/http; msgtype=response")
+                rows["http_status"].append("200 OK")
+                rows["http_ct"].append(ct)
+                rows["content_enc"].append("")
+                rows["transfer_enc"].append("")
+                rows["warc_date"].append("2024-01-01T00:00:00Z")
+                rows["spans"].append([dict(
+                    kind="media", text="",
+                    media_ref=base64.b64encode(buf.getvalue()).decode(),
+                    offset=0)])
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return docs.mapInPandas(gen, INPUT_SCHEMA)
+
+
 def build_spans(spark, sf_dir: str, replicate: int = 1) -> DataFrame:
     """The interleaved input table.  ``replicate`` scales the corpus for
     benchmarking (new ids keep the variant distribution; deterministic)."""
