@@ -65,11 +65,36 @@ def test_declared_charset_fallback():
 
 
 def test_unknown_encoding_dropped():
-    payload = b"\xff\xfe garbage \xff"
-    _, err, _ = clean_payload(payload, "text/html", "", "u")
+    # a declared-but-unsupported charset is the unknown-encoding drop
+    _, err, _ = clean_payload(b"\xe9 junk \xff", "text/html", "not-a-charset", "u")
     assert err == UNKNOWN_ENCODING_ERROR
-    _, err, _ = clean_payload(payload, "text/html", "not-a-charset", "u")
-    assert err == UNKNOWN_ENCODING_ERROR
+
+
+def test_undeclared_legacy_charset_recovered():
+    # cp1252 page with NO declared charset: the weak legacy-class guess
+    # recovers it (the reference's uchardet does the same, util.cc:68-91)
+    payload = b"<p>caf\xe9 ol\xe9 \x93quoted\x94</p>"
+    text, err, charset = clean_payload(payload, "text/html", "", "u")
+    assert (err, charset) == (SUCCESS, "windows-1252")
+    assert text == "café olé “quoted”\n"
+    # cp1252-undefined bytes push the guess to iso-8859-1
+    payload2 = b"<p>x \x81 y</p>"
+    text2, err2, charset2 = clean_payload(payload2, "text/plain", "", "u")
+    assert (err2, charset2) == (SUCCESS, "iso-8859-1")
+
+
+def test_bom_detection_wins_over_declared():
+    import codecs
+    # UTF-8 BOM: detected as utf-8-sig (BOM stripped), beats declared latin-1
+    payload = codecs.BOM_UTF8 + "café\n".encode("utf-8")
+    text, err, charset = clean_payload(payload, "text/plain", "iso-8859-1", "u")
+    assert (err, charset) == (SUCCESS, "utf-8-sig")
+    assert text == "café\n"
+    # UTF-16 BOM on the plain-text path (converted before trimLines)
+    payload16 = "café olé\n".encode("utf-16")
+    text16, err16, charset16 = clean_payload(payload16, "text/plain", "", "u")
+    assert (err16, charset16) == (SUCCESS, "utf-16")
+    assert text16 == "café olé\n"
 
 
 def test_conversion_failure_dropped():

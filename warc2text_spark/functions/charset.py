@@ -11,8 +11,19 @@ utf8/utf-8/ascii are not converted (record.cc:240).
 
 uchardet's statistical model is version-sensitive and unavailable here, so
 the default detector is deterministic and pluggable (mirroring the
-reference's pluggable ``LanguageDetector`` pattern): strict ASCII / strict
-UTF-8 recognition, everything else falls back to the declared charset.
+reference's pluggable ``LanguageDetector`` pattern):
+
+* strong detections (BOMs, strict ASCII, strict UTF-8) win over the
+  declared charset, like uchardet does;
+* otherwise the declared charset (lower-cased) is used;
+* with *no* declared charset, a weak legacy-class guess recovers the page
+  as windows-1252 (or iso-8859-1 when cp1252's five undefined bytes
+  appear) instead of dropping it — uchardet classifies undeclared legacy
+  Latin pages the same way (util.cc:68-91), and old crawls are full of
+  them.  Documented delta vs the reference: our weak guess defers to an
+  explicit declaration, where uchardet's guess would override it; strong
+  detections keep the reference's detected-wins precedence.
+
 Fixtures pin declared-charset cases so the precedence logic is stable (see
 FIXTURES.md F09).
 """
@@ -23,7 +34,21 @@ import codecs
 
 
 def default_detect(data: bytes) -> str | None:
-    """Deterministic stand-in for uchardet: ascii/utf-8 or give up."""
+    """Deterministic stand-in for uchardet's confident classes: BOMs,
+    strict ASCII, strict UTF-8; anything else gives up (weak-class
+    recovery happens in detect_charset)."""
+    if data.startswith(codecs.BOM_UTF8):
+        try:
+            data.decode("utf-8-sig")
+            return "utf-8-sig"
+        except UnicodeDecodeError:
+            return None
+    if data.startswith(codecs.BOM_UTF16_LE) or data.startswith(codecs.BOM_UTF16_BE):
+        try:
+            data.decode("utf-16")  # BOM-aware, strips it
+            return "utf-16"
+        except UnicodeDecodeError:
+            return None
     try:
         data.decode("ascii")
         return "ascii"
@@ -36,6 +61,19 @@ def default_detect(data: bytes) -> str | None:
         return None
 
 
+# the five cp1252 code points with no assignment; their presence pushes the
+# weak guess to iso-8859-1 (where they are C1 controls but still decode)
+_CP1252_UNDEFINED = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+
+
+def legacy_guess(data: bytes) -> str:
+    """Weak-class guess for undeclared non-UTF-8 payloads: the
+    windows-1252/latin-1 family that dominates legacy web text."""
+    if any(b in _CP1252_UNDEFINED for b in data):
+        return "iso-8859-1"
+    return "windows-1252"
+
+
 def charset_is_supported(charset: str) -> bool:
     """boost::locale::conv::to_utf("" , charset) validity probe (util.cc:84-90)."""
     try:
@@ -46,11 +84,16 @@ def charset_is_supported(charset: str) -> bool:
 
 
 def detect_charset(data: bytes, declared: str, detector=default_detect) -> str | None:
-    """util.cc:68-91: detected wins over declared; None => unknown encoding."""
+    """util.cc:68-91: detected wins over declared; an unsupported declared
+    charset is unknown-encoding; with neither a detection nor a declared
+    charset, the weak legacy-class guess recovers the page (see module
+    docstring for the precedence delta vs the reference)."""
     detected = detector(data)
-    charset = detected.lower() if detected else (declared or "").lower()
+    if detected:
+        return detected.lower()
+    charset = (declared or "").lower()
     if not charset:
-        return None
+        return legacy_guess(data)
     if not charset_is_supported(charset):
         return None
     return charset

@@ -171,6 +171,17 @@ def q_extract_zip(spark, sf_dir) -> DataFrame:
     return res.main.select("doc_id", "plaintext", "charset")
 
 
+def q_extract_legacy(spark, sf_dir) -> DataFrame:
+    """Undeclared legacy charset recovery: same DOCX corpus but with NO
+    charset parameter on the MIME — the weak windows-1252 guess must
+    recover the page (charset.py legacy_guess; the reference recovers
+    these via uchardet, util.cc:68-91)."""
+    from .spansgen import build_zip_spans
+    res = run_pipeline(build_zip_spans(spark, sf_dir, declared=None),
+                       PipelineOptions(classifier="skip"))
+    return res.main.select("doc_id", "plaintext", "charset")
+
+
 def q_langid_labels(spark, sf_dir) -> DataFrame:
     """Heuristic language label per kept doc (checked against a pure-SQL
     replication of the stopword-margin classifier over the closed-form
@@ -572,6 +583,12 @@ def oracle_sql() -> dict[str, str]:
                    case when text like '%o%' then 'iso-8859-1'
                         else 'ascii' end as charset
             from documents""",
+        "extract_legacy": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   replace(text, 'o', 'ö') || {NL} as plaintext,
+                   case when text like '%o%' then 'windows-1252'
+                        else 'ascii' end as charset
+            from documents""",
         "jaccard_pairs": """
             with t as (select doc_id, list_distinct(string_split(text, ' ')) as w
                        from documents)
@@ -652,6 +669,7 @@ def queries():
         "extract_spans": q_extract_spans,
         "extract_skip_text": q_extract_skip_text,
         "extract_zip": q_extract_zip,
+        "extract_legacy": q_extract_legacy,
         "encode_urls": q_encode_urls,
         "filter_stage": q_filter_stage,
         "robots_route": q_robots_route,

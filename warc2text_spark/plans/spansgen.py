@@ -64,11 +64,13 @@ SPANS_EXPR = f"""case nid % 10
 end"""
 
 
-def build_zip_spans(spark, sf_dir: str) -> DataFrame:
+def build_zip_spans(spark, sf_dir: str,
+                    declared: str | None = "iso-8859-1") -> DataFrame:
     """DOCX-wrapped corpus for the zip/charset pipeline path: each
     document's text (latin-1 encoded, 'o' -> 'ö') inside a minimal
     ``word/document.xml`` zip, carried as a base64 media span with a
-    declared ``charset=iso-8859-1`` on the DOCX MIME.
+    declared ``charset=<declared>`` on the DOCX MIME (``declared=None``
+    omits the parameter — the undeclared-legacy-charset recovery path).
 
     The zip bytes are a pure function of each row, so the synthesis runs
     executor-side (mapInPandas over ``documents``) — no driver collect, no
@@ -85,7 +87,7 @@ def build_zip_spans(spark, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import INPUT_SCHEMA
 
     ct = ("application/vnd.openxmlformats-officedocument.wordprocessingml"
-          ".document; charset=iso-8859-1")
+          ".document" + (f"; charset={declared}" if declared else ""))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
