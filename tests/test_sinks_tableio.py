@@ -1,0 +1,122 @@
+"""K1 compatibility writer (reference directory layout) and table_io
+Iceberg-branch contract tests."""
+
+import base64
+import gzip
+import os
+
+from warc2text_spark.plans.pipeline import (
+    PipelineOptions,
+    demux_by_lang,
+    run_pipeline,
+)
+from warc2text_spark.sinks.bilang_writer import write_bilang_files
+from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+from warc2text_spark.sources.table_io import read_input, write_output
+
+
+def _lines(path):
+    with gzip.open(path, "rb") as fh:
+        return fh.read().decode("utf-8").splitlines()
+
+
+def test_bilang_compat_layout_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([
+        _doc("en-1", [_t("<p>the cat and the dog of the house</p>")],
+             url="https://x/en1"),
+        _doc("en-2", [_t("<p>this is the cat and the dog again here</p>")],
+             url="https://x/en2"),
+        _doc("unk-1", [_t("<p>zzz qqq www</p>")], url="https://x/u1"),
+    ], schema=INPUT_SCHEMA)
+    res = run_pipeline(df, PipelineOptions(classifier="heuristic"))
+    rows = demux_by_lang(res.main)
+    out = str(tmp_path / "compat")
+    write_bilang_files(rows, out, ("url", "text", "mime", "file", "date"))
+
+    langs = sorted(os.listdir(out))
+    assert langs == ["en", "unk"]
+    for lang in langs:
+        d = os.path.join(out, lang)
+        per_file = {f: _lines(os.path.join(d, f + ".gz"))
+                    for f in ("url", "text", "mime", "file", "date")}
+        counts = {f: len(v) for f, v in per_file.items()}
+        # positional contract: same line count in every file of a lang dir
+        assert len(set(counts.values())) == 1, counts
+    en = os.path.join(out, "en")
+    urls = _lines(os.path.join(en, "url.gz"))
+    texts = [base64.b64decode(line).decode("utf-8")
+             for line in _lines(os.path.join(en, "text.gz"))]
+    files = _lines(os.path.join(en, "file.gz"))
+    assert urls == ["https://x/en1", "https://x/en2"]  # sorted by doc_id
+    assert texts[0] == "the cat and the dog of the house\n"
+    assert files[0].startswith("en-1:0:")
+    dates = _lines(os.path.join(en, "date.gz"))
+    assert dates == ["2024-01-01T00:00:00Z"] * 2
+
+
+def test_bilang_unknown_field_rejected(spark, tmp_path):
+    import pytest
+    df = spark.createDataFrame(
+        [_doc("d", [_t("<p>a</p>")])], schema=INPUT_SCHEMA)
+    rows = demux_by_lang(run_pipeline(df, PipelineOptions(classifier="skip")).main)
+    with pytest.raises(ValueError):
+        write_bilang_files(rows, str(tmp_path / "x"), ("bogus",))
+
+
+def test_cli_compat_output(spark, tmp_path):
+    from warc2text_spark.cli import main
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [_doc("a-1", [_t("<p>the cat and the dog of the house</p>")])],
+        schema=INPUT_SCHEMA).write.parquet(src)
+    out = str(tmp_path / "cli_out")
+    rc = main(["--input", src, "--output", out, "-f", "url,text",
+               "--classifier", "skip", "--compat-output", "--silent"],
+              spark=spark)
+    assert rc == 0
+    d = os.path.join(out, "unlabeled")  # skip classifier: '' -> unlabeled dir
+    assert sorted(os.listdir(d)) == ["text.gz", "url.gz"]
+    assert len(_lines(os.path.join(d, "url.gz"))) == 1
+
+
+def test_read_input_parquet_fallback_and_iceberg_error(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    spark.range(5).toDF("doc_id").write.parquet(p)
+    assert read_input(spark, p).count() == 5  # path -> parquet branch
+    import pytest
+    with pytest.raises(Exception):
+        # explicit iceberg on a runtime without the jars must propagate
+        read_input(spark, p, fmt="iceberg")
+
+
+def test_read_input_iceberg_branch_with_mock_catalog(spark, monkeypatch):
+    # no Iceberg jars in the sandbox: mock the reader so the iceberg code
+    # path in read_input executes end-to-end against a fake catalog
+    import pyspark.sql.readwriter as rw
+    sentinel = spark.range(3).toDF("doc_id")
+    calls = []
+    orig_format = rw.DataFrameReader.format
+
+    class FakeIcebergReader:
+        def load(self, location):
+            calls.append(location)
+            return sentinel
+
+    def fake_format(self, source):
+        if source == "iceberg":
+            return FakeIcebergReader()
+        return orig_format(self, source)
+
+    monkeypatch.setattr(rw.DataFrameReader, "format", fake_format)
+    out = read_input(spark, "catalog.db.documents")  # table name -> iceberg
+    assert calls == ["catalog.db.documents"]
+    assert out is sentinel
+
+
+def test_write_output_partitioned_compression(spark, tmp_path):
+    df = spark.createDataFrame([("a", "en"), ("b", "fr")], "doc_id string, lang string")
+    loc = str(tmp_path / "wo")
+    write_output(df, loc, partition_by=("lang",), compression="gzip")
+    back = spark.read.parquet(loc)
+    assert back.count() == 2
+    assert sorted(r.lang for r in back.collect()) == ["en", "fr"]

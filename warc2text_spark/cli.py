@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", action="store_true")
     p.add_argument("--stdout", action="store_true",
                    help="print JSONL to stdout (requires --jsonl)")
+    p.add_argument("--compat-output", action="store_true",
+                   help="write the reference's per-lang positional column "
+                        "files (<out>/<lang>/{text,url,...}.gz) instead of "
+                        "the lang-partitioned parquet dataset")
     p.add_argument("--compress", default="gzip",
                    choices=["gzip", "zstd", "snappy", "none"])
     p.add_argument("--compress-level", type=int, default=3,
@@ -159,6 +163,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             out.write.mode("overwrite").text(
                 f"{args.output}/jsonl",
                 compression=None if args.compress == "none" else args.compress)
+    elif args.compat_output:
+        from .sinks.bilang_writer import write_bilang_files
+        drop_meta = [f for f in fields if f != "metadata"]
+        write_bilang_files(rows, args.output, tuple(drop_meta) or ("url", "text"),
+                           compresslevel=args.compress_level)
     else:
         cols = {"url": F.col("url"),
                 "text": F.col("chunk").alias("text"),

@@ -212,26 +212,34 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
         if classifier:
             from ..functions.langid import get_detector
             detector = get_detector(classifier)
+        import pyarrow.compute as pc
         for batch in batches:
-            cols = {name: batch.column(i).to_pylist()
-                    for i, name in enumerate(batch.schema.names)}
-            empty = [None] * batch.num_rows
-            out = {f.name: [] for f in schema}
-            for doc_id, url0, http_ct, content_enc, transfer_enc, warc_date, sp in zip(
-                    cols.get("doc_id", empty), cols.get("url", empty),
-                    cols.get("http_ct", empty), cols.get("content_enc", empty),
-                    cols.get("transfer_enc", empty), cols.get("warc_date", empty),
-                    cols.get("spans", empty)):
+            acols = {n: batch.column(i)
+                     for i, n in enumerate(batch.schema.names)}
+            n_rows = batch.num_rows
+            empty = [None] * n_rows
+
+            def plist(name):
+                c = acols.get(name)
+                return c.to_pylist() if c is not None else empty
+
+            # only the columns the per-doc loop actually reads cross into
+            # Python; doc_id/warc_date (and url/http_ct on the output side)
+            # stay Arrow-native — one row out per row in, order preserved,
+            # so the input arrays are reused directly (zero-copy)
+            urls = plist("url")
+            http_cts = plist("http_ct")
+            out = {f.name: [] for f in schema
+                   if f.name not in ("doc_id", "url", "http_ct", "warc_date")}
+            enc_urls = [] if opts.encode_urls else None
+            for url0, http_ct, content_enc, transfer_enc, sp in zip(
+                    urls, http_cts, plist("content_enc"),
+                    plist("transfer_enc"), plist("spans")):
                 charset, err, plaintext, spans, raw = _clean_doc(
                     url0, http_ct, content_enc, transfer_enc, sp,
                     tag_filters, opts)
-                url = url0 or ""
-                if opts.encode_urls:
-                    url = encode_url(url)
-                out["doc_id"].append(doc_id)
-                out["url"].append(url)
-                out["http_ct"].append(http_ct or "")
-                out["warc_date"].append(warc_date or "")
+                if enc_urls is not None:
+                    enc_urls.append(encode_url(url0 or ""))
                 out["charset"].append(charset)
                 out["err"].append(err)
                 out["plaintext"].append(plaintext)
@@ -251,9 +259,27 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                             key=lambda d: d["lang"]))
                     else:
                         out["langs"].append([])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out[f.name], type=f.type) for f in schema],
-                schema=schema)
+
+            def native(name):
+                c = acols.get(name)
+                if c is None:
+                    return pa.array([""] * n_rows, type=pa.string())
+                return pc.fill_null(c, "")
+
+            arrays = []
+            for f in schema:
+                if f.name == "doc_id":
+                    c = acols.get("doc_id")
+                    arrays.append(c if c is not None
+                                  else pa.array(empty, type=pa.string()))
+                elif f.name == "url":
+                    arrays.append(pa.array(enc_urls, type=pa.string())
+                                  if enc_urls is not None else native("url"))
+                elif f.name in ("http_ct", "warc_date"):
+                    arrays.append(native(f.name))
+                else:
+                    arrays.append(pa.array(out[f.name], type=f.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return kernel
 

@@ -1,0 +1,98 @@
+"""K1 compatibility sink: the reference's per-language positional column
+files — ``<out>/<lang>/{text,html,url,mime,file,date}.gz`` where line i of
+every file in a directory describes record i (bilangwriter.cc:93-154).
+
+The keyed lang-partitioned parquet dataset (plans/pipeline.write_outputs)
+is the 100 TB path; this writer exists so a drop-in consumer of warc2text's
+directory layout can point at our output unchanged.  Layout contract per
+the reference:
+
+* one directory per language, files created lazily per lang
+  (bilangwriter.cc:171-181);
+* ``text``/``html`` lines are base64-encoded (one record per line,
+  bilangwriter.cc:126-137); url/mime/file/date are plain lines;
+* ``file`` is the provenance triple ``filename:offset:size``
+  (bilangwriter.cc:121-125) — here ``doc_id:0:<text bytes>``;
+* gzip, level 3 (warc2text_main.cc:60-62 default).
+
+Execution model: rows are hash-partitioned by ``lang`` so each language
+lands in exactly one task, then sorted within the partition — one pass per
+row appends one line to every enabled file, which *is* the positional
+alignment (the same loop shape as BilangWriter::write).  Like the
+reference binary, each task writes to a filesystem path visible where it
+runs; on a cluster that means a shared mount (the keyed parquet dataset is
+the distributed-native alternative).  Row order inside a language is
+deterministic (sorted by doc_id), unlike the reference's input order —
+consumers of this layout index lines positionally, not by order semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FIELD_NAMES = ("text", "html", "url", "mime", "file", "date")
+
+
+def write_bilang_files(lang_rows: DataFrame, out_dir: str,
+                       fields: tuple[str, ...] = ("url", "text"),
+                       compresslevel: int = 3) -> None:
+    """Write (record x lang) rows in the reference's directory layout.
+
+    ``lang_rows`` is the demux_by_lang frame (doc_id, lang, chunk, url,
+    http_ct, warc_date, plaintext[, payload_b64] ...).
+    """
+    unknown = set(fields) - set(FIELD_NAMES)
+    if unknown:
+        raise ValueError(f"unknown bilang fields: {sorted(unknown)}")
+    has_payload = "payload_b64" in lang_rows.columns
+    rows = lang_rows.select(
+        "lang", "doc_id",
+        F.coalesce(F.col("chunk"), F.lit("")).alias("chunk"),
+        F.coalesce(F.col("url"), F.lit("")).alias("url"),
+        F.coalesce(F.col("http_ct"), F.lit("")).alias("mime"),
+        F.coalesce(F.col("warc_date"), F.lit("")).alias("date"),
+        F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
+         .cast("string").alias("size"),
+        (F.coalesce(F.col("payload_b64"), F.lit("")) if has_payload
+         else F.base64(F.coalesce(F.col("plaintext"), F.lit(""))
+                       .cast("binary"))).alias("html_b64"),
+    )
+
+    field_list = list(fields)
+
+    def write_partition(it):
+        import base64
+        import gzip
+        import os
+        writers: dict[str, dict] = {}
+        try:
+            for row in it:
+                lang = row.lang or "unlabeled"
+                w = writers.get(lang)
+                if w is None:
+                    d = os.path.join(out_dir, lang)
+                    os.makedirs(d, exist_ok=True)
+                    w = {f: gzip.open(os.path.join(d, f + ".gz"), "wb",
+                                      compresslevel=compresslevel)
+                         for f in field_list}
+                    writers[lang] = w
+                for f in field_list:
+                    if f == "text":
+                        line = base64.b64encode(row.chunk.encode("utf-8"))
+                    elif f == "html":
+                        line = row.html_b64.encode("ascii")
+                    elif f == "file":
+                        line = f"{row.doc_id}:0:{row.size}".encode("utf-8")
+                    else:  # url | mime | date
+                        line = getattr(row, f).encode("utf-8")
+                    w[f].write(line + b"\n")
+        finally:
+            for w in writers.values():
+                for fh in w.values():
+                    fh.close()
+
+    # each lang in exactly one task (writers keyed by lang handle hash
+    # co-residency); sortWithinPartitions makes line order deterministic
+    rows.repartition("lang").sortWithinPartitions("lang", "doc_id") \
+        .foreachPartition(write_partition)
