@@ -80,6 +80,20 @@ _ATTR_UNQUOTED = re.compile(
     rb"([^ \t\n\r\f>\"'][^ \t\n\r\f>]*)([ \t\n\r\f>])")
 _ATTR_FAST_ENABLED = True  # differential tests flip this
 
+# whole-head skip (driver fast path, scan_head_skip): matches a run of
+# well-formed attributes up to the closing '>'/' />'.  Grammar mirrors the
+# scan_head loop exactly: attr names start with any byte except
+# ws/'='/'<'/'>'/'/' (a '/' at attr-start is only legal as '/>') and may
+# contain '/' afterwards; values are double-/single-quoted or unquoted
+# (first char not ws/'>'/quote, then anything except ws/'>').  Inputs the
+# regex rejects (EOF mid-head, '<' in a name, value starting at '>', lone
+# '/') fall back to the token loop so every quirk/error path is preserved.
+_HEAD_SKIP = re.compile(
+    rb"(?:[ \t\n\r\f]*+[^=<>/ \t\n\r\f][^=<> \t\n\r\f]*+"
+    rb"(?:[ \t\n\r\f]*+=[ \t\n\r\f]*+"
+    rb"(?:\"[^\"]*+\"|'[^']*+'|[^ \t\n\r\f>\"'][^ \t\n\r\f>]*+))?+)*+"
+    rb"[ \t\n\r\f]*+(/?)>")
+
 
 def _is_ws(c: int) -> bool:
     return c in _WS_SET
@@ -370,6 +384,28 @@ class Scanner:
                 value.append(c)
                 c = self._get()
         return TT_ERROR, b""
+
+    def scan_head_skip(self):
+        """Driver fast path: consume the whole tag head in one regex when
+        the caller knows attribute values cannot matter (no tag filter for
+        the current tag).  Output-equivalent to iterating _scan_head for
+        every input the regex accepts — ATTR tokens only influence the
+        driver via filter evaluation; anything unusual falls back to the
+        token loop with the position untouched."""
+        m = _HEAD_SKIP.match(self.buf, self.pos)
+        if m is None:
+            return self._scan_head()
+        self.pos = m.end()
+        if m.group(1):  # '/>': self-closing (xh_scanner.cc:87-92)
+            self._scan = self._scan_body
+            self._terminate_name()
+            return TT_TAG_END, b""
+        tb = self._tag_buf
+        if tb[:6] == b"script" or tb[:5] == b"style":
+            self._scan = self._scan_special
+            return self._scan_special()
+        self._scan = self._scan_body
+        return self._scan_body()
 
     # --- raw script/style bodies ----------------------------------------------
     def _scan_special(self):

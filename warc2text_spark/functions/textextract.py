@@ -156,14 +156,27 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
     tag = b""
     t = sc.TT_SPACE
     body_func = sc.Scanner._scan_body
+    head_func = sc.Scanner._scan_head
     while t != sc.TT_EOF and t != sc.TT_ERROR:
         # NB: compare the underlying function — bound methods are re-created
         # on each attribute access, so `s._scan is s._scan_body` is never true
-        if fused and s._scan.__func__ is body_func:
-            _fused_body(s, out, tag in NOTEXT_TAGS)
-            if s.pos >= s.end:
-                break
-        t, value = s.next_token()
+        if fused:
+            f = s._scan.__func__
+            if f is body_func:
+                _fused_body(s, out, tag in NOTEXT_TAGS)
+                if s.pos >= s.end:
+                    break
+                t, value = s.next_token()
+            elif f is head_func and tag not in tag_filters:
+                # no filter can fire for this tag: ATTR values are inert,
+                # skip the whole head in one step (error paths fall back);
+                # the returned token (TAG_END / body token / error) goes
+                # through the normal dispatch below
+                t, value = s.scan_head_skip()
+            else:
+                t, value = s.next_token()
+        else:
+            t, value = s.next_token()
         if t == sc.TT_ERROR:
             retval = HTML_PARSING_ERROR
         elif t == sc.TT_TAG_START or t == sc.TT_TAG_END:

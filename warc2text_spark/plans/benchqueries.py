@@ -577,6 +577,19 @@ def oracle_sql() -> dict[str, str]:
                    'x-test/fake' as media_type, 10 as width, 52 as height,
                    (3 + strlen(cast(doc_id as varchar)))::bigint as n_bytes
             from documents where doc_id % 10 = 3""",
+        "media_resize": """
+            select cast(doc_id as varchar) as doc_id, 1 as "offset",
+                   strlen('IMG' || doc_id)::bigint as resized_bytes,
+                   'IMG' || doc_id as resized_str
+            from documents where doc_id % 10 = 3""",
+        "media_frames": """
+            with s as (select cast(doc_id as varchar) as doc_id,
+                              'IMG' || doc_id as payload,
+                              greatest(strlen('IMG' || doc_id) // 3, 1) as step
+                       from documents where doc_id % 10 = 3)
+            select doc_id, 1 as "offset", i::int as frame_idx,
+                   substr(payload, (i * step + 1)::int, step::int) as frame_str
+            from s, generate_series(0, 2) t(i)""",
         "extract_zip": f"""
             select cast(doc_id as varchar) as doc_id,
                    replace(text, 'o', 'ö') || {NL} as plaintext,
@@ -697,6 +710,8 @@ def queries():
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -716,3 +731,22 @@ def q_jsonl_lines(spark, sf_dir) -> DataFrame:
 def q_media_features(spark, sf_dir) -> DataFrame:
     from ..operators.multimodal import extract_media_features
     return extract_media_features(build_spans(spark, sf_dir))
+
+
+def q_media_resize(spark, sf_dir) -> DataFrame:
+    """Binary->binary resize plumbing; with the deterministic fake codec
+    the resized payload is closed-form (== the input for len < 4*max_dim),
+    so the whole mapInPandas path is oracle-checkable."""
+    from ..operators.multimodal import resize_media
+    out = resize_media(build_spans(spark, sf_dir))
+    return out.select("doc_id", "offset", "resized_bytes",
+                      F.col("resized").cast("string").alias("resized_str"))
+
+
+def q_media_frames(spark, sf_dir) -> DataFrame:
+    """1->N frame-sampling plumbing; frame slices of the fake payload are
+    closed-form substrings."""
+    from ..operators.multimodal import sample_frames
+    out = sample_frames(build_spans(spark, sf_dir))
+    return out.select("doc_id", "offset", "frame_idx",
+                      F.col("frame").cast("string").alias("frame_str"))
