@@ -74,3 +74,28 @@ def test_adjacent_and_boundary():
     assert decode_entities("&amp;amp;") == "&amp;"
     assert decode_entities("") == ""
     assert decode_entities("no entities at all") == "no entities at all"
+
+
+def test_fast_path_matches_slow_path():
+    # the _FAST_ENT one-shot regex must be output-identical to the
+    # reference-shaped find_entity_end loop on randomized entity soup
+    import random
+    import re
+
+    from warc2text_spark.functions import entities as ent
+    pieces = ["&amp;", "&bogus;", "&#65;", "&#x41;", "&#X4a;", "&#;", "&#x;",
+              "&amp", "&", "&&", "&#123abc;", "&x41;", "&nbsp;", "&shy;",
+              "&#173;", "&#8203;", "&semi;", "&AMP;", "&eacute;", "plain ",
+              "x&y", "&#160;", "&#1114112;", "&#x110000;", ";", "#", "é"]
+    rng = random.Random(7)
+    never = re.compile(r"(?!x)x")
+    for _ in range(500):
+        s = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 30)))
+        fast = ent.decode_entities(s)
+        orig = ent._FAST_ENT
+        ent._FAST_ENT = never
+        try:
+            slow = ent.decode_entities(s)
+        finally:
+            ent._FAST_ENT = orig
+        assert fast == slow, s[:120]

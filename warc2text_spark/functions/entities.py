@@ -105,6 +105,13 @@ def codepoint_to_text(cp: int) -> str:
     return ""
 
 
+# fast path: a complete, well-terminated entity in one match — named,
+# decimal, or hex (the same run classes as find_entity_end, followed by
+# ';').  Anything else (missing ';', empty digit runs, EOF) takes the
+# reference-shaped slow path below.
+_FAST_ENT = re.compile(r"&(?:([a-zA-Z0-9]+)|#([0-9]+)|#[xX]([0-9a-fA-F]+));")
+
+
 def decode_entities(source: str) -> str:
     """Decode HTML entities in ``source`` (entities.cc:51-101)."""
     pos = source.find("&")
@@ -112,8 +119,26 @@ def decode_entities(source: str) -> str:
         return source
     out: list[str] = []
     end_pos = 0
+    fast = _FAST_ENT.match
+    named = NAMED_ENTITIES.get
     while pos >= 0:
         out.append(source[end_pos:pos])
+        m = fast(source, pos)
+        if m is not None:
+            name, dec, hx = m.groups()
+            if name is not None:
+                value = named(name)
+                if value is not None:
+                    out.append(value)
+            else:
+                code = int(dec) if dec is not None else int(hx, 16)
+                if code > _ULONG_MAX:
+                    raise EntityOverflowError(dec or hx)
+                if code <= _UNICODE_MAX:
+                    out.append(codepoint_to_text(code))
+            end_pos = m.end()
+            pos = source.find("&", end_pos)
+            continue
         end = find_entity_end(source, pos)
         if end is None:
             out.append(source[pos:])
