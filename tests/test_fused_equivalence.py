@@ -44,3 +44,42 @@ def test_randomized_equivalence():
         doc = "".join(rng.choice(PIECES) for _ in range(n)).encode("utf-8")
         a, b = both(doc)
         assert a == b, doc[:200]
+
+
+def test_window_fast_path_matches_byte_loop():
+    # the find-based scan_special/_scan_delimited twins must be
+    # token-for-token identical to the per-byte window loops, including
+    # the straddled-close-tag and straddled-marker miss quirks
+    import random
+
+    from warc2text_spark.functions import scanner as sc
+
+    pieces = [
+        "<script>", "</script>", "</scriptx>", "</Xcript>", "<style>",
+        "</style>", "x" * 1014, "x" * 1013, "y" * 2100, "<", ">", "</",
+        "<!--", "-->", "c" * 1022, "<![CDATA[", "]]>", "body text ",
+        "<p>a</p>", "var x = '</s'; ", "<scriptx>", "</scrip>",
+    ]
+    rng = random.Random(11)
+
+    def tokens(data):
+        s = sc.Scanner(data)
+        out = []
+        for _ in range(4000):
+            t, v = s.next_token()
+            out.append((t, v, s.tag_name, s.pos))
+            if t in (sc.TT_EOF, sc.TT_ERROR):
+                break
+        return out
+
+    for _ in range(300):
+        doc = "".join(rng.choice(pieces)
+                      for _ in range(rng.randint(1, 12))).encode()
+        sc._WINDOW_FAST_ENABLED = True
+        fast = tokens(doc)
+        sc._WINDOW_FAST_ENABLED = False
+        try:
+            slow = tokens(doc)
+        finally:
+            sc._WINDOW_FAST_ENABLED = True
+        assert fast == slow, doc[:120]

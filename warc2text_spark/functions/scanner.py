@@ -78,7 +78,9 @@ _ATTR_QUOTED = re.compile(
 _ATTR_UNQUOTED = re.compile(
     rb"([^=<> \t\n\r\f]+)[ \t\n\r\f]*=[ \t\n\r\f]*"
     rb"([^ \t\n\r\f>\"'][^ \t\n\r\f>]*)([ \t\n\r\f>])")
-_ATTR_FAST_ENABLED = True  # differential tests flip this
+_ATTR_FAST_ENABLED = True    # differential tests flip this
+_WINDOW_FAST_ENABLED = True  # find-based special/comment windows (ditto)
+_SPECIAL_CLOSE_CACHE: dict[bytes, re.Pattern] = {}
 
 # whole-head skip (driver fast path, scan_head_skip): matches a run of
 # well-formed attributes up to the closing '>'/' />'.  Grammar mirrors the
@@ -417,6 +419,8 @@ class Scanner:
             return TT_TAG_END, b""
         tl = self.tag_name_length
         tb = self._tag_buf
+        if _WINDOW_FAST_ENABLED:
+            return self._scan_special_fast(tl, tb)
         value = bytearray()
         while len(value) < MAX_TOKEN_SIZE - 1:
             c = self._get()
@@ -437,6 +441,46 @@ class Scanner:
         self.value = bytes(value)
         return TT_DATA, self.value
 
+    def _scan_special_fast(self, tl: int, tb: bytearray):
+        """Find-based twin of the _scan_special byte loop (differential-
+        tested).  Event order within the window is the earliest of:
+
+        * a close-tag match ``</`` + ANY + ``name[1:]`` + ``>`` (the byte
+          at name[0]'s position is unchecked — the do-while stops at i==1)
+          whose last byte fits inside the 1023-byte value (encoded by the
+          search endpos: a match ending past it is exactly one the byte
+          loop's ``<``-guard would have pushed back);
+        * a ``<`` at value index >= 1021 - tag_len (the guard itself);
+        * the window filling at 1023 bytes;
+        * EOF before any of those (value discarded, like the byte loop).
+        """
+        p0 = self.pos
+        end = self.end
+        buf = self.buf
+        key = bytes(tb[1:tl])
+        pat = _SPECIAL_CLOSE_CACHE.get(key)
+        if pat is None:
+            pat = re.compile(rb"</[\s\S]" + re.escape(key) + rb">")
+            _SPECIAL_CLOSE_CACHE[key] = pat
+        m = pat.search(buf, p0, min(end, p0 + MAX_TOKEN_SIZE - 1))
+        guard_from = p0 + (MAX_TOKEN_SIZE - 3 - tl)  # first '<' pushed back
+        lt = buf.find(0x3C, guard_from, min(end, p0 + MAX_TOKEN_SIZE - 1))
+        if m is not None and (lt < 0 or m.start() < lt):
+            self._got_tail = True
+            self.value = buf[p0:m.start()]
+            self.pos = m.end()
+            return TT_DATA, self.value
+        if 0 <= lt < end:
+            self.value = buf[p0:lt]
+            self.pos = lt
+            return TT_DATA, self.value
+        if end - p0 >= MAX_TOKEN_SIZE - 1:
+            self.value = buf[p0:p0 + MAX_TOKEN_SIZE - 1]
+            self.pos = p0 + MAX_TOKEN_SIZE - 1
+            return TT_DATA, self.value
+        self.pos = end
+        return TT_EOF, b""
+
     # --- windowed DATA scanners -------------------------------------------
     def _scan_delimited(self, tail: bytes, end_token: int, keep: int):
         """Shared shape of scan_comment/scan_cdata/scan_pi (windowed)."""
@@ -445,6 +489,26 @@ class Scanner:
             self._got_tail = False
             return end_token, b""
         n = len(tail)
+        if _WINDOW_FAST_ENABLED:
+            # find-based twin of the byte loop below: the end marker must
+            # fall entirely inside the 1023-byte window (a straddler is
+            # missed, exactly like the per-byte check); no marker and a
+            # full window -> capped DATA; no marker before EOF -> TT_EOF
+            # with the value discarded
+            p0 = self.pos
+            end = self.end
+            idx = self.buf.find(tail, p0, min(end, p0 + MAX_TOKEN_SIZE - 1))
+            if idx >= 0:
+                self._got_tail = True
+                self.value = self.buf[p0:idx + n - keep]
+                self.pos = idx + n
+                return TT_DATA, self.value
+            if end - p0 >= MAX_TOKEN_SIZE - 1:
+                self.value = self.buf[p0:p0 + MAX_TOKEN_SIZE - 1]
+                self.pos = p0 + MAX_TOKEN_SIZE - 1
+                return TT_DATA, self.value
+            self.pos = end
+            return TT_EOF, b""
         value = bytearray()
         while len(value) < MAX_TOKEN_SIZE - 1:
             c = self._get()
