@@ -158,3 +158,19 @@ def test_counters_releases_persisted_frames(spark):
     counters(res).collect()
     after = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert len(after) <= len(before)  # no cached partitions left behind
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
+    # F4/F6 must land in the parquet scan's PushedFilters (row-group
+    # skipping at scale); wrapping the attributes in lower()/coalesce()
+    # would silently pin them above the scan
+    from warc2text_spark.operators.filters import split_stream
+    from warc2text_spark.sources.fixtures import fixture_df
+    df, _ = fixture_df(spark)
+    path = str(tmp_path / "spans_pd")
+    df.write.parquet(path)
+    main, _, _ = split_stream(spark.read.parquet(path))
+    plan = main._jdf.queryExecution().executedPlan().toString()
+    pushed = plan[plan.find("PushedFilters"):].split("ReadSchema", 1)[0]
+    assert "In(warc_type" in pushed, pushed
+    assert "StringContains(warc_ct" in pushed, pushed

@@ -78,8 +78,18 @@ def is_robots_txt(url: Column = None) -> Column:
 
 
 def warc_type_ok(warc_type: Column = None) -> Column:
-    """F4 (warcpreprocessor.cc:145-146)."""
-    t = F.lower(F.coalesce(warc_type if warc_type is not None else F.col("warc_type"), F.lit("")))
+    """F4 (warcpreprocessor.cc:145-146).
+
+    Bare-attribute ``isin`` on purpose: the spans-table contract stores the
+    *post-parse* header projection, which is lower-cased at ingestion
+    (record.cc:64-66 lower-cases warc-type at parse; sources/warcio.py and
+    plans/spansgen.py both conform), and a bare attribute is what parquet
+    predicate pushdown can consume (``In`` reaches PushedFilters and skips
+    whole row groups of request/metadata records at scale; wrapping the
+    column in lower()/coalesce() pins the filter above the scan).  NULL
+    isin(...) evaluates to NULL -> dropped, same as the old coalesce('').
+    """
+    t = warc_type if warc_type is not None else F.col("warc_type")
     return t.isin("response", "resource")
 
 
@@ -91,8 +101,14 @@ def http_status_ok(http_status: Column = None) -> Column:
 
 
 def warc_ct_ok(warc_ct: Column = None) -> Column:
-    """F6 (warcpreprocessor.cc:152-153)."""
-    c = F.lower(F.coalesce(warc_ct if warc_ct is not None else F.col("warc_ct"), F.lit("")))
+    """F6 (warcpreprocessor.cc:152-153).
+
+    Bare-attribute ``contains`` for pushdown (StringContains reaches the
+    parquet scan under spark.sql.parquet.pushdown.string.predicate); the
+    table stores the lower-cased projection (record.cc:70), see
+    warc_type_ok.  NULL contains -> NULL -> dropped, like coalesce('').
+    """
+    c = warc_ct if warc_ct is not None else F.col("warc_ct")
     return c.contains("application/http")
 
 
