@@ -72,3 +72,19 @@ def test_invalid_base64_media_on_zip_path():
     from warc2text_spark.functions.record import ZIP_READ_ERROR
     charset, err, plaintext, spans = _clean_one_doc(row, {}, ExtractOptions())
     assert err == ZIP_READ_ERROR
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.one_of(
+    st.sampled_from([b"<script>", b"</script>", b"<style>", b"</style>",
+                     b"<!--", b"-->", b"<![CDATA[", b"]]>", b"<!ENTITY x 'y'>",
+                     b"<p>", b"</p>", b"<a href=x>", b"<b c='d'>", b"<img/>",
+                     b"&amp;", b"&#65;", b"&bogus", b" ", b"\x0b", b"\t\n",
+                     b"<", b">", b"/", b'"', b"'", b"=", b"word"]),
+    st.binary(max_size=24)), max_size=40))
+def test_fused_equals_unfused_on_soup(pieces):
+    # the fused fast paths (body segments, whole-head skip, window scans,
+    # entity one-shot) must be output-identical to the reference-shaped
+    # token loop on arbitrary tag/entity/binary soup
+    data = b"".join(pieces)
+    assert process_html(data, fused=True) == process_html(data, fused=False)

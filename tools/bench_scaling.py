@@ -81,7 +81,7 @@ def build_corpus(replicate: int) -> str:
     return path
 
 
-def run_level(cpus: int, corpus: str, repeat: int = 2) -> dict:
+def run_level(cpus: int, corpus: str, repeat: int = 3) -> dict:
     """Best of ``repeat`` fresh-subprocess runs: this host's run-to-run
     variance is +-30%, which would dominate a single-shot efficiency
     ratio; best-of-N measures each level's capability."""
@@ -91,8 +91,11 @@ def run_level(cpus: int, corpus: str, repeat: int = 2) -> dict:
         out = subprocess.run(
             [sys.executable, "-c", script, str(cpus), corpus],
             capture_output=True, text=True, timeout=3600, cwd="/tmp")
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"level {cpus} run produced no result:\n"
+                               f"{out.stderr[-2000:]}")
+        r = json.loads(lines[-1])
         if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
             best = r
     return best
@@ -150,7 +153,7 @@ Throughput context: ~{levels[16]['docs_per_sec']:,.0f} docs/sec at 16 cores
 Per-query timings at sf0.1 are recorded per round in BENCH_r{{N}}.json
 (bench.py).
 
-## Size linearity (fixed local[16], best-of-{2})
+## Size linearity (fixed local[16], best-of-{3})
 
 | corpus | seconds | docs/sec |
 |---|---|---|
