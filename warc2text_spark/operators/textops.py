@@ -99,6 +99,56 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text",
+                     gram: int = 3) -> DataFrame:
+    """Self-repetition signal (the duplicate word-n-gram fraction used by
+    Gopher/CCNet-style quality filtering): 1 - distinct/total over word
+    3-gram shingles.  Boilerplate-heavy and spam pages score high.  Pure
+    per-row array expressions — no shuffle, no Python."""
+    from .dedup import shingles
+    sh = shingles(text_col, gram)
+    n = F.size(sh).cast("long")
+    ratio = F.round((F.lit(1.0) - F.size(F.array_distinct(sh)) / n)
+                    .cast("double"), 4)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n.alias("n_grams"),
+        ratio.alias("dup_gram_ratio"),
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 min_stopwords: int = 2,
+                 max_dup_ratio: float = 0.5) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape,
+    thresholds fixed here): word-count bounds, mean-word-length band,
+    minimum stopword evidence, and a duplicate-3-gram ceiling; ``pass``
+    is the conjunction.  One per-row projection — the web-scale cleaning
+    sweep is scan -> this -> filter(pass), nothing shuffles."""
+    from .dedup import shingles
+    t = F.col(text_col)
+    w = tokens(t)
+    n_tok = F.size(w).cast("long")
+    mean_wl = (F.octet_length(F.replace(t, F.lit(" "), F.lit(""))) / n_tok)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*QUALITY_STOPWORDS)))
+    sh = shingles(text_col, 3)
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+    word_count_ok = (n_tok >= min_words) & (n_tok <= max_words)
+    mean_wl_ok = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    stopword_ok = n_stop >= min_stopwords
+    dup_ok = dup_ratio <= max_dup_ratio
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        word_count_ok.alias("word_count_ok"),
+        mean_wl_ok.alias("mean_word_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        dup_ok.alias("dup_gram_ok"),
+        (word_count_ok & mean_wl_ok & stopword_ok & dup_ok).alias("pass"),
+    )
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-set Jaccard between each doc and its doc_id+1 neighbour —
     the exact-similarity primitive; at scale candidates come from LSH

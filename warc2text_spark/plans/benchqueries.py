@@ -354,6 +354,14 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     return textops.jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_repetition_ratio(spark, sf_dir) -> DataFrame:
+    return textops.repetition_ratio(_docs(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir) -> DataFrame:
+    return textops.gopher_rules(_docs(spark, sf_dir))
+
+
 # ---------------- dedup ----------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
@@ -566,6 +574,39 @@ def oracle_sql() -> dict[str, str]:
                        range(1, greatest(strlen(text) - 4, 1) + 1),
                        i -> md5(substr(text, i::INT, 5)))) as fingerprint
             from documents""",
+        "repetition_ratio": """
+            with t as (select doc_id, text, string_split(text, ' ') as w from documents),
+            s as (select doc_id, case when len(w) >= 3
+                    then list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    else [text] end as sh from t)
+            select cast(doc_id as varchar) as doc_id,
+                   len(sh)::bigint as n_grams,
+                   cast(round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4)
+                        as double) as dup_gram_ratio
+            from s""",
+        "gopher_rules": """
+            with t as (select doc_id, text, string_split(text, ' ') as w from documents),
+            s as (select doc_id, text, w, case when len(w) >= 3
+                    then list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    else [text] end as sh from t),
+            m as (select doc_id,
+                         len(w)::bigint as n_tok,
+                         strlen(replace(text, ' ', '')) * 1.0 / len(w) as mean_wl,
+                         len(list_filter(w, x -> x in
+                             ('the','and','of','to','in','is'))) as n_stop,
+                         1.0 - len(list_distinct(sh)) * 1.0 / len(sh) as dup_ratio
+                  from s)
+            select cast(doc_id as varchar) as doc_id,
+                   (n_tok >= 50 and n_tok <= 100000) as word_count_ok,
+                   (mean_wl >= 3.0 and mean_wl <= 10.0) as mean_word_len_ok,
+                   (n_stop >= 2) as stopword_ok,
+                   (dup_ratio <= 0.5) as dup_gram_ok,
+                   ((n_tok >= 50 and n_tok <= 100000)
+                    and (mean_wl >= 3.0 and mean_wl <= 10.0)
+                    and n_stop >= 2 and dup_ratio <= 0.5) as "pass"
+            from m""",
         "simhash": _simhash_oracle(),
         "langid_labels": _langid_oracle(),
         "langid_demux": (f"select lang, count(*)::bigint as n_docs from "
@@ -698,6 +739,8 @@ def queries():
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "repetition_ratio": q_repetition_ratio,
+        "gopher_rules": q_gopher_rules,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
