@@ -198,8 +198,25 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
     return bytes(out), retval
 
 
+_C_ISSPACE_BYTES = b" \t\n\v\f\r"
+
+
 def trim_lines_copy(data: bytes) -> bytes:
-    """util.cc:36-66: per-line trim, empty lines dropped, lines \\n-joined."""
+    """util.cc:36-66: per-line trim, empty lines dropped, lines \\n-joined.
+
+    The reference's byte loop (skip leading C-isspace, find the newline,
+    back off trailing C-isspace, emit line + '\\n') is exactly: split on
+    newline, strip each line of C-isspace, drop empties, '\\n'-terminate
+    each kept line — which native split/strip do ~10x faster.  Pinned by
+    the differential test against the loop-shaped twin below.
+    """
+    out = [s for s in (line.strip(_C_ISSPACE_BYTES)
+                       for line in data.split(b"\n")) if s]
+    return b"\n".join(out) + b"\n" if out else b""
+
+
+def _trim_lines_copy_loop(data: bytes) -> bytes:
+    """Reference-shaped byte loop (differential-test twin)."""
     out = bytearray()
     i = 0
     n = len(data)

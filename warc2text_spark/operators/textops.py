@@ -149,6 +149,19 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host document counts — the primitive behind per-domain caps and
+    domain-mix curation in crawl pipelines.  One hash-partitioned groupBy
+    with map-side combine; the host regex is RE2/Java-portable so the
+    DuckDB oracle applies the identical pattern."""
+    host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    return (df.groupBy(host.alias("host"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-set Jaccard between each doc and its doc_id+1 neighbour —
     the exact-similarity primitive; at scale candidates come from LSH

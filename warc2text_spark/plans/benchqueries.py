@@ -362,6 +362,12 @@ def q_gopher_rules(spark, sf_dir) -> DataFrame:
     return textops.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_host_stats(spark, sf_dir) -> DataFrame:
+    """Per-host counts over the interleaved table's real url column; the
+    oracle rebuilds the closed-form urls and applies the same regex."""
+    return textops.host_stats(build_spans(spark, sf_dir))
+
+
 # ---------------- dedup ----------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
@@ -574,6 +580,16 @@ def oracle_sql() -> dict[str, str]:
                        range(1, greatest(strlen(text) - 4, 1) + 1),
                        i -> md5(substr(text, i::INT, 5)))) as fingerprint
             from documents""",
+        "host_stats": r"""
+            with u as (select doc_id,
+                case when doc_id % 10 = 9 then 'https://s' || (doc_id % 20) || '.example/robots.txt'
+                     when doc_id % 10 = 8 then 'https://s' || (doc_id % 20) || '.example/img' || doc_id || '.png'
+                     when doc_id % 10 = 0 then 'https://s' || (doc_id % 20) || '.example/page' || doc_id || '.html?q=a b'
+                     else 'https://s' || (doc_id % 20) || '.example/page' || doc_id || '.html' end as url
+                from documents)
+            select regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) as host,
+                   count(*)::bigint as n_docs
+            from u group by host""",
         "repetition_ratio": """
             with t as (select doc_id, text, string_split(text, ' ') as w from documents),
             s as (select doc_id, case when len(w) >= 3
@@ -741,6 +757,7 @@ def queries():
         "jaccard_pairs": q_jaccard_pairs,
         "repetition_ratio": q_repetition_ratio,
         "gopher_rules": q_gopher_rules,
+        "host_stats": q_host_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
