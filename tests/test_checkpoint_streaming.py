@@ -94,3 +94,15 @@ def test_streaming_pipeline(spark, tmp_path, n):
     # idempotent restart: the checkpoint remembers processed files
     run_streaming_pipeline(spark, inp, out, PipelineOptions(classifier="skip"))
     assert spark.read.parquet(f"{out}/text").count() == n
+
+
+def test_stop_after_waves_summary_counts_only_executed(spark, tmp_path):
+    out = str(tmp_path / "out4")
+    df = make_docs(spark, 20)
+    cfg = BatchJobConfig(out_dir=out, num_buckets=8, waves=4,
+                         options=PipelineOptions(classifier="skip"),
+                         stop_after_waves=2)
+    summary = run_batch(spark, df, cfg)
+    assert summary["waves_run"] == 2
+    assert summary["buckets_processed"] == 4  # 2 waves x 2 buckets
+    assert summary["buckets_pending"] == 4

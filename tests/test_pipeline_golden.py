@@ -174,3 +174,20 @@ def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
     pushed = plan[plan.find("PushedFilters"):].split("ReadSchema", 1)[0]
     assert "In(warc_type" in pushed, pushed
     assert "StringContains(warc_ct" in pushed, pushed
+
+
+def test_case_insensitive_headers_option(spark):
+    # the default (pushable) F4/F6 assume the lower-cased header contract;
+    # --case-insensitive-headers restores tolerant matching for tables
+    # that don't honor it
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+    df = spark.createDataFrame(
+        [_doc("mixed", [_t("<p>the cat and the dog</p>")],
+              warc_type="Response",
+              warc_ct="Application/HTTP; msgtype=response")],
+        schema=INPUT_SCHEMA)
+    strict = run_pipeline(df, PipelineOptions(classifier="skip"))
+    assert strict.main.count() == 0  # contract violation: dropped
+    tolerant = run_pipeline(df, PipelineOptions(
+        classifier="skip", case_insensitive_headers=True))
+    assert tolerant.main.count() == 1

@@ -68,6 +68,13 @@ def test_unknown_encoding_dropped():
     # a declared-but-unsupported charset is the unknown-encoding drop
     _, err, _ = clean_payload(b"\xe9 junk \xff", "text/html", "not-a-charset", "u")
     assert err == UNKNOWN_ENCODING_ERROR
+    # binary payloads (dense non-whitespace control bytes) mislabeled as
+    # text with no declared charset must still drop — the weak legacy
+    # guess is gated on the payload looking like text (uchardet returns
+    # nothing on binary data, util.cc:75-77)
+    jpeg_ish = bytes(range(256)) * 8
+    _, err2, _ = clean_payload(jpeg_ish, "text/html", "", "u")
+    assert err2 == UNKNOWN_ENCODING_ERROR
 
 
 def test_undeclared_legacy_charset_recovered():

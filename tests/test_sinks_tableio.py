@@ -120,3 +120,32 @@ def test_write_output_partitioned_compression(spark, tmp_path):
     back = spark.read.parquet(loc)
     assert back.count() == 2
     assert sorted(r.lang for r in back.collect()) == ["en", "fr"]
+
+
+def test_bilang_rerun_removes_stale_lang_dirs(spark, tmp_path):
+    out = str(tmp_path / "compat_rerun")
+    en = _doc("en-1", [_t("<p>the cat and the dog of the house</p>")])
+    unk = _doc("unk-1", [_t("<p>zzz qqq www</p>")])
+    run1 = demux_by_lang(run_pipeline(
+        spark.createDataFrame([en, unk], schema=INPUT_SCHEMA),
+        PipelineOptions(classifier="heuristic")).main)
+    write_bilang_files(run1, out, ("url", "text"))
+    assert sorted(os.listdir(out)) == ["en", "unk"]
+    run2 = demux_by_lang(run_pipeline(
+        spark.createDataFrame([en], schema=INPUT_SCHEMA),
+        PipelineOptions(classifier="heuristic")).main)
+    write_bilang_files(run2, out, ("url", "text"))
+    assert sorted(os.listdir(out)) == ["en"]  # stale unk/ removed
+
+
+def test_bilang_metadata_field(spark, tmp_path):
+    out = str(tmp_path / "compat_meta")
+    rows = demux_by_lang(run_pipeline(
+        spark.createDataFrame(
+            [_doc("d1", [_t("<p>the cat and the dog</p>")])],
+            schema=INPUT_SCHEMA),
+        PipelineOptions(classifier="skip")).main)
+    write_bilang_files(rows, out, ("url", "metadata"))
+    d = os.path.join(out, "unlabeled")
+    assert sorted(os.listdir(d)) == ["metadata.gz", "url.gz"]
+    assert _lines(os.path.join(d, "metadata.gz")) == ["ascii"]

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", action="store_true")
     p.add_argument("--stdout", action="store_true",
                    help="print JSONL to stdout (requires --jsonl)")
+    p.add_argument("--case-insensitive-headers", action="store_true",
+                   help="lower-case warc_type/warc_ct before filtering, for "
+                        "spans tables that don't store the lower-cased "
+                        "header projection (disables scan pushdown of F4/F6)")
     p.add_argument("--compat-output", action="store_true",
                    help="write the reference's per-lang positional column "
                         "files (<out>/<lang>/{text,url,...}.gz) instead of "
@@ -143,6 +147,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         num_partitions=args.num_partitions,
         paragraph_identification=args.paragraph_identification,
         max_record_size=args.max_record_size * 1024 * 1024,
+        case_insensitive_headers=args.case_insensitive_headers,
     )
     res = run_pipeline(df, opts)
 
@@ -165,8 +170,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 compression=None if args.compress == "none" else args.compress)
     elif args.compat_output:
         from .sinks.bilang_writer import write_bilang_files
-        drop_meta = [f for f in fields if f != "metadata"]
-        write_bilang_files(rows, args.output, tuple(drop_meta) or ("url", "text"),
+        write_bilang_files(rows, args.output, tuple(fields) or ("url", "text"),
                            compresslevel=args.compress_level)
     else:
         cols = {"url": F.col("url"),

@@ -61,15 +61,36 @@ def default_detect(data: bytes) -> str | None:
         return None
 
 
+import re as _re
+
 # the five cp1252 code points with no assignment; their presence pushes the
 # weak guess to iso-8859-1 (where they are C1 controls but still decode)
-_CP1252_UNDEFINED = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+_CP1252_UNDEFINED_RE = _re.compile(rb"[\x81\x8D\x8F\x90\x9D]")
+# C0 controls other than \t\n\v\f\r (plus DEL): essentially absent from
+# legacy text but dense in binary formats — the confidence gate below
+_BINARY_CTRL = bytes(c for c in range(0x20) if c not in (9, 10, 11, 12, 13)) \
+    + b"\x7f"
+_SAMPLE = 65536
+_MAX_CTRL_RATIO = 0.02
 
 
-def legacy_guess(data: bytes) -> str:
+def legacy_guess(data: bytes) -> str | None:
     """Weak-class guess for undeclared non-UTF-8 payloads: the
-    windows-1252/latin-1 family that dominates legacy web text."""
-    if any(b in _CP1252_UNDEFINED for b in data):
+    windows-1252/latin-1 family that dominates legacy web text.
+
+    Gated on the payload looking like text at all (uchardet's statistical
+    model returns nothing on binary data, util.cc:75-77): more than 2%
+    non-whitespace control bytes in the leading sample means a binary or
+    mislabeled payload -> None -> UNKNOWN_ENCODING_ERROR, like the
+    reference.  All checks are C-speed (translate/regex), never per-byte
+    Python."""
+    sample = data[:_SAMPLE]
+    if not sample:
+        return None
+    n_ctrl = len(sample) - len(sample.translate(None, _BINARY_CTRL))
+    if n_ctrl > len(sample) * _MAX_CTRL_RATIO:
+        return None
+    if _CP1252_UNDEFINED_RE.search(data):
         return "iso-8859-1"
     return "windows-1252"
 

@@ -108,7 +108,13 @@ def embedding_near_duplicates_lsh(df: DataFrame,
     the 10^12-row path (the crossJoin in embedding_near_duplicates is the
     small-scale exact baseline).  Recall note: near-identical vectors can
     straddle a bucket boundary when a dot product sits near 0; production
-    runs use multiple bucket tables (band trick) to drive misses down."""
+    runs use multiple bucket tables (band trick) to drive misses down.
+
+    Like minhash_candidate_pairs, the bucketed projection is persisted so
+    the B dot products per row evaluate once across both join sides; the
+    cache is released at session end (long-lived sessions:
+    spark.catalog.clearCache(), or at cluster scale write the bucketed
+    frame to a table instead of caching)."""
     from .similarity import lsh_bits
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = lsh_bits(df, hyperplanes).select(

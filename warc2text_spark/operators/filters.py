@@ -77,7 +77,8 @@ def is_robots_txt(url: Column = None) -> Column:
     return (path_start > 0) & (tail == "/robots.txt")
 
 
-def warc_type_ok(warc_type: Column = None) -> Column:
+def warc_type_ok(warc_type: Column = None,
+                 case_insensitive: bool = False) -> Column:
     """F4 (warcpreprocessor.cc:145-146).
 
     Bare-attribute ``isin`` on purpose: the spans-table contract stores the
@@ -88,8 +89,14 @@ def warc_type_ok(warc_type: Column = None) -> Column:
     whole row groups of request/metadata records at scale; wrapping the
     column in lower()/coalesce() pins the filter above the scan).  NULL
     isin(...) evaluates to NULL -> dropped, same as the old coalesce('').
+
+    For tables that do NOT honor the lower-cased contract, pass
+    ``case_insensitive=True`` (split_stream / CLI
+    ``--case-insensitive-headers``) — correctness over pushdown.
     """
     t = warc_type if warc_type is not None else F.col("warc_type")
+    if case_insensitive:
+        t = F.lower(F.coalesce(t, F.lit("")))
     return t.isin("response", "resource")
 
 
@@ -100,15 +107,19 @@ def http_status_ok(http_status: Column = None) -> Column:
     return s.isNull() | (s == "") | s.rlike("^20[036] ?.*$")
 
 
-def warc_ct_ok(warc_ct: Column = None) -> Column:
+def warc_ct_ok(warc_ct: Column = None,
+               case_insensitive: bool = False) -> Column:
     """F6 (warcpreprocessor.cc:152-153).
 
     Bare-attribute ``contains`` for pushdown (StringContains reaches the
     parquet scan under spark.sql.parquet.pushdown.string.predicate); the
     table stores the lower-cased projection (record.cc:70), see
-    warc_type_ok.  NULL contains -> NULL -> dropped, like coalesce('').
+    warc_type_ok for the contract and the ``case_insensitive`` escape
+    hatch.  NULL contains -> NULL -> dropped, like coalesce('').
     """
     c = warc_ct if warc_ct is not None else F.col("warc_ct")
+    if case_insensitive:
+        c = F.lower(F.coalesce(c, F.lit("")))
     return c.contains("application/http")
 
 
@@ -140,6 +151,7 @@ def split_stream(
     robots_process: bool = False,
     user_url_filter: str | None = None,
     max_record_size: int = MAX_RECORD_SIZE,
+    case_insensitive: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply F1-F9 in reference order; returns (main, robots, pdf).
 
@@ -162,7 +174,8 @@ def split_stream(
     robots_df = staged.filter(robots_pred).select(*cols)
 
     after_robots = alive & ~robots_pred
-    typed = after_robots & warc_type_ok() & http_status_ok() & warc_ct_ok()
+    typed = (after_robots & warc_type_ok(case_insensitive=case_insensitive)
+             & http_status_ok() & warc_ct_ok(case_insensitive=case_insensitive))
     pdf_pred = typed & is_pdf(clean_ct=cct)
     pdf_df = staged.filter(pdf_pred).select(*cols)
 

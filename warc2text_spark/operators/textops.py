@@ -41,15 +41,31 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# shared expression builders — quality_score, repetition_ratio, and
+# gopher_rules (and their DuckDB oracle twins) must stay definitionally
+# consistent, so the expressions exist exactly once
+def _mean_word_len(t: Column, w: Column) -> Column:
+    return F.octet_length(F.replace(t, F.lit(" "), F.lit(""))) / F.size(w)
+
+
+def _stopword_hits(w: Column) -> Column:
+    return F.size(F.filter(w, lambda x: x.isin(*QUALITY_STOPWORDS)))
+
+
+def _dup_gram_expr(text_col: str, gram: int = 3) -> Column:
+    from .dedup import shingles
+    sh = shingles(text_col, gram)
+    return F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / token / stopword-ratio features (rounded for stability)."""
     t = F.col(text_col)
     w = tokens(t)
     n_tok = F.size(w).cast("long")
     n_chars = F.octet_length(t).cast("long")
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*QUALITY_STOPWORDS))).cast("long")
-    avg_tok = F.round((F.octet_length(F.replace(t, F.lit(" "), F.lit(""))) / n_tok)
-                      .cast("double"), 4)
+    n_stop = _stopword_hits(w).cast("long")
+    avg_tok = F.round(_mean_word_len(t, w).cast("double"), 4)
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         n_chars.alias("n_chars"),
@@ -106,10 +122,8 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
     3-gram shingles.  Boilerplate-heavy and spam pages score high.  Pure
     per-row array expressions — no shuffle, no Python."""
     from .dedup import shingles
-    sh = shingles(text_col, gram)
-    n = F.size(sh).cast("long")
-    ratio = F.round((F.lit(1.0) - F.size(F.array_distinct(sh)) / n)
-                    .cast("double"), 4)
+    n = F.size(shingles(text_col, gram)).cast("long")
+    ratio = F.round(_dup_gram_expr(text_col, gram).cast("double"), 4)
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         n.alias("n_grams"),
@@ -127,14 +141,12 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     minimum stopword evidence, and a duplicate-3-gram ceiling; ``pass``
     is the conjunction.  One per-row projection — the web-scale cleaning
     sweep is scan -> this -> filter(pass), nothing shuffles."""
-    from .dedup import shingles
     t = F.col(text_col)
     w = tokens(t)
     n_tok = F.size(w).cast("long")
-    mean_wl = (F.octet_length(F.replace(t, F.lit(" "), F.lit(""))) / n_tok)
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*QUALITY_STOPWORDS)))
-    sh = shingles(text_col, 3)
-    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+    mean_wl = _mean_word_len(t, w)
+    n_stop = _stopword_hits(w)
+    dup_ratio = _dup_gram_expr(text_col, 3)
     word_count_ok = (n_tok >= min_words) & (n_tok <= max_words)
     mean_wl_ok = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
     stopword_ok = n_stop >= min_stopwords

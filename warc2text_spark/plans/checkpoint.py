@@ -79,6 +79,7 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     waves_run = 0
+    buckets_done = 0
     per_wave = max(1, (len(todo) + cfg.waves - 1) // max(cfg.waves, 1))
     for w in range(0, len(todo), per_wave):
         if cfg.stop_after_waves is not None and waves_run >= cfg.stop_after_waves:
@@ -129,10 +130,14 @@ def run_batch(spark: SparkSession, df: DataFrame, cfg: BatchJobConfig) -> dict:
         hist.write.mode("append").parquet(f"{cfg.out_dir}/_metrics")
         rows.unpersist()
         waves_run += 1
+        buckets_done += len(wave_buckets)
 
     return {
         "buckets_total": cfg.num_buckets,
         "buckets_skipped": len(done),
-        "buckets_processed": len(todo),
+        # only buckets actually covered by executed waves — with
+        # stop_after_waves the remainder stays pending for the next run
+        "buckets_processed": buckets_done,
+        "buckets_pending": len(todo) - buckets_done,
         "waves_run": waves_run,
     }

@@ -42,6 +42,9 @@ class PipelineOptions:
     media_text_mode: str = "passthrough"
     # carry transport-decoded payload (base64) for '-f html' outputs
     keep_payload: bool = False
+    # F4/F6 on lower(coalesce(...)) for tables that don't honor the
+    # lower-cased header contract — correctness over scan pushdown
+    case_insensitive_headers: bool = False
 
 
 @dataclass
@@ -60,6 +63,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
         robots_process=opts.robots_process,
         user_url_filter=opts.user_url_filter,
         max_record_size=opts.max_record_size,
+        case_insensitive=opts.case_insensitive_headers,
     )
     ext = run_extract(
         main0,

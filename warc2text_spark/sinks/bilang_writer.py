@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FIELD_NAMES = ("text", "html", "url", "mime", "file", "date")
+FIELD_NAMES = ("text", "html", "url", "mime", "file", "date", "metadata")
 
 
 def write_bilang_files(lang_rows: DataFrame, out_dir: str,
@@ -52,12 +52,18 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
         F.coalesce(F.col("url"), F.lit("")).alias("url"),
         F.coalesce(F.col("http_ct"), F.lit("")).alias("mime"),
         F.coalesce(F.col("warc_date"), F.lit("")).alias("date"),
+        F.coalesce(F.col("charset"), F.lit("")).alias("metadata"),
         F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
          .cast("string").alias("size"),
         (F.coalesce(F.col("payload_b64"), F.lit("")) if has_payload
          else F.base64(F.coalesce(F.col("plaintext"), F.lit(""))
                        .cast("binary"))).alias("html_b64"),
     )
+
+    # overwrite semantics, like the parquet/jsonl sinks: a rerun must not
+    # leave stale per-language directories from a previous run
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     field_list = list(fields)
 
@@ -84,7 +90,7 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                         line = row.html_b64.encode("ascii")
                     elif f == "file":
                         line = f"{row.doc_id}:0:{row.size}".encode("utf-8")
-                    else:  # url | mime | date
+                    else:  # url | mime | date | metadata (charset)
                         line = getattr(row, f).encode("utf-8")
                     w[f].write(line + b"\n")
         finally:
