@@ -98,6 +98,44 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
             .select("a_id", "b_id").distinct())
 
 
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 16-bit signature into four
+    4-bit keys, equality-join per band (one shuffle for all bands, same
+    shape as minhash_candidate_pairs), then filter candidates by Hamming
+    distance.  Complements MinHash: SimHash respects token *frequency*
+    where MinHash sees the shingle *set*.
+
+    The 16-bit signature is the oracle-portable demonstrator; production
+    uses 64-bit signatures with 8-bit bands (4-bit bands over 16 buckets
+    stop pruning at corpus scale).  Candidate skew per bucket is handled
+    by AQE skew-join splitting, like the MinHash join."""
+    from .textops import simhash16
+    sigs = simhash16(df, text_col)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), 4 * b)
+                 .bitwiseAND(F.lit(15)).alias("val"))
+        for b in range(4)])
+    long = sigs.select("doc_id", "simhash", F.explode(bands).alias("bv")) \
+               .select("doc_id", "simhash",
+                       F.col("bv.band").alias("band"),
+                       F.col("bv.val").alias("val"))
+    # signatures are md5-over-tokens: compute once, not per join side
+    # (released at session end / clearCache, like minhash_candidate_pairs)
+    long = long.persist()
+    a = long.select(F.col("doc_id").alias("a_id"),
+                    F.col("simhash").alias("a_sig"), "band", "val")
+    b = long.select(F.col("doc_id").alias("b_id"),
+                    F.col("simhash").alias("b_sig"), "band", "val")
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (a.join(b, ["band", "val"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(ham <= max_hamming)
+            .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+            .distinct())
+
+
 def embedding_near_duplicates_lsh(df: DataFrame,
                                   hyperplanes: list[list[float]],
                                   threshold: float = 0.999) -> DataFrame:

@@ -384,6 +384,10 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
                 F.col("b_id").cast("string").alias("b_id"))
 
 
+def q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    return dedup.simhash_near_pairs(_clone_docs(spark, sf_dir))
+
+
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return dedup.embedding_near_duplicates(_clone_emb(spark, sf_dir))
 
@@ -420,7 +424,7 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
 
 # ---------------- oracle SQL (DuckDB dialect) -------------------------------
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(src: str = "select doc_id, text from documents") -> str:
     high = "('8','9','a','b','c','d','e','f')"
     bits = ", ".join(
         f"case when sum(case when substr(m, {i + 1}, 1) in {high} then 1 "
@@ -428,10 +432,23 @@ def _simhash_oracle() -> str:
         for i in range(16))
     total = " + ".join(f"b{i}" for i in range(16))
     return f"""
-with w as (select doc_id, unnest(string_split(text, ' ')) as word from documents),
+with w as (select doc_id, unnest(string_split(text, ' ')) as word from ({src})),
 h as (select doc_id, md5(word) as m from w),
 bits as (select doc_id, {bits} from h group by doc_id)
 select cast(doc_id as varchar) as doc_id, cast({total} as bigint) as simhash from bits"""
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+with sigs as ({_simhash_oracle(_CLONES_SQL)}),
+long as (select doc_id, simhash, b.band,
+                (simhash >> (4 * b.band)) & 15 as val
+         from sigs, (values (0), (1), (2), (3)) b(band))
+select distinct a.doc_id as a_id, b2.doc_id as b_id,
+       bit_count(xor(a.simhash, b2.simhash))::int as hamming
+from long a join long b2
+  on a.band = b2.band and a.val = b2.val and a.doc_id < b2.doc_id
+where bit_count(xor(a.simhash, b2.simhash)) <= 3"""
 
 
 def _minhash_sig_exprs(src: str = "select doc_id, text from documents") -> str:
@@ -674,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
             from c group by 1 having count(*) > 1""",
         "minhash_signatures": _minhash_sig_exprs(),
         "minhash_pairs": _minhash_pairs_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "embedding_neardup": f"""
             with c as ({_EMB_CLONES_SQL}),
             {_EMB_M.format(src='c')}
@@ -761,6 +779,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "neardup_lsh": q_neardup_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
