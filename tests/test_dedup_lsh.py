@@ -41,3 +41,71 @@ def test_lsh_neardup_plan_has_no_cartesian_product(spark, emb):
     df = embedding_near_duplicates_lsh(emb, _planes(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _cache_empty(spark):
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_materialize_lifecycle_no_lingering_cache(spark, emb, tmp_path):
+    from warc2text_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        release_intermediates,
+        simhash_near_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog")
+         for i in range(30)], "doc_id long, text string")
+    spark.catalog.clearCache()
+
+    # path materialization: lineage break via parquet, nothing cached
+    out = minhash_candidate_pairs(
+        docs, materialize=str(tmp_path / "sigs"))
+    assert out.count() > 0
+    assert _cache_empty(spark)
+
+    # cache materialization: cached while in use, released by the handle
+    out2 = simhash_near_pairs(docs)
+    assert out2.count() > 0
+    assert not _cache_empty(spark)
+    release_intermediates(out2)
+    assert _cache_empty(spark)
+
+    # LSH embedding pairs expose the same lifecycle
+    out3 = embedding_near_duplicates_lsh(
+        emb, _planes(spark), materialize=str(tmp_path / "buckets"))
+    assert out3.count() > 0
+    assert _cache_empty(spark)
+
+
+def test_simhash64_bands_prune_candidates(spark):
+    """The shipped 64-bit/8-bit-band simhash_pairs must not degenerate
+    toward all-pairs: on a corpus of distinct docs plus exact clones it
+    returns (at least) every clone pair at hamming 0, and orders of
+    magnitude fewer candidates than the 16-bit/16-bucket demonstrator."""
+    from warc2text_spark.operators.dedup import (
+        release_intermediates,
+        simhash_near_pairs,
+    )
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(200)]
+    rows += [(i + 100000, t) for i, t in rows[:20]]  # 20 exact clones
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    p64 = simhash_near_pairs(docs)  # default: 64-bit
+    rows64 = p64.collect()
+    release_intermediates(p64)
+    # pair order follows STRING doc_id comparison (oracle-consistent);
+    # compare order-insensitively here
+    got64 = {frozenset((r.a_id, r.b_id)) for r in rows64 if r.hamming == 0}
+    clone_pairs = {frozenset((str(i), str(i + 100000))) for i, _ in rows[:20]}
+    assert clone_pairs <= got64
+
+    p16 = simhash_near_pairs(docs, bits=16)
+    n16 = p16.count()
+    release_intermediates(p16)
+    # 16 buckets/band over 220 docs ~ all-pairs; 256-bucket bands prune
+    assert len(rows64) < n16 / 10, (len(rows64), n16)

@@ -32,6 +32,18 @@ def test_named_decode_and_unknown_elided():
     assert decode_entities("x &unterminated y") == "x &unterminated y"
 
 
+def test_x_initial_names_take_hex_grammar():
+    # entities.cc:28-31: a leading x/X after '&' sets hex mode even
+    # without '#', so these never resolve as named entities.
+    assert decode_entities("a&xi;b") == "a&xi;b"        # 'i' not xdigit
+    assert decode_entities("a&Xi;b") == "a&Xi;b"
+    assert decode_entities("a&xcup;b") == "a&xcup;b"    # 'u' stops hex run
+    assert decode_entities("a&xrarr;b") == "a&xrarr;b"
+    assert decode_entities("a&xyz;b") == "a&xyz;b"      # 'y' stops hex run
+    # pure-hex run after x reaching ';' -> unknown named -> elided
+    assert decode_entities("a&xab;b") == "ab"
+
+
 def test_numeric_entities():
     assert decode_entities("&#65;&#x42;") == "AB"
     assert decode_entities("&#160;") == " "    # nbsp -> space
@@ -86,7 +98,9 @@ def test_fast_path_matches_slow_path():
     pieces = ["&amp;", "&bogus;", "&#65;", "&#x41;", "&#X4a;", "&#;", "&#x;",
               "&amp", "&", "&&", "&#123abc;", "&x41;", "&nbsp;", "&shy;",
               "&#173;", "&#8203;", "&semi;", "&AMP;", "&eacute;", "plain ",
-              "x&y", "&#160;", "&#1114112;", "&#x110000;", ";", "#", "é"]
+              "x&y", "&#160;", "&#1114112;", "&#x110000;", ";", "#", "é",
+              "&xi;", "&Xi;", "&xyz;", "&xcup;", "&xrarr;", "&xab;", "&Xab;",
+              "&x;", "&X;"]
     rng = random.Random(7)
     never = re.compile(r"(?!x)x")
     for _ in range(500):

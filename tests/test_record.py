@@ -147,3 +147,16 @@ def test_bad_zip_dropped():
     ct = "application/vnd.oasis.opendocument.text"
     _, err, _ = clean_payload(b"PK\x03\x04 truncated garbage", ct, "", "u")
     assert err == ZIP_READ_ERROR
+
+
+def test_pluggable_detector_unsupported_name_is_unknown_encoding():
+    # util.cc:84-90: the chosen charset must pass the converter-support
+    # probe; a detector returning an unsupported name -> None (unknown
+    # encoding), not a downstream conversion error
+    from warc2text_spark.functions.charset import detect_charset
+
+    assert detect_charset(b"\xe9 caf\xe9", "utf-8",
+                          detector=lambda b: "x-no-such-cs") is None
+    # a detector returning a supported name still wins over declared
+    assert detect_charset(b"\xe9 caf\xe9", "utf-8",
+                          detector=lambda b: "KOI8-R") == "koi8-r"

@@ -138,6 +138,59 @@ def test_bilang_rerun_removes_stale_lang_dirs(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["en"]  # stale unk/ removed
 
 
+_LONG = ("<p>" + "the cat and the dog of the big old house " * 5 + "</p>")
+
+
+def test_bilang_html_field_single_line_over_57_bytes(spark, tmp_path):
+    # F.base64 would MIME-chunk (CRLF/76 chars) any record > 57 bytes and
+    # break positional alignment; the writer must emit one b64 line per
+    # record on both the payload_b64 path and the plaintext fallback.
+    df = spark.createDataFrame(
+        [_doc("d1", [_t(_LONG)]), _doc("d2", [_t("<p>short</p>")])],
+        schema=INPUT_SCHEMA)
+
+    # fallback path: no payload_b64 column (default pipeline options)
+    rows = demux_by_lang(run_pipeline(
+        df, PipelineOptions(classifier="skip")).main)
+    assert "payload_b64" not in rows.columns
+    out = str(tmp_path / "compat_html_fb")
+    write_bilang_files(rows, out, ("url", "html", "text"))
+    d = os.path.join(out, "unlabeled")
+    html = _lines(os.path.join(d, "html.gz"))
+    text = _lines(os.path.join(d, "text.gz"))
+    assert len(html) == len(text) == 2
+    decoded = [base64.b64decode(line).decode("utf-8") for line in html]
+    assert any(len(t) > 57 and "the cat and the dog" in t for t in decoded)
+
+    # payload path: keep_payload carries the transport-decoded bytes
+    rows_p = demux_by_lang(run_pipeline(
+        df, PipelineOptions(classifier="skip", keep_payload=True)).main)
+    assert "payload_b64" in rows_p.columns
+    out_p = str(tmp_path / "compat_html_pl")
+    write_bilang_files(rows_p, out_p, ("url", "html"))
+    html_p = _lines(os.path.join(out_p, "unlabeled", "html.gz"))
+    assert len(html_p) == 2
+    raw = [base64.b64decode(line) for line in html_p]
+    assert any(_LONG.encode("utf-8") == r for r in raw)
+
+
+def test_cli_parquet_html_column_has_no_line_breaks(spark, tmp_path):
+    from warc2text_spark.cli import main
+    src = str(tmp_path / "in_html")
+    spark.createDataFrame([_doc("a-1", [_t(_LONG)])],
+                          schema=INPUT_SCHEMA).write.parquet(src)
+    out = str(tmp_path / "cli_html_out")
+    rc = main(["--input", src, "--output", out, "-f", "url,text,html",
+               "--classifier", "skip", "--skip-text-extraction", "--silent"],
+              spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(os.path.join(out, "text")).collect()
+    assert len(back) == 1
+    html = back[0].html
+    assert "\r" not in html and "\n" not in html
+    assert base64.b64decode(html).decode("utf-8").startswith("<p>the cat")
+
+
 def test_bilang_metadata_field(spark, tmp_path):
     out = str(tmp_path / "compat_meta")
     rows = demux_by_lang(run_pipeline(

@@ -64,6 +64,31 @@ def test_split_members_decompression_bomb_streamed():
     assert peak < 32 * 1024 * 1024  # never held the inflated member
 
 
+def test_split_members_truncated_stream_detected():
+    # a member cut mid-stream must stop the split (reference: incomplete
+    # inflate aborts the file) without looping forever on the new
+    # no-progress truncation check
+    import gzip as _gzip
+    whole = _gzip.compress(b"z" * 4096)
+    data = as_warc_gz(b"ok") + whole[: len(whole) // 2]
+    got = [m[2] for m in split_members(data)]
+    assert got == [b"ok"]
+
+
+def test_split_members_output_cap_boundary_sizes():
+    # members whose inflated size lands exactly on the 1 MiB max_length
+    # cap: zlib may consume all input while output is still pending, which
+    # the old `not unconsumed_tail -> truncated` check misclassified; the
+    # no-progress check must keep draining to the true member boundary
+    import gzip as _gzip
+    base = 1 << 20
+    for size in (base - 1, base, base + 1, 2 * base):
+        payload = (b"abcdefgh" * ((size // 8) + 1))[:size]
+        data = _gzip.compress(payload) + _gzip.compress(b"after")
+        got = [m[2] for m in split_members(data)]
+        assert got == [payload, b"after"], size
+
+
 def test_read_header_grammar():
     content = b"WARC/1.0\r\nA-Key: v1\r\nB:    spaced\r\n\r\npayload"
     ps, h = read_header(content, 10)

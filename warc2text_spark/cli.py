@@ -182,9 +182,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "metadata": F.col("charset").alias("metadata_charset"),
                 # b64 of the transport-decoded payload (bilangwriter.cc:126-131);
                 # with --skip-text-extraction plaintext IS the payload
+                # F.base64 is MIME-chunked (CRLF every 76 chars) on this
+                # runtime; strip the breaks so each value is one line like
+                # the reference's b64 (bilangwriter.cc:126-131)
                 "html": (F.col("payload_b64") if "html" in fields
                          and not args.skip_text_extraction
-                         else F.base64(F.col("plaintext").cast("binary"))
+                         else F.regexp_replace(
+                             F.base64(F.col("plaintext").cast("binary")),
+                             "[\r\n]", "")
                          ).alias("html")}
         selected = [F.col("doc_id"), F.col("lang")] + [cols[f] for f in fields]
         out = partition_safe_lang(rows).select(*selected)

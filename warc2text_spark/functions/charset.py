@@ -111,6 +111,13 @@ def detect_charset(data: bytes, declared: str, detector=default_detect) -> str |
     docstring for the precedence delta vs the reference)."""
     detected = detector(data)
     if detected:
+        # the reference probes the CHOSEN charset for converter support
+        # (util.cc:84-90); a pluggable detector may return a name codecs
+        # can't handle — that must surface as UNKNOWN_ENCODING_ERROR here,
+        # not UTF8_CONVERSION_ERROR downstream.  The built-in detector only
+        # emits known-good names, so the probe is skipped for it.
+        if detector is not default_detect and not charset_is_supported(detected):
+            return None
         return detected.lower()
     charset = (declared or "").lower()
     if not charset:

@@ -108,8 +108,14 @@ def codepoint_to_text(cp: int) -> str:
 # fast path: a complete, well-terminated entity in one match — named,
 # decimal, or hex (the same run classes as find_entity_end, followed by
 # ';').  Anything else (missing ';', empty digit runs, EOF) takes the
-# reference-shaped slow path below.
-_FAST_ENT = re.compile(r"&(?:([a-zA-Z0-9]+)|#([0-9]+)|#[xX]([0-9a-fA-F]+));")
+# reference-shaped slow path below.  Names starting with x/X are EXCLUDED
+# from the named alternative: find_entity_end (entities.cc:28-31) switches
+# to hex mode on a leading x/X even without '#', so '&xi;'/'&Xi;'/'&xcup;'
+# stay verbatim and '&xab;' (pure hex run) is an unknown-name elision —
+# only the slow path reproduces that grammar.
+_FAST_ENT = re.compile(
+    r"&(?:((?![xX])[a-zA-Z0-9]+)|#([0-9]+)|#[xX]([0-9a-fA-F]+));"
+)
 
 
 def decode_entities(source: str) -> str:

@@ -21,6 +21,44 @@ from pyspark.sql import functions as F
 
 from .textops import tokens
 
+# ---------------------------------------------------------------------------
+# intermediate materialization — the pair operators below compute an
+# expensive per-row projection (md5-over-shingles / hyperplane dot products)
+# that BOTH sides of a self-join derive from; without a lineage break
+# Catalyst re-evaluates it per side.  `materialize=` picks the break:
+#
+#   "cache"   persist() — caller releases with release_intermediates(result)
+#             (or spark.catalog.clearCache() / session end);
+#   a path    write parquet there and read back — nothing stays cached,
+#             the right choice at cluster scale (the table doubles as a
+#             checkpoint of the signatures);
+#   None      no break — Catalyst re-evaluates per join side (only sane
+#             when the projection is trivial).
+# ---------------------------------------------------------------------------
+
+
+def _lineage_break(df: DataFrame, materialize: str | None):
+    if materialize == "cache":
+        p = df.persist()
+        return p, [p]
+    if materialize:
+        df.write.mode("overwrite").parquet(materialize)
+        return df.sparkSession.read.parquet(materialize), []
+    return df, []
+
+
+def _attach(result: DataFrame, cached: list) -> DataFrame:
+    if cached:
+        result._w2t_cached = cached
+    return result
+
+
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist the intermediates a pairs query cached (materialize="cache").
+    Safe to call on any DataFrame; a no-op when nothing was cached."""
+    for c in getattr(df, "_w2t_cached", ()):
+        c.unpersist()
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, dup_count, min_doc_id)."""
@@ -72,7 +110,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
-                            bands: int = 4) -> DataFrame:
+                            bands: int = 4,
+                            materialize: str | None = "cache") -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any band signature.
 
     ONE equality self-join on (band, sig) over the exploded signature rows
@@ -87,58 +126,71 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     long = sigs.select("doc_id", F.explode(pairs_struct).alias("bs")) \
                .select("doc_id", F.col("bs.band").alias("band"),
                        F.col("bs.sig").alias("sig"))
-    # materialize signatures once — both join sides derive from `long`, and
-    # without a lineage break Catalyst re-evaluates the md5-over-shingles
-    # pipeline per side (at cluster scale: write sigs to a table instead)
-    long = long.persist()
+    long, cached = _lineage_break(long, materialize)
     a = long.select(F.col("doc_id").alias("a_id"), "band", "sig")
     b = long.select(F.col("doc_id").alias("b_id"), "band", "sig")
-    return (a.join(b, ["band", "sig"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id").distinct())
+    out = (a.join(b, ["band", "sig"])
+           .filter(F.col("a_id") < F.col("b_id"))
+           .select("a_id", "b_id").distinct())
+    return _attach(out, cached)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 16-bit signature into four
-    4-bit keys, equality-join per band (one shuffle for all bands, same
-    shape as minhash_candidate_pairs), then filter candidates by Hamming
-    distance.  Complements MinHash: SimHash respects token *frequency*
-    where MinHash sees the shingle *set*.
+                       max_hamming: int = 3, bits: int = 64,
+                       materialize: str | None = "cache") -> DataFrame:
+    """SimHash near-duplicate pairs: band the signature into byte-wide (or
+    nibble-wide for the 16-bit demonstrator) keys, equality-join per band
+    (one shuffle for all bands, same shape as minhash_candidate_pairs),
+    then filter candidates by Hamming distance.  Complements MinHash:
+    SimHash respects token *frequency* where MinHash sees the shingle
+    *set*.
 
-    The 16-bit signature is the oracle-portable demonstrator; production
-    uses 64-bit signatures with 8-bit bands (4-bit bands over 16 buckets
-    stop pruning at corpus scale).  Candidate skew per bucket is handled
-    by AQE skew-join splitting, like the MinHash join."""
-    from .textops import simhash16
-    sigs = simhash16(df, text_col)
+    The default is the production shape — 64-bit signature banded into
+    eight 8-bit keys (256 buckets per band), so candidate volume stays
+    ~N^2/256 per band instead of the 16-bit/16-bucket demonstrator's
+    ~N^2/16 that degenerates toward all-pairs at corpus scale.  By the
+    pigeonhole principle eight bands of 8 bits catch every pair with
+    Hamming <= 7, so max_hamming=3 loses no recall.  Candidate
+    skew per bucket is handled by AQE skew-join splitting, like the
+    MinHash join."""
+    from .textops import simhash16, simhash64
+    if bits == 64:
+        sigs = simhash64(df, text_col)
+        n_bands, width, mask = 8, 8, 255
+    elif bits == 16:
+        sigs = simhash16(df, text_col)
+        n_bands, width, mask = 4, 4, 15
+    else:
+        raise ValueError(f"bits must be 16 or 64, got {bits}")
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("simhash"), 4 * b)
-                 .bitwiseAND(F.lit(15)).alias("val"))
-        for b in range(4)])
+                 F.shiftright(F.col("simhash"), width * b)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(n_bands)])
     long = sigs.select("doc_id", "simhash", F.explode(bands).alias("bv")) \
                .select("doc_id", "simhash",
                        F.col("bv.band").alias("band"),
                        F.col("bv.val").alias("val"))
     # signatures are md5-over-tokens: compute once, not per join side
-    # (released at session end / clearCache, like minhash_candidate_pairs)
-    long = long.persist()
+    long, cached = _lineage_break(long, materialize)
     a = long.select(F.col("doc_id").alias("a_id"),
                     F.col("simhash").alias("a_sig"), "band", "val")
     b = long.select(F.col("doc_id").alias("b_id"),
                     F.col("simhash").alias("b_sig"), "band", "val")
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
-    return (a.join(b, ["band", "val"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .filter(ham <= max_hamming)
-            .select("a_id", "b_id", ham.cast("int").alias("hamming"))
-            .distinct())
+    out = (a.join(b, ["band", "val"])
+           .filter(F.col("a_id") < F.col("b_id"))
+           .filter(ham <= max_hamming)
+           .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+           .distinct())
+    return _attach(out, cached)
 
 
 def embedding_near_duplicates_lsh(df: DataFrame,
                                   hyperplanes: list[list[float]],
-                                  threshold: float = 0.999) -> DataFrame:
+                                  threshold: float = 0.999,
+                                  materialize: str | None = "cache"
+                                  ) -> DataFrame:
     """Embedding near-dup pairs at scale: random-hyperplane LSH bucketing
     (similarity.lsh_bits) -> equality self-join on the bucket key -> exact
     cosine filter within buckets.  With B well-chosen hyperplanes the
@@ -148,11 +200,9 @@ def embedding_near_duplicates_lsh(df: DataFrame,
     straddle a bucket boundary when a dot product sits near 0; production
     runs use multiple bucket tables (band trick) to drive misses down.
 
-    Like minhash_candidate_pairs, the bucketed projection is persisted so
-    the B dot products per row evaluate once across both join sides; the
-    cache is released at session end (long-lived sessions:
-    spark.catalog.clearCache(), or at cluster scale write the bucketed
-    frame to a table instead of caching)."""
+    Like minhash_candidate_pairs, the bucketed projection gets a lineage
+    break (see ``materialize``) so the B dot products per row evaluate
+    once across both join sides."""
     from .similarity import lsh_bits
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = lsh_bits(df, hyperplanes).select(
@@ -160,7 +210,7 @@ def embedding_near_duplicates_lsh(df: DataFrame,
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         .alias("norm"))
     # bucketing evaluates B dot products per row: compute once, not per side
-    base = base.persist()
+    base, cached = _lineage_break(base, materialize)
     a = base.select(F.col("vec_id").alias("a_id"), "bucket",
                     F.col("v").alias("a_v"), F.col("norm").alias("a_n"))
     b = base.select(F.col("vec_id").alias("b_id"), "bucket",
@@ -169,9 +219,14 @@ def embedding_near_duplicates_lsh(df: DataFrame,
     dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("a_n") * F.col("b_n"))
-    return j.select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
-                    F.round(cos, 4).alias("cosine")) \
-            .filter(F.col("cosine") >= threshold)
+    # filter on the UNROUNDED cosine and round only in the projection —
+    # the same filter-then-round shape as the exact baseline and the
+    # DuckDB oracle (rounding first would admit cosines in
+    # [threshold - 5e-5, threshold) that the true value rejects)
+    out = (j.filter(cos >= threshold)
+           .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                   F.round(cos, 4).alias("cosine")))
+    return _attach(out, cached)
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
@@ -189,6 +244,7 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFr
     dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("a_n") * F.col("b_n"))
-    return j.select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
-                    F.round(cos, 4).alias("cosine")) \
-            .filter(F.col("cosine") >= threshold)
+    # filter-then-round, matching the oracle (see the LSH variant)
+    return (j.filter(cos >= threshold)
+            .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                    F.round(cos, 4).alias("cosine")))

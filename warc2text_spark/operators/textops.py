@@ -115,6 +115,57 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# hex digits whose bit p (p=0 is the nibble's MSB, value 8) is set —
+# nibble-bit membership sets shared by simhash64 and its DuckDB oracle
+SIMHASH64_BIT_SETS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+# signed-long bit weights: bit 0 (the MSB) is -(2^63) in two's complement,
+# so the signature stays a plain BIGINT on every engine
+SIMHASH64_WEIGHTS = [
+    (-(2**63) if k == 0 else 1 << (63 - k)) for k in range(64)
+]
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash — the production signature width (simhash16 is the
+    oracle demonstrator).  Per token, bit k comes from bit (k % 4) of hex
+    nibble (k // 4) of md5(token): one md5 per token yields all 64 evidence
+    bits.  One aggregate pass accumulates a 64-slot counter vector; the
+    signature is the signed-long majority vote (MSB weight -(2^63), so the
+    value is an ordinary BIGINT and xor/bit_count/banding work identically
+    in Spark and DuckDB).  Pure string/array expressions, no Python."""
+    w = tokens(F.col(text_col))
+    hashes = F.transform(w, lambda x: F.md5(x))
+    zeros = F.array_repeat(F.lit(0), 64)
+
+    def evidence(h, i):
+        # i is 1-based slot index (Column); nibble = (i-1)//4 + 1, bit p =
+        # (i-1)%4 selects the membership set
+        nib = h.substr(((i - 1) / 4).cast("int") + 1, F.lit(1))
+        p = (i - 1) % 4
+        hit = (
+            F.when(p == 0, nib.isin(*SIMHASH64_BIT_SETS[0]))
+            .when(p == 1, nib.isin(*SIMHASH64_BIT_SETS[1]))
+            .when(p == 2, nib.isin(*SIMHASH64_BIT_SETS[2]))
+            .otherwise(nib.isin(*SIMHASH64_BIT_SETS[3]))
+        )
+        return F.when(hit, F.lit(1)).otherwise(F.lit(-1))
+
+    counts = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(1), F.lit(64)),
+            lambda a, i: a + evidence(h, i)))
+    weights = F.array(*[F.lit(wt).cast("long") for wt in SIMHASH64_WEIGHTS])
+    sim = F.aggregate(
+        F.zip_with(counts, weights,
+                   lambda c, wt: F.when(c > 0, wt).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, b: a + b)
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        sim.cast("long").alias("simhash"),
+    )
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text",
                      gram: int = 3) -> DataFrame:
     """Self-repetition signal (the duplicate word-n-gram fraction used by

@@ -350,6 +350,10 @@ def q_simhash(spark, sf_dir) -> DataFrame:
     return textops.simhash16(_docs(spark, sf_dir))
 
 
+def q_simhash64(spark, sf_dir) -> DataFrame:
+    return textops.simhash64(_docs(spark, sf_dir))
+
+
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     return textops.jaccard_pairs(_docs(spark, sf_dir))
 
@@ -438,12 +442,37 @@ bits as (select doc_id, {bits} from h group by doc_id)
 select cast(doc_id as varchar) as doc_id, cast({total} as bigint) as simhash from bits"""
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash64_oracle(src: str = "select doc_id, text from documents") -> str:
+    """DuckDB twin of textops.simhash64: bit k from bit (k % 4) of hex
+    nibble (k // 4) of md5(token); signed-long weights (the MSB term is
+    -(2^63), spelled to stay BIGINT — a bare literal would widen to
+    HUGEINT)."""
+    from ..operators.textops import SIMHASH64_BIT_SETS, SIMHASH64_WEIGHTS
+    sets = ["('" + "','".join(s) + "')" for s in SIMHASH64_BIT_SETS]
+    bits = ", ".join(
+        f"case when sum(case when substr(m, {k // 4 + 1}, 1) in {sets[k % 4]} "
+        f"then 1 else -1 end) > 0 then "
+        f"{'(-9223372036854775807 - 1)' if k == 0 else SIMHASH64_WEIGHTS[k]}"
+        f"::bigint else 0::bigint end as b{k}"
+        for k in range(64))
+    total = " + ".join(f"b{k}" for k in range(64))
     return f"""
-with sigs as ({_simhash_oracle(_CLONES_SQL)}),
+with w as (select doc_id, unnest(string_split(text, ' ')) as word from ({src})),
+h as (select doc_id, md5(word) as m from w),
+bits as (select doc_id, {bits} from h group by doc_id)
+select cast(doc_id as varchar) as doc_id, cast({total} as bigint) as simhash from bits"""
+
+
+def _simhash_pairs_oracle() -> str:
+    # 64-bit signatures, eight 8-bit bands (256 buckets/band) — the
+    # production shape; DuckDB's >> is arithmetic like Spark's shiftright
+    # and the & 255 mask makes the band value fill-agnostic
+    return f"""
+with sigs as ({_simhash64_oracle(_CLONES_SQL)}),
 long as (select doc_id, simhash, b.band,
-                (simhash >> (4 * b.band)) & 15 as val
-         from sigs, (values (0), (1), (2), (3)) b(band))
+                (simhash >> (8 * b.band)) & 255 as val
+         from sigs,
+              (values (0), (1), (2), (3), (4), (5), (6), (7)) b(band))
 select distinct a.doc_id as a_id, b2.doc_id as b_id,
        bit_count(xor(a.simhash, b2.simhash))::int as hamming
 from long a join long b2
@@ -641,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
                     and n_stop >= 2 and dup_ratio <= 0.5) as "pass"
             from m""",
         "simhash": _simhash_oracle(),
+        "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
         "langid_demux": (f"select lang, count(*)::bigint as n_docs from "
                          f"({_langid_oracle()}) group by lang"),
@@ -772,6 +802,7 @@ def queries():
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
         "jaccard_pairs": q_jaccard_pairs,
         "repetition_ratio": q_repetition_ratio,
         "gopher_rules": q_gopher_rules,

@@ -55,9 +55,13 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
         F.coalesce(F.col("charset"), F.lit("")).alias("metadata"),
         F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
          .cast("string").alias("size"),
+        # payload_b64 comes from Python b64encode (single-line); when the
+        # payload is absent we carry plaintext raw and encode it in
+        # write_partition — F.base64 is MIME-chunked (CRLF every 76 chars)
+        # on this runtime and would break the one-line-per-record layout.
         (F.coalesce(F.col("payload_b64"), F.lit("")) if has_payload
-         else F.base64(F.coalesce(F.col("plaintext"), F.lit(""))
-                       .cast("binary"))).alias("html_b64"),
+         else F.lit(None).cast("string")).alias("html_b64"),
+        F.coalesce(F.col("plaintext"), F.lit("")).alias("plaintext"),
     )
 
     # overwrite semantics, like the parquet/jsonl sinks: a rerun must not
@@ -87,7 +91,10 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                     if f == "text":
                         line = base64.b64encode(row.chunk.encode("utf-8"))
                     elif f == "html":
-                        line = row.html_b64.encode("ascii")
+                        line = (row.html_b64.encode("ascii")
+                                if row.html_b64 is not None else
+                                base64.b64encode(
+                                    row.plaintext.encode("utf-8")))
                     elif f == "file":
                         line = f"{row.doc_id}:0:{row.size}".encode("utf-8")
                     else:  # url | mime | date | metadata (charset)

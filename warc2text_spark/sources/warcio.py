@@ -70,8 +70,14 @@ def split_members(data: bytes, max_record_size: int = MAX_RECORD_SIZE
                         out = bytearray()
                 if d.eof:
                     break
-                if not d.unconsumed_tail:
-                    return  # truncated member: stop (reference behavior)
+                if not d.unconsumed_tail and not chunk:
+                    # no input left AND no pending output progressed: the
+                    # member really is truncated (reference behavior).  An
+                    # empty unconsumed_tail alone is not proof — zlib can
+                    # consume all input into its bit buffer while output
+                    # sits capped at max_length; the next d.decompress(b"")
+                    # drains it, so only a no-progress round stops us.
+                    return
         except zlib.error:
             return  # stream no longer inflates: stop (reference behavior)
         consumed = len(data) - pos - len(d.unused_data)
