@@ -68,3 +68,37 @@ def test_compress_level_and_buffer_flags(spark, tmp_path):
     assert rc == 0
     import glob
     assert glob.glob(f"{out}/text/lang=*/**/*.zstd.parquet", recursive=True)
+
+
+def test_encoding_errors_flag(spark, tmp_path):
+    # --encoding-errors discard drops the record whose utf-8-declared
+    # payload has invalid bytes (reference error 316); replace keeps it
+    import glob
+
+    from tests.test_warcio import as_warc_gz, warc_record
+
+    bad = warc_record(url="https://a.example/bad.html",
+                      http_headers=[("Content-Type",
+                                     "text/html; charset=utf-8")],
+                      body="<p>caf\xe9 ole the and of</p>".encode("latin-1"))
+    good = warc_record(url="https://a.example/good.html",
+                       http_headers=[("Content-Type",
+                                      "text/html; charset=utf-8")],
+                       body=b"<p>the cat and the dog</p>")
+    src = tmp_path / "in.warc.gz"
+    src.write_bytes(as_warc_gz(good, bad))
+
+    def run(policy, out):
+        rc = main(["--input", str(src), "--format", "warc",
+                   "--output", str(tmp_path / out), "--classifier", "skip",
+                   "--encoding-errors", policy, "--silent"], spark=spark)
+        assert rc == 0
+        files = glob.glob(str(tmp_path / out / "text" / "*" / "*.parquet"))
+        return spark.read.parquet(*files) if files else None
+
+    kept = run("replace", "o_replace")
+    assert kept.count() == 2
+    texts = {r.text for r in kept.collect()}
+    assert any("caf�" in t for t in texts)
+    kept_d = run("discard", "o_discard")
+    assert kept_d.count() == 1

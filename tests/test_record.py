@@ -160,3 +160,49 @@ def test_pluggable_detector_unsupported_name_is_unknown_encoding():
     # a detector returning a supported name still wins over declared
     assert detect_charset(b"\xe9 caf\xe9", "utf-8",
                           detector=lambda b: "KOI8-R") == "koi8-r"
+
+
+def test_encoding_errors_policy_no_convert_payloads():
+    # reference --encoding-errors over utf8-declared payloads with invalid
+    # bytes (warc2text_main.cc:164-174; strict = nlohmann error 316 which
+    # discards the record, warcpreprocessor.cc:237-246)
+    bad = b"<p>caf\xe9 ole</p>"  # declared utf-8, actually latin-1 bytes
+    args = (bad, "text/html", "utf-8", "u")
+    text_r, err_r, _ = clean_payload(*args)  # default: replace
+    assert (err_r, text_r) == (SUCCESS, "caf� ole\n")
+    text_i, err_i, _ = clean_payload(*args, encoding_errors="ignore")
+    assert (err_i, text_i) == (SUCCESS, "caf ole\n")
+    _, err_s, _ = clean_payload(*args, encoding_errors="strict")
+    assert err_s == UTF8_CONVERSION_ERROR
+
+    # plain-text and skip-extraction paths honor the same policy
+    _, err_p, _ = clean_payload(bad, "text/plain", "utf-8", "u",
+                                encoding_errors="strict")
+    assert err_p == UTF8_CONVERSION_ERROR
+    text_k, err_k, _ = clean_payload(bad, "text/html", "utf-8", "u",
+                                     skip_extraction=True,
+                                     encoding_errors="ignore")
+    assert (err_k, text_k) == (SUCCESS, "<p>caf ole</p>")
+
+
+def test_encoding_errors_policy_through_pipeline():
+    # end-to-end: a media-extract doc with an invalid-utf8 payload is kept
+    # under replace/ignore and dropped under strict
+    from warc2text_spark.operators.extract import ExtractOptions, _clean_one_doc
+
+    spans = [dict(kind="media", text="",
+                  media_ref=__import__("base64").b64encode(
+                      b"<p>caf\xe9</p>").decode("ascii"),
+                  offset=0)]
+    row = dict(url="u", http_ct="text/html; charset=utf-8", spans=spans)
+
+    def run(policy):
+        return _clean_one_doc(row, {}, ExtractOptions(
+            media_text_mode="extract", encoding_errors=policy))
+
+    _, err_r, text_r, _ = run("replace")
+    assert (err_r, text_r) == (SUCCESS, "caf�\n")
+    _, err_i, text_i, _ = run("ignore")
+    assert (err_i, text_i) == (SUCCESS, "caf\n")
+    _, err_s, _, _ = run("strict")
+    assert err_s == UTF8_CONVERSION_ERROR

@@ -202,3 +202,38 @@ def test_bilang_metadata_field(spark, tmp_path):
     d = os.path.join(out, "unlabeled")
     assert sorted(os.listdir(d)) == ["metadata.gz", "url.gz"]
     assert _lines(os.path.join(d, "metadata.gz")) == ["ascii"]
+
+
+def test_bilang_part_files_remove_per_lang_skew_ceiling(spark, tmp_path):
+    # parts_per_lang > 1: a dominant language spans multiple positional
+    # file groups, each internally aligned — per-part consumer contract
+    docs = [
+        _doc(f"en-{i:03d}", [_t("<p>the cat and the dog number %d</p>" % i)],
+             url=f"https://x/en{i}")
+        for i in range(24)
+    ]
+    rows = demux_by_lang(run_pipeline(
+        spark.createDataFrame(docs, schema=INPUT_SCHEMA),
+        PipelineOptions(classifier="heuristic")).main)
+    out = str(tmp_path / "compat_parts")
+    write_bilang_files(rows, out, ("url", "text", "file"), parts_per_lang=4)
+
+    d = os.path.join(out, "en")
+    url_parts = sorted(f for f in os.listdir(d) if f.startswith("url."))
+    assert len(url_parts) >= 2, url_parts  # 24 docs over 4 buckets
+    seen = {}
+    for up in url_parts:
+        part = up[len("url."):-len(".gz")]
+        urls = _lines(os.path.join(d, f"url.{part}.gz"))
+        texts = _lines(os.path.join(d, f"text.{part}.gz"))
+        files = _lines(os.path.join(d, f"file.{part}.gz"))
+        # positional contract holds per part
+        assert len(urls) == len(texts) == len(files) > 0
+        for u, t, fl in zip(urls, texts, files):
+            seen[u] = (base64.b64decode(t).decode("utf-8"), fl)
+    # every record lands in exactly one part, alignment intact
+    assert len(seen) == 24
+    for i in range(24):
+        text, fl = seen[f"https://x/en{i}"]
+        assert text == f"the cat and the dog number {i}\n"
+        assert fl.startswith(f"en-{i:03d}:0:")

@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jsonl", action="store_true")
     p.add_argument("--stdout", action="store_true",
                    help="print JSONL to stdout (requires --jsonl)")
+    p.add_argument("--encoding-errors", dest="encoding_errors",
+                   default="replace", choices=["ignore", "replace", "discard"],
+                   help="invalid-UTF-8 policy for utf8/ascii-declared "
+                        "payloads (reference warc2text_main.cc:61): ignore "
+                        "drops bad bytes, replace substitutes U+FFFD, "
+                        "discard drops the record (error 316)")
     p.add_argument("--case-insensitive-headers", action="store_true",
                    help="lower-case warc_type/warc_ct before filtering, for "
                         "spans tables that don't store the lower-cased "
@@ -64,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the reference's per-lang positional column "
                         "files (<out>/<lang>/{text,url,...}.gz) instead of "
                         "the lang-partitioned parquet dataset")
+    p.add_argument("--compat-parts", type=int, default=1,
+                   help="with --compat-output: shard each language into N "
+                        "positional file groups (<lang>/text.<part>.gz) so "
+                        "no single task owns a dominant language")
     p.add_argument("--compress", default="gzip",
                    choices=["gzip", "zstd", "snappy", "none"])
     p.add_argument("--compress-level", type=int, default=3,
@@ -148,6 +158,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         paragraph_identification=args.paragraph_identification,
         max_record_size=args.max_record_size * 1024 * 1024,
         case_insensitive_headers=args.case_insensitive_headers,
+        # CLI uses the reference's value name 'discard'; the codec-level
+        # handler is Python's 'strict'
+        encoding_errors=("strict" if args.encoding_errors == "discard"
+                         else args.encoding_errors),
     )
     res = run_pipeline(df, opts)
 
@@ -171,7 +185,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.compat_output:
         from .sinks.bilang_writer import write_bilang_files
         write_bilang_files(rows, args.output, tuple(fields) or ("url", "text"),
-                           compresslevel=args.compress_level)
+                           compresslevel=args.compress_level,
+                           parts_per_lang=args.compat_parts)
     else:
         cols = {"url": F.col("url"),
                 "text": F.col("chunk").alias("text"),

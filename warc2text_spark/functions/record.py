@@ -89,12 +89,23 @@ def clean_payload(
     tag_filters=None,
     skip_extraction: bool = False,
     charset_detector=cs.default_detect,
+    encoding_errors: str = "replace",
 ) -> tuple[str, int, str]:
     """Extract plain text from one payload; returns (text, err, charset).
 
     ``text`` is the extracted plaintext ('' when err != SUCCESS/FILTERED);
     for ``skip_extraction`` it is the (possibly converted) raw payload.
     Exceptions never escape — exception-coded errors come back as err codes.
+
+    ``encoding_errors`` governs payloads whose charset is in the no-convert
+    set (utf8/utf-8/ascii, record.cc:240) but whose bytes are NOT valid
+    UTF-8 — the case the reference surfaces at JSON serialization time
+    (--encoding-errors, warc2text_main.cc:164-174): 'ignore' drops the bad
+    bytes, 'replace' (the reference default) substitutes U+FFFD, 'strict'
+    (CLI 'discard') discards the record exactly like nlohmann error 316
+    (warcpreprocessor.cc:237-246).  Delta vs the reference: we drop at the
+    kernel, so a discarded record is also excluded from the text/lang
+    counters, whereas the reference counts it before the writer throws.
     """
     non_text = bool(clean_http_ct) and clean_http_ct not in TEXT_CONTENT_TYPES
     zip_ct = ziputil.zip_content_type(clean_http_ct, url)
@@ -121,7 +132,11 @@ def clean_payload(
                 return cs.to_utf8(payload, charset), SUCCESS, charset
             except (UnicodeDecodeError, LookupError):
                 return "", UTF8_CONVERSION_ERROR, charset
-        return payload.decode("utf-8", errors="replace"), SUCCESS, charset
+        try:
+            return payload.decode("utf-8", errors=encoding_errors), \
+                SUCCESS, charset
+        except UnicodeDecodeError:  # encoding_errors == "strict": error 316
+            return "", UTF8_CONVERSION_ERROR, charset
 
     if is_plain:
         if need_convert:
@@ -131,7 +146,11 @@ def clean_payload(
                 return "", UTF8_CONVERSION_ERROR, charset
             payload = text.encode("utf-8")
         extracted = tx.replace_ctrl(tx.trim_lines_copy(payload))
-        return extracted.decode("utf-8", errors="replace"), SUCCESS, charset
+        try:
+            return extracted.decode("utf-8", errors=encoding_errors), \
+                SUCCESS, charset
+        except UnicodeDecodeError:
+            return "", UTF8_CONVERSION_ERROR, charset
 
     extracted, retval = tx.process_html(payload, tag_filters)
     if need_convert:
@@ -140,7 +159,10 @@ def clean_payload(
         except (UnicodeDecodeError, LookupError):
             return "", UTF8_CONVERSION_ERROR, charset
     else:
-        text = extracted.decode("utf-8", errors="replace")
+        try:
+            text = extracted.decode("utf-8", errors=encoding_errors)
+        except UnicodeDecodeError:
+            return "", UTF8_CONVERSION_ERROR, charset
 
     from .entities import EntityOverflowError, decode_entities
     try:

@@ -108,6 +108,10 @@ class ExtractOptions:
     # carry the transport-decoded payload bytes (base64) through the kernel
     # — needed for the reference's '-f html' output (bilangwriter.cc:126-131)
     keep_payload: bool = False
+    # invalid-UTF-8 policy for no-convert (utf8/ascii-declared) payloads:
+    # 'ignore' | 'replace' (reference --encoding-errors default) | 'strict'
+    # (reference CLI value 'discard' — drops the record, error 316)
+    encoding_errors: str = "replace"
     extra: dict = field(default_factory=dict)
 
 
@@ -157,7 +161,8 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                 text, serr, cs = rec.clean_payload(
                     payload, clean_ct, declared, url,
                     tag_filters=tag_filters,
-                    skip_extraction=opts.skip_extraction)
+                    skip_extraction=opts.skip_extraction,
+                    encoding_errors=opts.encoding_errors)
                 charset = charset or cs
                 if serr == rec.FILTERED_DOCUMENT_ERROR:
                     filtered = True
@@ -180,7 +185,8 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
         text, serr, cs = rec.clean_payload(
             payload, clean_ct, declared, url,
             tag_filters=tag_filters,
-            skip_extraction=opts.skip_extraction)
+            skip_extraction=opts.skip_extraction,
+            encoding_errors=opts.encoding_errors)
         charset = charset or cs
         if serr == rec.FILTERED_DOCUMENT_ERROR:
             filtered = True

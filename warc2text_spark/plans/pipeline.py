@@ -45,6 +45,9 @@ class PipelineOptions:
     # F4/F6 on lower(coalesce(...)) for tables that don't honor the
     # lower-cased header contract — correctness over scan pushdown
     case_insensitive_headers: bool = False
+    # invalid-UTF-8 policy for no-convert payloads (reference
+    # --encoding-errors): 'ignore' | 'replace' | 'strict' (CLI 'discard')
+    encoding_errors: str = "replace"
 
 
 @dataclass
@@ -75,6 +78,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
             classifier=opts.classifier if opts.fuse_langid else None,
             media_text_mode=opts.media_text_mode,
             keep_payload=opts.keep_payload,
+            encoding_errors=opts.encoding_errors,
         ),
         num_partitions=opts.num_partitions,
     )

@@ -15,13 +15,19 @@ the reference:
   (bilangwriter.cc:121-125) — here ``doc_id:0:<text bytes>``;
 * gzip, level 3 (warc2text_main.cc:60-62 default).
 
-Execution model: rows are hash-partitioned by ``lang`` so each language
-lands in exactly one task, then sorted within the partition — one pass per
-row appends one line to every enabled file, which *is* the positional
-alignment (the same loop shape as BilangWriter::write).  Like the
-reference binary, each task writes to a filesystem path visible where it
-runs; on a cluster that means a shared mount (the keyed parquet dataset is
-the distributed-native alternative).  Row order inside a language is
+Execution model: rows are hash-partitioned by (lang, part) where ``part``
+is a secondary bucket key (xxhash64(doc_id) mod parts_per_lang), then
+sorted within the partition — one pass per row appends one line to every
+enabled file of its (lang, part) group, which *is* the positional
+alignment (the same loop shape as BilangWriter::write).  With the default
+``parts_per_lang=1`` the layout is byte-compatible with the reference
+(``<lang>/text.gz``); with N > 1 a dominant language (English is ~half a
+crawl) fans out to N independent gzip streams ``<lang>/text.<part>.gz``,
+each internally aligned — the skew ceiling of one-task-per-language is
+gone and the consumer contract holds per part.  Like the reference
+binary, each task writes to a filesystem path visible where it runs; on a
+cluster that means a shared mount (the keyed parquet dataset is the
+distributed-native alternative).  Row order inside a part is
 deterministic (sorted by doc_id), unlike the reference's input order —
 consumers of this layout index lines positionally, not by order semantics.
 """
@@ -36,18 +42,26 @@ FIELD_NAMES = ("text", "html", "url", "mime", "file", "date", "metadata")
 
 def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                        fields: tuple[str, ...] = ("url", "text"),
-                       compresslevel: int = 3) -> None:
+                       compresslevel: int = 3,
+                       parts_per_lang: int = 1) -> None:
     """Write (record x lang) rows in the reference's directory layout.
 
     ``lang_rows`` is the demux_by_lang frame (doc_id, lang, chunk, url,
-    http_ct, warc_date, plaintext[, payload_b64] ...).
+    http_ct, warc_date, plaintext[, payload_b64] ...).  ``parts_per_lang``
+    > 1 shards each language into that many positional file groups
+    (``<lang>/{text,url,...}.<part>.gz``) so no single task owns a whole
+    language.
     """
     unknown = set(fields) - set(FIELD_NAMES)
     if unknown:
         raise ValueError(f"unknown bilang fields: {sorted(unknown)}")
+    if parts_per_lang < 1:
+        raise ValueError("parts_per_lang must be >= 1")
     has_payload = "payload_b64" in lang_rows.columns
     rows = lang_rows.select(
         "lang", "doc_id",
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+               F.lit(parts_per_lang)).cast("int").alias("part"),
         F.coalesce(F.col("chunk"), F.lit("")).alias("chunk"),
         F.coalesce(F.col("url"), F.lit("")).alias("url"),
         F.coalesce(F.col("http_ct"), F.lit("")).alias("mime"),
@@ -70,23 +84,26 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
     shutil.rmtree(out_dir, ignore_errors=True)
 
     field_list = list(fields)
+    single_part = parts_per_lang == 1
 
     def write_partition(it):
         import base64
         import gzip
         import os
-        writers: dict[str, dict] = {}
+        writers: dict[tuple, dict] = {}
         try:
             for row in it:
                 lang = row.lang or "unlabeled"
-                w = writers.get(lang)
+                key = (lang, row.part)
+                w = writers.get(key)
                 if w is None:
                     d = os.path.join(out_dir, lang)
                     os.makedirs(d, exist_ok=True)
-                    w = {f: gzip.open(os.path.join(d, f + ".gz"), "wb",
+                    suffix = ".gz" if single_part else f".{row.part:04d}.gz"
+                    w = {f: gzip.open(os.path.join(d, f + suffix), "wb",
                                       compresslevel=compresslevel)
                          for f in field_list}
-                    writers[lang] = w
+                    writers[key] = w
                 for f in field_list:
                     if f == "text":
                         line = base64.b64encode(row.chunk.encode("utf-8"))
@@ -105,7 +122,9 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                 for fh in w.values():
                     fh.close()
 
-    # each lang in exactly one task (writers keyed by lang handle hash
-    # co-residency); sortWithinPartitions makes line order deterministic
-    rows.repartition("lang").sortWithinPartitions("lang", "doc_id") \
+    # each (lang, part) group in exactly one task (writers keyed by group
+    # handle hash co-residency); sortWithinPartitions makes line order
+    # deterministic within a group
+    rows.repartition("lang", "part") \
+        .sortWithinPartitions("lang", "part", "doc_id") \
         .foreachPartition(write_partition)
