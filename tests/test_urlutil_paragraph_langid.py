@@ -160,3 +160,23 @@ def test_detect_chunks_resultchunk_invariants():
                     assert cb[idx:idx + nbytes] == data[off:off + nbytes]
                     idx += nbytes
             assert idx == len(cb)
+
+
+def test_same_script_discrimination():
+    # Cyrillic siblings: marker letters pick uk/bg over the ru default
+    # (functions/langid._CYRILLIC_MARKERS), Devanagari picks mr via U+0933
+    cases = {
+        "ru": "это новый день ещё раз мы были здесь",
+        "uk": "це новий день і ще раз ми були тут її єдність",
+        "bg": "това е нов ден и още веднъж бяхме тук ъгъл път",
+        "hi": "यह एक अच्छा दिन है और हम बाहर जाते हैं",
+        "mr": "हा एक चांगला दिवस आहे वेळ जवळ मोकळा आहे",
+    }
+    for lang, text in cases.items():
+        got, conf = classify(text)
+        assert got == lang and conf >= 0.5, (lang, got, conf)
+    # markerless Cyrillic/Devanagari falls back to the family default
+    assert classify("нова вода на дому")[0] == "ru"
+    assert classify("नमन जल भवन चलन")[0] == "hi"
+    # uppercase markers count too (lower-cased before matching)
+    assert classify("ЦЕ НОВИЙ ДЕНЬ І ЩЕ РАЗ МИ БУЛИ ТУТ ЇЇ ЄДНІСТЬ")[0] == "uk"

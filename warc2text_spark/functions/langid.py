@@ -48,11 +48,11 @@ _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
 # so Latin-script classification (and its SQL oracle twin) is unchanged.
 _SCRIPT_RANGES = (
     (0x0370, 0x03FF, "el"),   # Greek
-    (0x0400, 0x04FF, "ru"),   # Cyrillic
+    (0x0400, 0x04FF, "cyr"),  # Cyrillic (ru/uk/bg resolved below)
     (0x0590, 0x05FF, "he"),   # Hebrew
     (0x0600, 0x06FF, "ar"),   # Arabic
     (0x0750, 0x077F, "ar"),   # Arabic Supplement
-    (0x0900, 0x097F, "hi"),   # Devanagari
+    (0x0900, 0x097F, "dev"),  # Devanagari (hi/mr resolved below)
     (0x0E00, 0x0E7F, "th"),   # Thai
     (0x1100, 0x11FF, "ko"),   # Hangul Jamo
     (0x3040, 0x309F, "kana"),  # Hiragana
@@ -65,6 +65,31 @@ _SCRIPT_RANGES = (
 # minimum script-evidence characters before a label is emitted (CLD2-style
 # reliability floor on very short non-Latin runs)
 _MIN_SCRIPT_EVIDENCE = 4
+
+# same-script discriminators (CLD2's quadgram breadth direction,
+# lang_cld2.cc:11-16, as zero-dependency letter evidence): letters that are
+# frequent in one sibling language and absent (or vanishingly rare) in the
+# others.  Counted over the lower-cased text; first-listed language wins
+# ties; no marker at all falls back to the family default.  The rule is a
+# single CASE expression, so the SQL oracle twin is definitionally
+# identical (plans/benchqueries._langid_script_oracle).
+_CYRILLIC_MARKERS = (
+    ("uk", "іїєґ"),   # Ukrainian-only letters
+    ("ru", "ыэё"),    # Russian letters absent from Ukrainian and Bulgarian
+    ("bg", "ъ"),      # ~3% of Bulgarian text, ~0.02% of Russian
+)
+_DEVANAGARI_MARKERS = (
+    ("mr", "ळ"),      # retroflex LLA: frequent in Marathi, absent in Hindi
+)
+
+
+def _marker_lang(lowered: str, markers, default: str) -> str:
+    best_lang, best = default, 0
+    for lang, chars in markers:
+        c = sum(lowered.count(ch) for ch in chars)
+        if c > best:  # strict: earlier-listed language keeps ties
+            best_lang, best = lang, c
+    return best_lang
 
 
 def _script_scores(text: str) -> dict[str, int]:
@@ -87,6 +112,16 @@ def _script_scores(text: str) -> dict[str, int]:
         counts["ja"] = counts.get("ja", 0) + kana + han
     elif han:
         counts["zh"] = counts.get("zh", 0) + han
+    # same-script families: the whole family count goes to the marker
+    # winner (family default when no marker letter appears)
+    cyr = counts.pop("cyr", 0)
+    if cyr:
+        lang = _marker_lang(text.lower(), _CYRILLIC_MARKERS, "ru")
+        counts[lang] = counts.get(lang, 0) + cyr
+    dev = counts.pop("dev", 0)
+    if dev:
+        lang = _marker_lang(text.lower(), _DEVANAGARI_MARKERS, "hi")
+        counts[lang] = counts.get(lang, 0) + dev
     return counts
 
 

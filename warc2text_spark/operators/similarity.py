@@ -61,27 +61,53 @@ def lsh_bits(df: DataFrame, hyperplanes: list[list[float]],
 
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
              n_clusters: int = 8, n_probe: int = 2,
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the vectors, rank only the
-    ``n_probe`` clusters nearest the query.  The coarse quantizer is tiny
-    (fits the driver); assignment is one broadcast-applied map, so at
-    10^12 rows the scan prunes to n_probe/n_clusters of the data.
-    Deterministic via the fixed seed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+             vec_col: str = "embedding", seed: int = 42,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the vectors by nearest coarse
+    centroid, rank only the ``n_probe`` clusters nearest the query.  The
+    coarse quantizer is tiny (fits the driver); assignment is one
+    broadcast-applied map, so at 10^12 rows the scan prunes to
+    n_probe/n_clusters of the data.
 
-    feat = df.select(F.col("vec_id"),
-                     _as_double(F.col(vec_col)).alias("arr")) \
-             .withColumn("features", array_to_vector("arr"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features") \
-        .fit(feat)
-    assigned = model.transform(feat).withColumnRenamed("prediction", "cluster")
+    Two quantizers:
 
-    import numpy as np
-    centers = model.clusterCenters()
-    q = np.array(query, dtype=float)
-    dists = [float(np.linalg.norm(q - c)) for c in centers]
-    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+    * ``centroids=None`` (default): KMeans-trained (deterministic via the
+      fixed seed) — the quality path;
+    * explicit ``centroids``: a fixed coarse codebook (e.g. sampled table
+      rows, like lsh_topk's hyperplanes).  Assignment is a pure per-row
+      expression (argmin of squared distances, first-index tie-break), so
+      the whole operator is engine-portable and oracle-verifiable
+      (plans/benchqueries 'ann_ivf_topk').
+    """
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(F.col("vec_id"),
+                         _as_double(F.col(vec_col)).alias("arr")) \
+                 .withColumn("features", array_to_vector("arr"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features") \
+            .fit(feat)
+        assigned = model.transform(feat) \
+            .withColumnRenamed("prediction", "cluster")
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+    else:
+        centers = [[float(x) for x in c] for c in centroids]
+        v = _as_double(F.col(vec_col))
+        d2 = [F.aggregate(
+                  F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                             lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, x: acc + x)
+              for c in centers]
+        darr = F.array(*d2)
+        cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        assigned = df.select(F.col("vec_id"), v.alias("arr"),
+                             cluster.alias("cluster"))
+
+    qd = [float(x) for x in query]
+    cdists = [(sum((qi - ci) ** 2 for qi, ci in zip(qd, c)), i)
+              for i, c in enumerate(centers)]
+    probe = [i for _, i in sorted(cdists)][:n_probe]
 
     qcol = F.array(*[F.lit(float(x)) for x in query])
     cand = assigned.filter(F.col("cluster").isin(probe))

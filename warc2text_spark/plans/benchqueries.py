@@ -192,6 +192,63 @@ def q_langid_labels(spark, sf_dir) -> DataFrame:
         "doc_id", F.element_at("langs", 1)["lang"].alias("lang"))
 
 
+def q_extract_transport(spark, sf_dir) -> DataFrame:
+    """P6/P7 through the real kernel: chunked dechunk + gzip decompress on
+    executor-synthesized payloads; the oracle computes the expected
+    plaintext closed-form (spansgen.build_transport_spans)."""
+    from .spansgen import build_transport_spans
+    res = run_pipeline(build_transport_spans(spark, sf_dir),
+                       PipelineOptions(classifier="skip",
+                                       media_text_mode="extract"))
+    return res.main.select("doc_id", "plaintext")
+
+
+def q_langid_script(spark, sf_dir) -> DataFrame:
+    """Non-Latin corpus: Unicode-script classification including the
+    same-script Cyrillic (ru/uk/bg) and Devanagari (hi/mr) marker rules
+    (functions/langid._CYRILLIC_MARKERS)."""
+    from .spansgen import build_script_spans
+    res = run_pipeline(build_script_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic"))
+    return res.main.select(
+        "doc_id", F.element_at("langs", 1)["lang"].alias("lang"))
+
+
+def _langid_script_oracle() -> str:
+    """SQL twin of the script classifier over the same closed-form
+    sentences (spansgen.SCRIPT_SENTENCES).  Assumes single-script rows (as
+    the fixture synthesizes): the margin test collapses to the
+    script-evidence floor, and the same-script marker CASE mirrors
+    langid._marker_lang's first-listed-wins-ties rule exactly."""
+    from .spansgen import SCRIPT_SENTENCES
+    text_case = ("case doc_id % 6 " + " ".join(
+        f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
+        + " end")
+    return rf"""
+with t as (select doc_id, {text_case} || ' ' || doc_id as s from documents),
+m as (select doc_id, lower(s) as ls,
+        length(regexp_replace(s, '[^\x{{0400}}-\x{{04FF}}]', '', 'g')) as cyr,
+        length(regexp_replace(s, '[^\x{{0900}}-\x{{097F}}]', '', 'g')) as dev,
+        length(regexp_replace(s, '[^\x{{0370}}-\x{{03FF}}]', '', 'g')) as el
+      from t),
+mk as (select doc_id, cyr, dev, el,
+        length(regexp_replace(ls, '[^іїєґ]', '', 'g')) as uk_m,
+        length(regexp_replace(ls, '[^ыэё]', '', 'g')) as ru_m,
+        length(regexp_replace(ls, '[^ъ]', '', 'g')) as bg_m,
+        length(regexp_replace(ls, '[^ळ]', '', 'g')) as mr_m
+       from m)
+select cast(doc_id as varchar) as doc_id,
+  case when greatest(cyr, dev, el) < 4 then 'unk'
+       when cyr >= dev and cyr >= el then
+            case when uk_m > 0 and uk_m >= ru_m and uk_m >= bg_m then 'uk'
+                 when ru_m > 0 and ru_m >= bg_m then 'ru'
+                 when bg_m > 0 then 'bg'
+                 else 'ru' end
+       when dev >= el then (case when mr_m > 0 then 'mr' else 'hi' end)
+       else 'el' end as lang
+from mk"""
+
+
 def _langid_oracle() -> str:
     values = _stopword_values()
     return rf"""
@@ -424,6 +481,18 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
               emb.filter(F.col("vec_id").between(1, 8))
                  .orderBy("vec_id").collect()]
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), planes, 10)
+
+
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF ANN with a fixed coarse codebook (embeddings 1..8, like the LSH
+    hyperplanes) — assignment/probe/rank fully mirrored by the DuckDB
+    oracle; the KMeans-trained quantizer variant is pytest-covered."""
+    emb = _emb(spark, sf_dir)
+    cents = [[float(x) for x in r.embedding] for r in
+             emb.filter(F.col("vec_id").between(1, 8))
+                .orderBy("vec_id").collect()]
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), 10,
+                               n_probe=2, centroids=cents)
 
 
 # ---------------- oracle SQL (DuckDB dialect) -------------------------------
@@ -672,6 +741,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
+        "langid_script": _langid_script_oracle(),
+        "extract_transport": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   case doc_id % 3
+                     when 0 then text || {NL}
+                     when 1 then replace(text, 'a', 'A') || {NL}
+                     else replace(text, 'e', 'E') || {NL} end as plaintext
+            from documents""",
         "langid_demux": (f"select lang, count(*)::bigint as n_docs from "
                          f"({_langid_oracle()}) group by lang"),
         "multilang_demux": _multilang_demux_oracle(),
@@ -760,6 +837,39 @@ def oracle_sql() -> dict[str, str]:
                               i -> v[i] * qv[i])) / (nrm * qn) as cosine
                   from m, q)
             order by cosine desc, vec_id limit 10""",
+        "ann_ivf_topk": f"""
+            with {_EMB_M.format(src='embeddings').lstrip()},
+            c as (select vec_id as cid, v as cv from m
+                  where vec_id between 1 and 8),
+            q as (select v as qv, nrm as qn from m where vec_id = 0),
+            -- per-row assignment: nearest centroid by squared distance,
+            -- first (lowest cid) wins ties — same as F.array_position
+            d as (select m.vec_id, c.cid,
+                         list_sum(list_transform(range(1, len(m.v) + 1),
+                              i -> (m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i])))
+                         as dist
+                  from m, c),
+            a as (select vec_id, cid from
+                   (select vec_id, cid,
+                           row_number() over (partition by vec_id
+                                              order by dist, cid) as rn
+                    from d) where rn = 1),
+            pd as (select c.cid,
+                          list_sum(list_transform(range(1, len(q.qv) + 1),
+                               i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i])))
+                          as dist
+                   from c, q),
+            probe as (select cid from
+                       (select cid, row_number() over (order by dist, cid)
+                               as rn from pd) where rn <= 2)
+            select cast(m.vec_id as bigint) as vec_id,
+                   cast(round(list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn), 4) as double)
+                   as cosine
+            from m join a using (vec_id) join probe on a.cid = probe.cid, q
+            order by list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn) desc, m.vec_id
+            limit 10""",
         "ann_lsh_topk": f"""
             with {_EMB_M.format(src='embeddings').lstrip()},
             h as (select vec_id as hid, v as hv from m where vec_id between 1 and 8),
@@ -817,6 +927,9 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "langid_demux": q_langid_demux,
         "langid_labels": q_langid_labels,
+        "langid_script": q_langid_script,
+        "extract_transport": q_extract_transport,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,

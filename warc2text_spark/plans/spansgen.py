@@ -123,6 +123,115 @@ def build_zip_spans(spark, sf_dir: str,
     return docs.mapInPandas(gen, INPUT_SCHEMA)
 
 
+# non-Latin corpus for the script/same-script langid path; one constant
+# sentence per variant (doc_id % 6), suffixed with the id (Latin digits add
+# no script evidence).  Keep in sync with SCRIPT_TEXT_SQL below — the
+# DuckDB oracle recomputes the classifier rule over the same constants.
+SCRIPT_SENTENCES = (
+    "это новый день ещё раз мы были здесь",            # 0: ru (ы э ё)
+    "це новий день і ще раз ми були тут її єдність",   # 1: uk (і ї є)
+    "това е нов ден и още веднъж бяхме тук ъгъл път",  # 2: bg (ъ, no ы/э/ё)
+    "यह एक अच्छा दिन है और हम बाहर जाते हैं",              # 3: hi (no ळ)
+    "हा एक चांगला दिवस आहे वेळ जवळ मोकळा आहे",          # 4: mr (ळ)
+    "αυτή είναι μια καλή μέρα και πάμε έξω",           # 5: el
+)
+
+SCRIPT_TEXT_CASE = ("case nid % 6 " + " ".join(
+    f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
+    + " end")
+
+
+def build_script_spans(spark, sf_dir: str) -> DataFrame:
+    """Interleaved-table rows whose payloads are non-Latin single-script
+    pages — exercises the Unicode-script classifier including the
+    same-script Cyrillic (ru/uk/bg) and Devanagari (hi/mr) discrimination.
+    Closed-form like build_spans, so the oracle can recompute both the
+    expected plaintext and the classifier rule in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = f"concat('<p>', {SCRIPT_TEXT_CASE}, ' ', nid, '</p>')"
+    return docs.selectExpr("doc_id as nid").selectExpr(
+        "cast(nid as string) as doc_id",
+        "concat('https://s', nid % 20, '.example/page', nid, '.html') as url",
+        "'response' as warc_type",
+        "'application/http; msgtype=response' as warc_ct",
+        "'200 OK' as http_status",
+        "'text/html; charset=utf-8' as http_ct",
+        "'' as content_enc",
+        "'' as transfer_enc",
+        "'2024-01-01T00:00:00Z' as warc_date",
+        f"array(named_struct('kind', 'text', 'text', {body}, "
+        f"'media_ref', '', 'offset', 0)) as spans",
+    )
+
+
+def build_transport_spans(spark, sf_dir: str) -> DataFrame:
+    """Transport-encoded corpus for the P6/P7 paths: per ``doc_id % 3``
+
+      0  plain text span (control)
+      1  ``Content-Encoding: gzip`` — media span carrying
+         base64(gzip('<p>' + replace(text,'a','A') + '</p>', mtime=0))
+      2  ``Transfer-Encoding: chunked`` + gzip — the gzip bytes split into
+         two chunks with the reference framing (dechunk THEN decompress,
+         record.cc:114-128)
+
+    Encoding is a pure per-row function (executor-side mapInPandas, like
+    build_zip_spans); the oracle never re-encodes — the expected plaintext
+    is closed-form in ``text``.
+    """
+    import base64
+    import gzip as _gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import INPUT_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
+                                    "http_status", "http_ct", "content_enc",
+                                    "transfer_enc", "warc_date", "spans")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                v = int(doc_id) % 3
+                if v == 0:
+                    content_enc, transfer_enc = "", ""
+                    spans = [dict(kind="text", text=f"<p>{text}</p>",
+                                  media_ref="", offset=0)]
+                elif v == 1:
+                    content_enc, transfer_enc = "gzip", ""
+                    payload = _gzip.compress(
+                        f"<p>{text.replace('a', 'A')}</p>".encode(), mtime=0)
+                    spans = [dict(kind="media", text="",
+                                  media_ref=base64.b64encode(payload).decode(),
+                                  offset=0)]
+                else:
+                    content_enc, transfer_enc = "gzip", "chunked"
+                    payload = _gzip.compress(
+                        f"<p>{text.replace('e', 'E')}</p>".encode(), mtime=0)
+                    mid = max(1, len(payload) // 2)
+                    framed = b"".join(
+                        b"%x\r\n%s\r\n" % (len(c), c)
+                        for c in (payload[:mid], payload[mid:])) + b"0\r\n"
+                    spans = [dict(kind="media", text="",
+                                  media_ref=base64.b64encode(framed).decode(),
+                                  offset=0)]
+                rows["doc_id"].append(str(doc_id))
+                rows["url"].append(f"https://t.example/{doc_id}.html")
+                rows["warc_type"].append("response")
+                rows["warc_ct"].append("application/http; msgtype=response")
+                rows["http_status"].append("200 OK")
+                rows["http_ct"].append("text/html; charset=utf-8")
+                rows["content_enc"].append(content_enc)
+                rows["transfer_enc"].append(transfer_enc)
+                rows["warc_date"].append("2024-01-01T00:00:00Z")
+                rows["spans"].append(spans)
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return docs.mapInPandas(gen, INPUT_SCHEMA)
+
+
 def build_spans(spark, sf_dir: str, replicate: int = 1) -> DataFrame:
     """The interleaved input table.  ``replicate`` scales the corpus for
     benchmarking (new ids keep the variant distribution; deterministic)."""

@@ -13,7 +13,12 @@ the reference:
   bilangwriter.cc:126-137); url/mime/file/date are plain lines;
 * ``file`` is the provenance triple ``filename:offset:size``
   (bilangwriter.cc:121-125) — here ``doc_id:0:<text bytes>``;
-* gzip, level 3 (warc2text_main.cc:60-62 default).
+* gzip, level 3 (warc2text_main.cc:60-62 default).  The reference also
+  supports zstd output (bilangwriter.cc:47-51); this sandbox has no zstd
+  binding (no ``zstandard`` wheel, stdlib ``compression.zstd`` is 3.14+),
+  so the compat writer is gzip-only — the parquet dataset path supports
+  zstd via parquet codecs.  When a binding appears, add
+  ``compression='zstd'`` here by swapping the ``gzip.open`` factory.
 
 Execution model: rows are hash-partitioned by (lang, part) where ``part``
 is a secondary bucket key (xxhash64(doc_id) mod parts_per_lang), then
