@@ -96,13 +96,28 @@ def main() -> None:
     timed("extract_e2e", run_extract, repeat=2)
     timed("extract_salted", lambda: run_extract(CPUS * 2))
     timed("dedup_exact", lambda: force(q_dedup_exact(spark, SF_DIR)))
-    # single-shot on purpose: repeats would hit the persisted-signature
-    # cache (CacheManager reuses semantically-equal plans) and measure a
-    # warm cache, not the query; expect 5.6-8.9s host swing
-    timed("minhash_pairs", lambda: force(q_minhash_pairs(spark, SF_DIR)))
-    timed("simhash", lambda: force(q_simhash(spark, SF_DIR)))
-    timed("quality_score", lambda: force(q_quality_score(spark, SF_DIR)))
-    timed("ann_cosine_topk", lambda: force(q_ann_cosine_topk(spark, SF_DIR)))
+
+    # the pair queries persist their signature projection internally; a
+    # naive repeat would hit CacheManager's semantically-equal cached plan
+    # and time a warm cache.  release_intermediates between runs unpersists
+    # it, so best-of-2 times the cold query both times.
+    from warc2text_spark.operators.dedup import release_intermediates
+    from warc2text_spark.plans.benchqueries import q_simhash_pairs
+
+    def run_released(q):
+        out = q(spark, SF_DIR)
+        force(out)
+        release_intermediates(out)
+
+    timed("minhash_pairs", lambda: run_released(q_minhash_pairs), repeat=2)
+    timed("simhash_pairs", lambda: run_released(q_simhash_pairs), repeat=2)
+    # best-of-2 on the sub-2s queries too (VERDICT r2: the +-30% host swing
+    # made single samples look like regressions)
+    timed("simhash", lambda: force(q_simhash(spark, SF_DIR)), repeat=2)
+    timed("quality_score", lambda: force(q_quality_score(spark, SF_DIR)),
+          repeat=2)
+    timed("ann_cosine_topk", lambda: force(q_ann_cosine_topk(spark, SF_DIR)),
+          repeat=2)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_e2e"], 1)

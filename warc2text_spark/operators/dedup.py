@@ -135,6 +135,34 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     return _attach(out, cached)
 
 
+def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
+                           bands: int = 4, threshold: float = 0.8,
+                           gram: int = 3,
+                           materialize: str | None = "cache") -> DataFrame:
+    """The complete MinHash dedup pipeline: LSH candidate pairs -> exact
+    word-shingle-set Jaccard verification -> ``jaccard >= threshold``.
+
+    Candidates come from minhash_candidate_pairs (one bucket self-join,
+    never all-pairs); verification joins the (few) candidates back to the
+    distinct-shingle arrays — two hash joins whose build side is the
+    LSH-pruned pair list, so the expensive exact comparison runs on
+    ~duplicates only.  Filter on the unrounded Jaccard, round in the
+    projection (the oracle's filter-then-round shape)."""
+    cand = minhash_candidate_pairs(df, text_col, bands, materialize)
+    sh = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   F.array_distinct(shingles(text_col, gram)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    j = cand.join(a, "a_id").join(b, "b_id")
+    jac = (F.size(F.array_intersect("a_sh", "b_sh"))
+           / F.size(F.array_union("a_sh", "b_sh")))
+    out = (j.filter(jac >= threshold)
+           .select("a_id", "b_id",
+                   F.round(jac.cast("double"), 4).alias("jaccard")))
+    out._w2t_cached = getattr(cand, "_w2t_cached", [])
+    return out
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        max_hamming: int = 3, bits: int = 64,
                        materialize: str | None = "cache") -> DataFrame:

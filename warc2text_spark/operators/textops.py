@@ -225,6 +225,26 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def host_cap(df: DataFrame, cap: int = 100, url_col: str = "url",
+             text_col: str = "text") -> DataFrame:
+    """Per-domain document cap: keep the top ``cap`` docs per host ranked
+    by content length (desc; doc_id string tiebreak) — the curation
+    primitive behind domain-mix balancing in crawl pipelines (a viral host
+    must not dominate the training mix).  One window over the
+    hash-partitioned host key — a per-host top-N, never a global sort;
+    the skew bound is the largest single host, and a pathological
+    mega-host can be pre-capped via host_stats before ranking."""
+    from pyspark.sql import Window
+    base = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_chars"))
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id"))
+    return (base.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= cap))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-set Jaccard between each doc and its doc_id+1 neighbour —
     the exact-similarity primitive; at scale candidates come from LSH

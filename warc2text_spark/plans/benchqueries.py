@@ -440,13 +440,32 @@ def q_minhash_signatures(spark, sf_dir) -> DataFrame:
 
 
 def q_minhash_pairs(spark, sf_dir) -> DataFrame:
-    return dedup.minhash_candidate_pairs(_clone_docs(spark, sf_dir)) \
-        .select(F.col("a_id").cast("string").alias("a_id"),
-                F.col("b_id").cast("string").alias("b_id"))
+    pairs = dedup.minhash_candidate_pairs(_clone_docs(spark, sf_dir))
+    out = pairs.select(F.col("a_id").cast("string").alias("a_id"),
+                       F.col("b_id").cast("string").alias("b_id"))
+    # keep the cache handle across the cast projection so callers can
+    # dedup.release_intermediates(result)
+    out._w2t_cached = getattr(pairs, "_w2t_cached", [])
+    return out
 
 
 def q_simhash_pairs(spark, sf_dir) -> DataFrame:
     return dedup.simhash_near_pairs(_clone_docs(spark, sf_dir))
+
+
+def q_minhash_verified(spark, sf_dir) -> DataFrame:
+    """Full dedup pipeline: LSH candidates -> exact shingle-Jaccard."""
+    return dedup.minhash_verified_pairs(_clone_docs(spark, sf_dir))
+
+
+def q_host_cap(spark, sf_dir) -> DataFrame:
+    """Per-domain cap over a closed-form url column (20 hosts; cap=5 so
+    ranking and the cutoff both bite)."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('https://s', doc_id % 20, '.example/p', doc_id, '.html') as url",
+        "text")
+    return textops.host_cap(docs, cap=5)
 
 
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
@@ -563,13 +582,38 @@ hh as (select doc_id, list_transform(sh, s -> md5(s)) as hs from s)
 select cast(doc_id as varchar) as doc_id, {sig} from hh"""
 
 
-def _minhash_pairs_oracle() -> str:
-    sigs = _minhash_sig_exprs(_CLONES_SQL)
-    joins = " union ".join(
+def _minhash_band_joins() -> str:
+    return " union ".join(
         f"select a.doc_id as a_id, b.doc_id as b_id from sigs a "
         f"join sigs b on a.sig{b} = b.sig{b} and a.doc_id < b.doc_id"
         for b in range(4))
-    return f"with sigs as ({sigs}) select distinct a_id, b_id from ({joins})"
+
+
+def _minhash_pairs_oracle() -> str:
+    sigs = _minhash_sig_exprs(_CLONES_SQL)
+    return (f"with sigs as ({sigs}) "
+            f"select distinct a_id, b_id from ({_minhash_band_joins()})")
+
+
+def _minhash_verified_oracle(threshold: float = 0.8) -> str:
+    """Candidates (as _minhash_pairs_oracle) -> exact distinct-3-gram-
+    shingle Jaccard, filter-then-round like the Spark operator."""
+    sigs = _minhash_sig_exprs(_CLONES_SQL)
+    jac = ("len(list_intersect(a.sh, b.sh)) * 1.0 / "
+           "len(list_distinct(list_concat(a.sh, b.sh)))")
+    return f"""
+with sigs as ({sigs}),
+cand as (select distinct a_id, b_id from ({_minhash_band_joins()})),
+t2 as (select doc_id, text, string_split(text, ' ') as w from ({_CLONES_SQL})),
+dsh as (select cast(doc_id as varchar) as doc_id,
+               list_distinct(case when len(w) >= 3
+                 then list_transform(range(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                 else [text] end) as sh
+        from t2)
+select c.a_id, c.b_id, cast(round({jac}, 4) as double) as jaccard
+from cand c join dsh a on a.doc_id = c.a_id join dsh b on b.doc_id = c.b_id
+where {jac} >= {threshold}"""
 
 
 _EMB_M = """
@@ -799,6 +843,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sig_exprs(),
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
+        "minhash_verified": _minhash_verified_oracle(),
+        "host_cap": f"""
+            with t as (select cast(doc_id as varchar) as doc_id,
+                              'https://s' || (doc_id % 20) || '.example/p'
+                              || doc_id || '.html' as url,
+                              strlen(text)::bigint as n_chars
+                       from documents),
+            r as (select doc_id,
+                         regexp_extract(url, '{textops.HOST_RE}', 1) as host,
+                         n_chars,
+                         row_number() over (
+                           partition by regexp_extract(url, '{textops.HOST_RE}', 1)
+                           order by n_chars desc, doc_id)::int as rank
+                  from t)
+            select doc_id, host, n_chars, rank from r where rank <= 5""",
         "embedding_neardup": f"""
             with c as ({_EMB_CLONES_SQL}),
             {_EMB_M.format(src='c')}
@@ -930,6 +989,8 @@ def queries():
         "langid_script": q_langid_script,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "minhash_verified": q_minhash_verified,
+        "host_cap": q_host_cap,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,
