@@ -109,3 +109,23 @@ def test_simhash64_bands_prune_candidates(spark):
     release_intermediates(p16)
     # 16 buckets/band over 220 docs ~ all-pairs; 256-bucket bands prune
     assert len(rows64) < n16 / 10, (len(rows64), n16)
+
+
+def test_simhash64_fast_path_matches_set_twin(spark):
+    # the integer-nibble default must be bit-identical to the
+    # membership-set reference shape on adversarial token soup
+    import random
+
+    from warc2text_spark.operators import textops
+
+    rng = random.Random(11)
+    pieces = ["word", "été", "x", "", "  ", "a b  c", "ЦЕ", "日本語",
+              "123", "!!!", "the quick brown fox"]
+    rows = [(i, " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 8))))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: r.simhash
+            for r in textops.simhash64(docs).collect()}
+    slow = {r.doc_id: r.simhash
+            for r in textops._simhash64_sets(docs).collect()}
+    assert fast == slow

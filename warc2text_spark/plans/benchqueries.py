@@ -70,16 +70,27 @@ _EMB_CLONES_SQL = ("select vec_id, embedding from embeddings union all "
                    "where vec_id % 50 = 0")
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark, sf_dir, spread: bool = True):
+    # the sf fixture is ONE parquet row group, so the scan yields 1-2
+    # partitions and any expensive per-row projection (md5-over-shingles,
+    # simhash evidence) runs on 1-2 of the 32 cores.  One cheap exchange of
+    # the raw text spreads it (simhash64 5.4s -> 1.1s, fingerprint 2.2s ->
+    # 0.33s at sf0.1-x1).  Harness-level only: a real crawl table has
+    # thousands of splits and needs no repartition.  ``spread=False`` for
+    # queries whose per-row work is cheaper than the exchange
+    # (e.g. one md5 + groupBy).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d
 
 
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _clone_docs(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+def _clone_docs(spark, sf_dir, spread: bool = True):
+    d = _docs(spark, sf_dir, spread).select("doc_id", "text")
     extra = d.filter(F.col("doc_id") % 5 == 0) \
              .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     return d.unionByName(extra)
@@ -432,7 +443,8 @@ def q_host_stats(spark, sf_dir) -> DataFrame:
 # ---------------- dedup ----------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
-    return dedup.exact_duplicates(_clone_docs(spark, sf_dir))
+    # one md5 + map-side-combined groupBy: cheaper than the spread exchange
+    return dedup.exact_duplicates(_clone_docs(spark, sf_dir, spread=False))
 
 
 def q_minhash_signatures(spark, sf_dir) -> DataFrame:
