@@ -1,0 +1,59 @@
+"""Corpus-cleaning operators: cross-document boilerplate-line removal and
+PII redaction (CCNet-/pretraining-hygiene-shaped; oracle twins in
+plans/benchqueries.py)."""
+
+from pyspark.sql import functions as F
+
+from warc2text_spark.operators import textops
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = spark.createDataFrame([
+        (1, "COOKIE BANNER\nunique body one\nFOOTER"),
+        (2, "COOKIE BANNER\nunique body two\nFOOTER"),
+        (3, "COOKIE BANNER\nFOOTER"),              # fully boilerplate
+        (4, "standalone page with its own text"),  # untouched
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in textops.remove_boilerplate(docs, min_docs=2).collect()}
+    assert out == {
+        "1": "unique body one",
+        "2": "unique body two",
+        "3": "",  # every line was boilerplate; the doc survives as empty
+        "4": "standalone page with its own text",
+    }
+    # threshold respected: min_docs=4 keeps everything (max line count is 3)
+    out4 = {r.doc_id: r.clean_text
+            for r in textops.remove_boilerplate(docs, min_docs=4).collect()}
+    assert out4["1"] == "COOKIE BANNER\nunique body one\nFOOTER"
+
+
+def test_boilerplate_lines_counts(spark):
+    docs = spark.createDataFrame([
+        (1, "a\nb"), (2, "a\nc"), (3, "a\nb"),
+    ], "doc_id long, text string")
+    got = {r.line: r.n_docs
+           for r in textops.boilerplate_lines(docs, min_docs=2).collect()}
+    assert got == {"a": 3, "b": 2}
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame([
+        (1, "mail me at a.b+c@x-mail.co.uk or call +44 (0) 1234 5678 now"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io and z@w.dev"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textops.redact_pii(docs).collect()}
+    assert rows["1"].clean_text == "mail me at <EMAIL> or call <PHONE> now"
+    assert rows["2"].clean_text == "no pii here at all"
+    assert rows["2"].bytes_removed == 0
+    assert rows["3"].clean_text == "two mails <EMAIL> and <EMAIL>"
+    assert rows["1"].bytes_removed > 0
+
+
+def test_remove_boilerplate_plan_broadcasts_dup_lines(spark):
+    docs = spark.createDataFrame(
+        [(i, f"HDR\nbody {i}") for i in range(10)], "doc_id long, text string")
+    df = textops.remove_boilerplate(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dup-line set is the build side

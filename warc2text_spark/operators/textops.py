@@ -284,6 +284,68 @@ def host_cap(df: DataFrame, cap: int = 100, url_col: str = "url",
             .filter(F.col("rank") <= cap))
 
 
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      min_docs: int = 2) -> DataFrame:
+    """Lines (newline-delimited) appearing in >= ``min_docs`` distinct
+    documents — the CCNet-style cross-document boilerplate signal (nav
+    bars, cookie banners, footers repeat across a site; body text does
+    not).  One explode + one two-level distinct-count aggregation."""
+    lines = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    return (lines.groupBy("line")
+            .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate(df: DataFrame, text_col: str = "text",
+                       min_docs: int = 2) -> DataFrame:
+    """Drop cross-document duplicate lines from each document, preserving
+    line order — the CCNet paragraph-dedup shape.  Plan: posexplode ->
+    distinct-count per line -> left join the (small) duplicate-line set
+    back -> re-assemble per doc with an ordered in-array filter.  Every
+    document survives (a fully-boilerplate doc becomes the empty string).
+    At crawl scale the duplicate-line table is the join's build side —
+    tiny relative to the corpus, broadcast-able."""
+    lines = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    dup = boilerplate_lines(df, text_col, min_docs).select("line")
+    marked = lines.join(F.broadcast(dup.withColumn("is_dup", F.lit(True))),
+                        "line", "left")
+    assembled = F.array_join(
+        F.transform(
+            F.filter(F.array_sort(F.collect_list(F.struct("pos", "line",
+                                                          "is_dup"))),
+                     lambda s: s["is_dup"].isNull()),
+            lambda s: s["line"]),
+        "\n")
+    return (marked.groupBy("doc_id")
+            .agg(assembled.alias("clean_text")))
+
+
+# engine-portable redaction patterns (same RE2/Java semantics): email and
+# a permissive international phone shape
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9() -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and international-format phone numbers from the text
+    column — the standard pre-training hygiene pass.  Two native
+    regexp_replace calls, zero shuffle; the patterns are RE2-compatible so
+    the DuckDB oracle applies byte-identical rules."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        redacted.alias("clean_text"),
+        (F.octet_length(t) - F.octet_length(redacted)).cast("long")
+        .alias("bytes_removed"))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-set Jaccard between each doc and its doc_id+1 neighbour —
     the exact-similarity primitive; at scale candidates come from LSH

@@ -470,6 +470,31 @@ def q_minhash_verified(spark, sf_dir) -> DataFrame:
     return dedup.minhash_verified_pairs(_clone_docs(spark, sf_dir))
 
 
+def q_remove_boilerplate(spark, sf_dir) -> DataFrame:
+    """CCNet-style cross-document line dedup: every doc gets a shared
+    header (boilerplate in all docs) and a footer shared within its
+    doc_id%3 group; the unique body line must survive.  The oracle
+    recomputes the algorithm (distinct-count per line, ordered
+    re-assembly) in SQL."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("SHARED HEADER"), F.lit("\n"),
+                 F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
+                 F.lit("\n"), F.lit("FOOTER "),
+                 (F.col("doc_id") % 3).cast("string")).alias("text"))
+    return textops.remove_boilerplate(docs, min_docs=2)
+
+
+def q_redact_pii(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1 (555) 000-"),
+                 (F.col("doc_id") % 10000).cast("string")).alias("text"))
+    return textops.redact_pii(docs)
+
+
 def q_host_cap(spark, sf_dir) -> DataFrame:
     """Per-domain cap over a closed-form url column (20 hosts; cap=5 so
     ranking and the cutoff both bite)."""
@@ -856,6 +881,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "remove_boilerplate": f"""
+            with t as (select cast(doc_id as varchar) as doc_id,
+                              'SHARED HEADER' || {NL} || doc_id || ' ' || text
+                              || {NL} || 'FOOTER ' || (doc_id % 3) as s
+                       from documents),
+            l as (select doc_id,
+                         unnest(string_split(s, {NL})) as line,
+                         generate_subscripts(string_split(s, {NL}), 1) as pos
+                  from t),
+            d as (select line from l group by line
+                  having count(distinct doc_id) >= 2)
+            select l.doc_id,
+                   coalesce(string_agg(
+                     case when d.line is null then l.line end,
+                     {NL} order by l.pos), '') as clean_text
+            from l left join d using (line)
+            group by l.doc_id""",
+        "redact_pii": f"""
+            with t as (select cast(doc_id as varchar) as doc_id,
+                              text || ' contact user' || doc_id
+                              || '@example.com or +1 (555) 000-'
+                              || (doc_id % 10000) as s
+                       from documents),
+            r as (select doc_id, s,
+                         regexp_replace(regexp_replace(s,
+                           '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{textops.PII_PHONE_RE}', '<PHONE>', 'g') as c
+                  from t)
+            select doc_id, c as clean_text,
+                   (strlen(s) - strlen(c))::bigint as bytes_removed
+            from r""",
         "host_cap": f"""
             with t as (select cast(doc_id as varchar) as doc_id,
                               'https://s' || (doc_id % 20) || '.example/p'
@@ -1003,6 +1059,8 @@ def queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_verified": q_minhash_verified,
         "host_cap": q_host_cap,
+        "remove_boilerplate": q_remove_boilerplate,
+        "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
         "media_features": q_media_features,
