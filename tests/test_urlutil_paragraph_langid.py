@@ -180,3 +180,26 @@ def test_same_script_discrimination():
     assert classify("नमन जल भवन चलन")[0] == "hi"
     # uppercase markers count too (lower-cased before matching)
     assert classify("ЦЕ НОВИЙ ДЕНЬ І ЩЕ РАЗ МИ БУЛИ ТУТ ЇЇ ЄДНІСТЬ")[0] == "uk"
+
+
+def test_arabic_script_discrimination_and_latin_breadth():
+    # Arabic-script siblings: Urdu's dense ہ/ے evidence outranks the
+    # shared چ (a Persian marker also used in Urdu); Persian letters
+    # پ/ژ/گ pick fa; neither -> ar
+    cases = {
+        "ar": "هذا يوم جديد ونحن نذهب الى الخارج",
+        "fa": "این یک روز خوب است و ما پژوهش گروه چند",
+        "ur": "یہ ایک اچھا دن ہے اور ہم باہر جاتے ہیں",
+        # new Latin-script stopword languages
+        "pl": "to nie jest tak że już po prostu się da",
+        "cs": "to je ale podle něj už není pro nás",
+        "sv": "det är inte så att vi har ett val",
+        "ro": "este un lucru pentru care nu mai este timp",
+        "tr": "bu bir şey için daha çok zaman var ama değil",
+        "fi": "se on mutta niin että hän oli myös siellä",
+        "id": "ini adalah yang akan dengan untuk tidak dari mereka",
+        "vi": "đây là một trong những điều không được cho phép",
+    }
+    for lang, text in cases.items():
+        got, conf = classify(text)
+        assert got == lang and conf >= 0.5, (lang, got, conf)

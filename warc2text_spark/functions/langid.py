@@ -37,6 +37,26 @@ _STOPWORDS = {
            "non", "sono", "con", "del", "della", "gli", "nel", "si"},
     "nl": {"de", "het", "een", "en", "van", "is", "dat", "die", "in", "te",
            "niet", "met", "voor", "zijn", "op", "aan", "maar", "ook"},
+    "pl": {"się", "nie", "jest", "w", "na", "i", "z", "do", "że", "to",
+           "jak", "ale", "po", "co", "tak", "przez", "oraz", "już"},
+    "cs": {"je", "se", "na", "v", "a", "to", "že", "s", "z", "do",
+           "pro", "jako", "ale", "podle", "být", "jsou", "však", "už"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "har", "de", "ett", "var"},
+    "ro": {"și", "de", "în", "la", "cu", "este", "un", "o", "pentru",
+           "care", "nu", "pe", "din", "mai", "sau", "sunt", "dar", "după"},
+    "tr": {"bir", "ve", "bu", "için", "ile", "da", "de", "olarak", "çok",
+           "daha", "gibi", "ama", "en", "var", "değil", "sonra", "kadar",
+           "olan"},
+    "fi": {"ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "niin",
+           "kun", "myös", "tämä", "ovat", "jos", "mikä", "vain", "voi",
+           "kuin"},
+    "id": {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena",
+           "ada", "mereka"},
+    "vi": {"của", "là", "và", "có", "trong", "được", "các", "một",
+           "những", "cho", "không", "với", "này", "đã", "người", "khi",
+           "để", "trên"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -50,8 +70,8 @@ _SCRIPT_RANGES = (
     (0x0370, 0x03FF, "el"),   # Greek
     (0x0400, 0x04FF, "cyr"),  # Cyrillic (ru/uk/bg resolved below)
     (0x0590, 0x05FF, "he"),   # Hebrew
-    (0x0600, 0x06FF, "ar"),   # Arabic
-    (0x0750, 0x077F, "ar"),   # Arabic Supplement
+    (0x0600, 0x06FF, "arab"),  # Arabic script (ar/fa/ur resolved below)
+    (0x0750, 0x077F, "arab"),  # Arabic Supplement
     (0x0900, 0x097F, "dev"),  # Devanagari (hi/mr resolved below)
     (0x0E00, 0x0E7F, "th"),   # Thai
     (0x1100, 0x11FF, "ko"),   # Hangul Jamo
@@ -80,6 +100,10 @@ _CYRILLIC_MARKERS = (
 )
 _DEVANAGARI_MARKERS = (
     ("mr", "ळ"),      # retroflex LLA: frequent in Marathi, absent in Hindi
+)
+_ARABIC_MARKERS = (
+    ("ur", "ٹڈڑںےہ"),  # Urdu-only letters (retroflexes, bari ye, gol he)
+    ("fa", "پچژگ"),    # Persian-only letters (pe, che, zhe, gaf)
 )
 
 
@@ -122,6 +146,10 @@ def _script_scores(text: str) -> dict[str, int]:
     if dev:
         lang = _marker_lang(text.lower(), _DEVANAGARI_MARKERS, "hi")
         counts[lang] = counts.get(lang, 0) + dev
+    arab = counts.pop("arab", 0)
+    if arab:
+        lang = _marker_lang(text.lower(), _ARABIC_MARKERS, "ar")
+        counts[lang] = counts.get(lang, 0) + arab
     return counts
 
 

@@ -232,7 +232,7 @@ def _langid_script_oracle() -> str:
     script-evidence floor, and the same-script marker CASE mirrors
     langid._marker_lang's first-listed-wins-ties rule exactly."""
     from .spansgen import SCRIPT_SENTENCES
-    text_case = ("case doc_id % 6 " + " ".join(
+    text_case = ("case doc_id % 9 " + " ".join(
         f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
         + " end")
     return rf"""
@@ -240,22 +240,31 @@ with t as (select doc_id, {text_case} || ' ' || doc_id as s from documents),
 m as (select doc_id, lower(s) as ls,
         length(regexp_replace(s, '[^\x{{0400}}-\x{{04FF}}]', '', 'g')) as cyr,
         length(regexp_replace(s, '[^\x{{0900}}-\x{{097F}}]', '', 'g')) as dev,
-        length(regexp_replace(s, '[^\x{{0370}}-\x{{03FF}}]', '', 'g')) as el
+        length(regexp_replace(s, '[^\x{{0370}}-\x{{03FF}}]', '', 'g')) as el,
+        length(regexp_replace(s, '[^\x{{0600}}-\x{{06FF}}\x{{0750}}-\x{{077F}}]',
+                              '', 'g')) as arab
       from t),
-mk as (select doc_id, cyr, dev, el,
+mk as (select doc_id, cyr, dev, el, arab,
         length(regexp_replace(ls, '[^іїєґ]', '', 'g')) as uk_m,
         length(regexp_replace(ls, '[^ыэё]', '', 'g')) as ru_m,
         length(regexp_replace(ls, '[^ъ]', '', 'g')) as bg_m,
-        length(regexp_replace(ls, '[^ळ]', '', 'g')) as mr_m
+        length(regexp_replace(ls, '[^ळ]', '', 'g')) as mr_m,
+        length(regexp_replace(ls, '[^ٹڈڑںےہ]', '', 'g')) as ur_m,
+        length(regexp_replace(ls, '[^پچژگ]', '', 'g')) as fa_m
        from m)
 select cast(doc_id as varchar) as doc_id,
-  case when greatest(cyr, dev, el) < 4 then 'unk'
-       when cyr >= dev and cyr >= el then
+  case when greatest(cyr, dev, el, arab) < 4 then 'unk'
+       when cyr >= dev and cyr >= el and cyr >= arab then
             case when uk_m > 0 and uk_m >= ru_m and uk_m >= bg_m then 'uk'
                  when ru_m > 0 and ru_m >= bg_m then 'ru'
                  when bg_m > 0 then 'bg'
                  else 'ru' end
-       when dev >= el then (case when mr_m > 0 then 'mr' else 'hi' end)
+       when dev >= el and dev >= arab then
+            (case when mr_m > 0 then 'mr' else 'hi' end)
+       when arab >= el then
+            case when ur_m > 0 and ur_m >= fa_m then 'ur'
+                 when fa_m > 0 then 'fa'
+                 else 'ar' end
        else 'el' end as lang
 from mk"""
 

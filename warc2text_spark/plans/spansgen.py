@@ -134,9 +134,12 @@ SCRIPT_SENTENCES = (
     "यह एक अच्छा दिन है और हम बाहर जाते हैं",              # 3: hi (no ळ)
     "हा एक चांगला दिवस आहे वेळ जवळ मोकळा आहे",          # 4: mr (ळ)
     "αυτή είναι μια καλή μέρα και πάμε έξω",           # 5: el
+    "هذا يوم جديد ونحن نذهب الى الخارج",               # 6: ar (no fa/ur letters)
+    "این یک روز خوب است و ما پژوهش گروه چند",          # 7: fa (پ ژ گ چ)
+    "یہ ایک اچھا دن ہے اور ہم باہر جاتے ہیں",          # 8: ur (ہ ے dominate)
 )
 
-SCRIPT_TEXT_CASE = ("case nid % 6 " + " ".join(
+SCRIPT_TEXT_CASE = ("case nid % 9 " + " ".join(
     f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
     + " end")
 
