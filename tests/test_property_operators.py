@@ -1,0 +1,136 @@
+"""Property/differential tests for the round-3 operators: pure-Python
+twins recompute each operator's semantics from first principles and the
+Spark output must agree on randomized corpora (single Spark run per test;
+randomness is seeded, matching the repo's fuzz-suite style)."""
+
+import hashlib
+import random
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from warc2text_spark.operators import dedup, textops
+
+
+def _py_simhash64(text: str) -> int:
+    """First-principles twin of textops.simhash64 (signed 64-bit)."""
+    counts = [0] * 64
+    for tok in text.split(" "):
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        for k in range(64):
+            v = int(h[k // 4], 16)
+            bit = (v >> (3 - k % 4)) & 1
+            counts[k] += 1 if bit else -1
+    sig = 0
+    for k in range(64):
+        if counts[k] > 0:
+            sig += textops.SIMHASH64_WEIGHTS[k]
+    return sig
+
+
+def test_simhash64_matches_python_twin_and_pairs_have_full_recall(spark):
+    rng = random.Random(3)
+    vocab = [f"tok{j}" for j in range(60)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(120)]
+    # a few near-duplicates: one token substituted
+    for i in range(10):
+        base = rows[i][1].split(" ")
+        base[3] = "CHANGED"
+        rows.append((1000 + i, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {int(r.doc_id): r.simhash
+            for r in textops.simhash64(docs).collect()}
+    # 1) signature parity with the first-principles twin
+    for doc_id, text in rows:
+        assert sigs[doc_id] == _py_simhash64(text), doc_id
+
+    # 2) full recall: every pair with hamming <= 3 is in the operator
+    #    output (pigeonhole over eight 8-bit bands guarantees it)
+    expect = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if ham <= 3:
+                expect.add(frozenset((str(a), str(b))))
+    out = dedup.simhash_near_pairs(docs)
+    got = {frozenset((r.a_id, r.b_id)) for r in out.collect()}
+    dedup.release_intermediates(out)
+    assert expect <= got
+    # and everything reported really is within the hamming bound
+    assert all(
+        bin((sigs[int(next(iter(p)))] ^ sigs[int(list(p)[1])]) & (2**64 - 1))
+        .count("1") <= 3 for p in got if len(p) == 2)
+
+
+def test_remove_boilerplate_matches_python_twin(spark):
+    rng = random.Random(17)
+    shared = [f"SHARED {j}" for j in range(5)]
+    rows = []
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.4:
+                lines.append(rng.choice(shared))
+            else:
+                lines.append(f"body {i} {rng.randint(0, 9)}")
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in textops.remove_boilerplate(docs, min_docs=2).collect()}
+
+    # twin: line -> distinct doc count, then ordered filter
+    per_line = Counter()
+    for i, text in rows:
+        for line in set(text.split("\n")):
+            per_line[line] += 1
+    dup = {line for line, n in per_line.items() if n >= 2}
+    for i, text in rows:
+        expect = "\n".join(ln for ln in text.split("\n") if ln not in dup)
+        assert got[str(i)] == expect, i
+
+
+def test_redact_pii_matches_re_twin_and_is_idempotent(spark):
+    rng = random.Random(29)
+    frags = ["plain words", "a.b+c@x-mail.co.uk", "+44 (0) 1234 5678",
+             "not@an", "email@ok.io", "+1 555 000 1234", "@", "+12",
+             "tail text", "x@y.z"]
+    rows = [(i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 6))))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text for r in textops.redact_pii(docs).collect()}
+
+    email = re.compile(textops.PII_EMAIL_RE)
+    phone = re.compile(textops.PII_PHONE_RE)
+
+    def twin(s):
+        return phone.sub("<PHONE>", email.sub("<EMAIL>", s))
+
+    for i, text in rows:
+        expect = twin(text)
+        assert got[str(i)] == expect, (i, text)
+        assert twin(expect) == expect  # idempotent: placeholders never match
+
+
+def test_host_cap_invariants(spark):
+    rng = random.Random(41)
+    rows = [(i, f"https://h{i % 7}.example/p{i}",
+             "x" * rng.randint(1, 50)) for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = textops.host_cap(docs, cap=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    lengths = {str(i): len(t) for i, _, t in rows}
+    hosts = {str(i): f"h{i % 7}.example" for i, _, _ in rows}
+    for host, kept in by_host.items():
+        assert len(kept) <= 3
+        assert sorted(r.rank for r in kept) == list(range(1, len(kept) + 1))
+        # winners are the longest docs of that host (doc_id tiebreak)
+        candidates = sorted(
+            ((-lengths[d], d) for d in lengths if hosts[d] == host))
+        expect_ids = {d for _, d in candidates[:len(kept)]}
+        assert {r.doc_id for r in kept} == expect_ids, host
