@@ -504,6 +504,18 @@ def q_redact_pii(spark, sf_dir) -> DataFrame:
     return textops.redact_pii(docs)
 
 
+def q_curate(spark, sf_dir) -> DataFrame:
+    """The composed curation sweep over the clone corpus (so the dedup
+    stage bites): Gopher gate -> exact-dedup keep-first -> 5-per-host
+    cap."""
+    from ..operators.curate import curate
+    docs = _clone_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('https://s', doc_id % 20, '.example/p', doc_id, '.html') as url",
+        "text")
+    return curate(docs, cap=5)
+
+
 def q_host_cap(spark, sf_dir) -> DataFrame:
     """Per-domain cap over a closed-form url column (20 hosts; cap=5 so
     ranking and the cutoff both bite)."""
@@ -890,6 +902,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "curate": f"""
+            with d0 as (select cast(doc_id as varchar) as doc_id,
+                               'https://s' || (doc_id % 20) || '.example/p'
+                               || doc_id || '.html' as url,
+                               text
+                        from ({_CLONES_SQL})),
+            t as (select doc_id, url, text,
+                         string_split(text, ' ') as w from d0),
+            s as (select *, case when len(w) >= 3
+                    then list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    else [text] end as sh from t),
+            kept as (select doc_id, url, text from s
+                     where len(w) between 50 and 100000
+                       and strlen(replace(text, ' ', '')) * 1.0 / len(w)
+                           between 3.0 and 10.0
+                       and len(list_filter(w, x -> x in
+                           ('the','and','of','to','in','is'))) >= 2
+                       and 1.0 - len(list_distinct(sh)) * 1.0 / len(sh) <= 0.5),
+            first as (select doc_id, url, text from
+                       (select *, row_number() over (partition by md5(text)
+                                                     order by doc_id) as rn
+                        from kept) where rn = 1),
+            r as (select doc_id,
+                         regexp_extract(url, '{textops.HOST_RE}', 1) as host,
+                         strlen(text)::bigint as n_chars,
+                         row_number() over (
+                           partition by regexp_extract(url, '{textops.HOST_RE}', 1)
+                           order by strlen(text) desc, doc_id)::int as rank
+                  from first)
+            select doc_id, host, n_chars, rank from r where rank <= 5""",
         "remove_boilerplate": f"""
             with t as (select cast(doc_id as varchar) as doc_id,
                               'SHARED HEADER' || {NL} || doc_id || ' ' || text
@@ -1069,6 +1112,7 @@ def queries():
         "minhash_verified": q_minhash_verified,
         "host_cap": q_host_cap,
         "remove_boilerplate": q_remove_boilerplate,
+        "curate": q_curate,
         "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
