@@ -134,3 +134,34 @@ def test_host_cap_invariants(spark):
             ((-lengths[d], d) for d in lengths if hosts[d] == host))
         expect_ids = {d for _, d in candidates[:len(kept)]}
         assert {r.doc_id for r in kept} == expect_ids, host
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    from warc2text_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, 10).collect()]
+    single = similarity.lsh_topk(emb, q, planes, 10).collect()
+    multi = similarity.lsh_topk_multiprobe(emb, q, planes, 10,
+                                           n_probe=3).collect()
+    # the probe set is a superset of the base bucket, so the multiprobe
+    # top-k dominates by cosine (a weak single-probe member may be
+    # displaced — top-k membership itself is not monotone) and recall vs
+    # brute force can only grow
+    assert min(r.cosine for r in multi) >= min(r.cosine for r in single)
+    assert (len({r.vec_id for r in multi} & set(exact))
+            >= len({r.vec_id for r in single} & set(exact)))
+
+    # probe-list structure: base first, each flip differs in exactly 1 bit
+    probes = similarity._probe_buckets(q, planes, 3)
+    assert len(probes) == 3 and len(set(probes)) == 3
+    base = probes[0]
+    for p in probes[1:]:
+        assert sum(a != b for a, b in zip(base, p)) == 1

@@ -118,6 +118,44 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
             .select("vec_id", F.round("cosine", 4).alias("cosine")))
 
 
+def _probe_buckets(query: list[float], hyperplanes: list[list[float]],
+                   n_probe: int) -> list[str]:
+    """Multi-probe bucket list: the query's own bucket plus the buckets
+    reached by flipping the sign bit of the (n_probe - 1) hyperplanes
+    whose |<q, h>| is smallest — a near-boundary dot product is exactly
+    where a near-duplicate lands on the other side."""
+    dots = [sum(float(a) * float(b) for a, b in zip(query, h))
+            for h in hyperplanes]
+    base = "".join("1" if d > 0 else "0" for d in dots)
+    order = sorted(range(len(dots)), key=lambda i: (abs(dots[i]), i))
+    probes = [base]
+    for i in order[: max(0, n_probe - 1)]:
+        flipped = base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1:]
+        probes.append(flipped)
+    return probes
+
+
+def lsh_topk_multiprobe(df: DataFrame, query: list[float],
+                        hyperplanes: list[list[float]], k: int = 10,
+                        n_probe: int = 3,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH ANN: rank the query's bucket plus the (n_probe-1)
+    least-confident single-bit-flip buckets.  Same single bucket-filtered
+    scan as lsh_topk (one isin over the bucket key, no extra shuffle);
+    recall approaches brute force as n_probe grows while the scan still
+    prunes to ~n_probe/2^B of the table."""
+    probes = _probe_buckets(query, hyperplanes, n_probe)
+    bucketed = lsh_bits(df, hyperplanes, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (cand.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+            .select("vec_id", F.round("cosine", 4).alias("cosine")))
+
+
 def lsh_topk(df: DataFrame, query: list[float],
              hyperplanes: list[list[float]], k: int = 10,
              vec_col: str = "embedding") -> DataFrame:

@@ -560,6 +560,17 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), planes, 10)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir) -> DataFrame:
+    """Multi-probe LSH: the query bucket plus the two least-confident
+    single-bit flips (n_probe=3)."""
+    emb = _emb(spark, sf_dir)
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    return similarity.lsh_topk_multiprobe(
+        emb, _query_vec(spark, sf_dir), planes, 10, n_probe=3)
+
+
 def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     """IVF ANN with a fixed coarse codebook (embeddings 1..8, like the LSH
     hyperplanes) — assignment/probe/rank fully mirrored by the DuckDB
@@ -1016,6 +1027,44 @@ def oracle_sql() -> dict[str, str]:
                               i -> v[i] * qv[i])) / (nrm * qn) as cosine
                   from m, q)
             order by cosine desc, vec_id limit 10""",
+        "ann_lsh_multiprobe": f"""
+            with {_EMB_M.format(src='embeddings').lstrip()},
+            h as (select vec_id as hid, v as hv from m
+                  where vec_id between 1 and 8),
+            q as (select v as qv, nrm as qn from m where vec_id = 0),
+            pd as (select h.hid,
+                          list_sum(list_transform(range(1, len(q.qv) + 1),
+                               i -> h.hv[i] * q.qv[i])) as d,
+                          row_number() over (order by h.hid) as bitpos
+                   from h, q),
+            conf as (select bitpos, d,
+                            row_number() over (order by abs(d), bitpos) as rn
+                     from pd),
+            base as (select string_agg(case when d > 0 then '1' else '0' end,
+                                       '' order by hid) as b from pd),
+            probes as (
+              select b as bucket from base
+              union all
+              select substr(b, 1, c.bitpos - 1)
+                     || (case when substr(b, c.bitpos, 1) = '1'
+                              then '0' else '1' end)
+                     || substr(b, c.bitpos + 1, 8) as bucket
+              from base, conf c where c.rn <= 2),
+            bkt as (select m.vec_id,
+                           string_agg(case when list_sum(list_transform(
+                               range(1, len(m.v) + 1), i -> m.v[i] * h.hv[i]))
+                               > 0 then '1' else '0' end, ''
+                               order by h.hid) as bucket
+                    from m, h group by m.vec_id)
+            select cast(m.vec_id as bigint) as vec_id,
+                   cast(round(list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn), 4) as double)
+                   as cosine
+            from m join bkt using (vec_id), q
+            where bkt.bucket in (select bucket from probes)
+            order by list_sum(list_transform(range(1, len(m.v) + 1),
+                        i -> m.v[i] * qv[i])) / (m.nrm * qn) desc, m.vec_id
+            limit 10""",
         "ann_ivf_topk": f"""
             with {_EMB_M.format(src='embeddings').lstrip()},
             c as (select vec_id as cid, v as cv from m
@@ -1109,6 +1158,7 @@ def queries():
         "langid_script": q_langid_script,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "minhash_verified": q_minhash_verified,
         "host_cap": q_host_cap,
         "remove_boilerplate": q_remove_boilerplate,
