@@ -102,3 +102,41 @@ def test_encoding_errors_flag(spark, tmp_path):
     assert any("caf�" in t for t in texts)
     kept_d = run("discard", "o_discard")
     assert kept_d.count() == 1
+
+
+def test_cli_reference_flag_parity(spark, tmp_path):
+    # positional inputs, cld2/fasttext classifier names, --fasttext-model,
+    # and --strict-exit semantics (warc2text_main.cc:222-228, 245-246)
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA, _doc, _t
+    src = str(tmp_path / "in_pos")
+    spark.createDataFrame(
+        [_doc("a-1", [_t("<p>the cat and the dog of the house</p>")])],
+        schema=INPUT_SCHEMA).write.parquet(src)
+
+    # positional input + the reference's classifier name
+    out1 = str(tmp_path / "o1")
+    rc = main(["--output", out1, "--classifier", "cld2",
+               "--fasttext-model", "/no/such/model.bin", "--silent", src],
+              spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(f"{out1}/text").count() == 1
+
+    # a bad input among good ones: warned and skipped; rc 0 without strict
+    out2 = str(tmp_path / "o2")
+    rc = main(["--input", src, str(tmp_path / "missing"), "--output", out2,
+               "--classifier", "skip", "--silent"], spark=spark)
+    assert rc == 0
+    assert spark.read.parquet(f"{out2}/text").count() == 1
+
+    # ... and rc 2 with --strict-exit
+    out3 = str(tmp_path / "o3")
+    rc = main(["--input", src, str(tmp_path / "missing"), "--output", out3,
+               "--classifier", "skip", "--strict-exit", "--silent"],
+              spark=spark)
+    assert rc == 2
+
+    # nothing readable at all
+    rc = main(["--input", str(tmp_path / "missing"), "--output",
+               str(tmp_path / "o4"), "--strict-exit", "--silent"],
+              spark=spark)
+    assert rc == 2

@@ -31,8 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="warc2text_spark",
         description="PySpark-native warc2text: interleaved spans table -> "
                     "per-language extracted text")
-    p.add_argument("--input", "-i", nargs="+", required=True,
+    p.add_argument("--input", "-i", nargs="+", default=[],
                    help="spans table location(s): parquet path or Iceberg table")
+    p.add_argument("inputs", nargs="*", default=[],
+                   help="positional input(s), like the reference binary "
+                        "(warc2text_main.cc:68-69)")
     p.add_argument("--output", "-o", default=".", help="output location")
     p.add_argument("--files", "-f", default="url,text",
                    help="comma list of output fields (url,text,mime,file,date,metadata,html)")
@@ -41,7 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input format (default: sniff table format; 'warc' "
                         "ingests .warc.gz files directly)")
     p.add_argument("--classifier", default="heuristic",
-                   choices=["skip", "heuristic", "multilang"])
+                   choices=["skip", "heuristic", "multilang",
+                            "cld2", "fasttext"],
+                   help="'cld2'/'fasttext' (the reference's names) map to "
+                        "the deterministic heuristic detector — no model "
+                        "wheels in this environment; the detector "
+                        "interface is pluggable (functions/langid.py)")
+    p.add_argument("--fasttext-model", dest="fasttext_model", default="",
+                   help="accepted for flag parity (warc2text_main.cc:58); "
+                        "no fasttext wheel here, so the heuristic stand-in "
+                        "runs and a note is printed")
     p.add_argument("--multilang", action="store_true",
                    help="alias for --classifier multilang")
     p.add_argument("--tag-filters", dest="tag_filters")
@@ -83,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="writer buffer in KB -> parquet page size")
     p.add_argument("--silent", "-s", action="store_true",
                    help="only log errors")
+    p.add_argument("--strict-exit", action="store_true",
+                   help="exit 2 if any input failed to open "
+                        "(warc2text_main.cc:245-246)")
     p.add_argument("--max-record-size", type=int, default=20,
                    help="max record size in MB (default 20)")
     p.add_argument("--num-partitions", type=int, default=None,
@@ -124,6 +139,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     hconf.set("parquet.page.size", str(args.buffer_size * 1024))
 
     classifier = "multilang" if args.multilang else args.classifier
+    if classifier in ("cld2", "fasttext"):
+        if not args.silent:
+            print(f"note: no {classifier} model in this environment; "
+                  "using the deterministic heuristic detector",
+                  file=sys.stderr)
+        classifier = "heuristic"
+    if args.fasttext_model and not args.silent:
+        print("note: --fasttext-model accepted but unused "
+              "(no fasttext wheel; heuristic stand-in runs)",
+              file=sys.stderr)
     tag_filters_text = open(args.tag_filters).read() if args.tag_filters else ""
     user_url_filter = None
     if args.url_filters:
@@ -131,18 +156,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         rx = combine_url_filters(open(args.url_filters).read().splitlines())
         user_url_filter = rx.pattern if rx else None
 
+    locations = list(args.input) + list(args.inputs)
+    if not locations:
+        print("no input given (use --input or positional args)",
+              file=sys.stderr)
+        return 1
     media_text_mode = "passthrough"
+    input_error = False
+    dfs = []
+    max_bytes = args.max_record_size * 1024 * 1024
+    for loc in locations:
+        # per-file isolation like the reference's WARCFileException loop
+        # (warc2text_main.cc:222-228): a bad input is reported and skipped
+        try:
+            if args.format == "warc":
+                from .sources.warcio import warc_to_spans_df
+                dfs.append(warc_to_spans_df(spark, loc, max_bytes))
+            else:
+                dfs.append(read_input(spark, loc, args.format))
+        except Exception as ex:
+            input_error = True
+            print(f"failed to open input {loc}: {ex}", file=sys.stderr)
     if args.format == "warc":
-        from .sources.warcio import warc_to_spans_df
-        max_bytes = args.max_record_size * 1024 * 1024
-        df = warc_to_spans_df(spark, args.input[0], max_bytes)
-        for loc in args.input[1:]:
-            df = df.unionByName(warc_to_spans_df(spark, loc, max_bytes))
         media_text_mode = "extract"  # media spans are raw non-UTF8 payloads
-    else:
-        df = read_input(spark, args.input[0], args.format)
-        for loc in args.input[1:]:
-            df = df.unionByName(read_input(spark, loc, args.format))
+    if not dfs:
+        print("no readable inputs", file=sys.stderr)
+        return 2 if args.strict_exit else 0
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d)
 
     opts = PipelineOptions(
         media_text_mode=media_text_mode,
@@ -222,7 +264,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if own_spark:
         spark.stop()
-    return 0
+    # reference: exit 2 when any input failed to open AND --strict-exit
+    # (warc2text_main.cc:245-246); otherwise failures were only warned
+    return 2 if (input_error and args.strict_exit) else 0
 
 
 if __name__ == "__main__":
