@@ -129,3 +129,24 @@ def test_simhash64_fast_path_matches_set_twin(spark):
     slow = {r.doc_id: r.simhash
             for r in textops._simhash64_sets(docs).collect()}
     assert fast == slow
+
+
+def test_multi_table_lsh_recall_superset_and_no_cartesian(spark, emb, tmp_path):
+    from warc2text_spark.operators.dedup import (
+        embedding_near_duplicates_lsh_multi,
+        release_intermediates,
+    )
+    planes = _planes(spark)
+    single = embedding_near_duplicates_lsh(
+        emb, planes, materialize=str(tmp_path / "b1"))
+    multi = embedding_near_duplicates_lsh_multi(
+        emb, planes, n_tables=2, materialize=str(tmp_path / "b2"))
+    s = {(r.a_id, r.b_id) for r in single.collect()}
+    m = {(r.a_id, r.b_id) for r in multi.collect()}
+    exact = {(r.a_id, r.b_id) for r in embedding_near_duplicates(emb).collect()}
+    # two 4-bit tables are coarser individually but union-ed: recall on
+    # clones stays full, and candidates never miss what 8 bits caught
+    assert exact <= m and s <= m
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    release_intermediates(multi)

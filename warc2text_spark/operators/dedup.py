@@ -257,6 +257,69 @@ def embedding_near_duplicates_lsh(df: DataFrame,
     return _attach(out, cached)
 
 
+def embedding_near_duplicates_lsh_multi(df: DataFrame,
+                                        hyperplanes: list[list[float]],
+                                        n_tables: int = 2,
+                                        threshold: float = 0.999,
+                                        materialize: str | None = "cache"
+                                        ) -> DataFrame:
+    """Multi-table embedding LSH near-dup: the hyperplanes are split into
+    ``n_tables`` independent bucket tables; candidate pairs are the union
+    of each table's bucket join (the band trick).  A near-identical pair
+    straddling one table's bucket boundary (a dot product near 0 flips a
+    sign bit) is recovered by any table where no boundary is straddled —
+    miss probability decays exponentially with tables.
+
+    Plan shape: ONE equality self-join on (table, bucket) over ids only
+    (same as minhash_candidate_pairs — vectors never ride the candidate
+    shuffle), then the few candidates join back to the persisted vector
+    projection for the exact-cosine filter.  Filter-then-round, like the
+    single-table path."""
+    from .similarity import _dot, _norm
+    if len(hyperplanes) % n_tables:
+        raise ValueError("len(hyperplanes) must divide into n_tables")
+    fam = len(hyperplanes) // n_tables
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def bucket_for(planes):
+        bits = [F.when(_dot(F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in h])) > 0,
+                       F.lit("1")).otherwise(F.lit("0")) for h in planes]
+        return F.concat(*bits)
+
+    base = df.select(F.col("vec_id"), v.alias("v"),
+                     F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+                     .alias("norm"))
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 bucket_for(hyperplanes[t * fam:(t + 1) * fam]).alias("bucket"))
+        for t in range(n_tables)])
+    base = base.withColumn("buckets", buckets)
+    base, cached = _lineage_break(base, materialize)
+
+    long = base.select("vec_id", F.explode("buckets").alias("tb")) \
+               .select("vec_id", F.col("tb.tbl").alias("tbl"),
+                       F.col("tb.bucket").alias("bucket"))
+    a = long.select(F.col("vec_id").alias("a_id"), "tbl", "bucket")
+    b = long.select(F.col("vec_id").alias("b_id"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+
+    va = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+                     F.col("norm").alias("a_n"))
+    vb = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+                     F.col("norm").alias("b_n"))
+    j = cand.join(va, "a_id").join(vb, "b_id")
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a_n") * F.col("b_n"))
+    out = (j.filter(cos >= threshold)
+           .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                   F.round(cos, 4).alias("cosine")))
+    return _attach(out, cached)
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column (small/SF scale;
     the 10^12 path buckets by hyperplane signs first — similarity.lsh_bits)."""

@@ -530,6 +530,17 @@ def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return dedup.embedding_near_duplicates(_clone_emb(spark, sf_dir))
 
 
+def q_neardup_lsh_multi(spark, sf_dir) -> DataFrame:
+    """Multi-table (band-trick) embedding near-dup: two independent 4-bit
+    bucket tables over embeddings 1..8."""
+    emb = _emb(spark, sf_dir)
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    return dedup.embedding_near_duplicates_lsh_multi(
+        _clone_emb(spark, sf_dir), planes, n_tables=2)
+
+
 def q_neardup_lsh(spark, sf_dir) -> DataFrame:
     """The scaled embedding-dedup path, oracle-verified: LSH bucketing ->
     within-bucket exact cosine (no crossJoin anywhere in the plan)."""
@@ -1027,6 +1038,32 @@ def oracle_sql() -> dict[str, str]:
                               i -> v[i] * qv[i])) / (nrm * qn) as cosine
                   from m, q)
             order by cosine desc, vec_id limit 10""",
+        "neardup_lsh_multi": f"""
+            with c as ({_EMB_CLONES_SQL}),
+            {_EMB_M.format(src='c')},
+            h as (select vec_id as hid,
+                         list_transform(embedding, x -> x::DOUBLE) as hv,
+                         ((row_number() over (order by vec_id)) - 1) // 4
+                         as tbl
+                  from embeddings where vec_id between 1 and 8),
+            b as (select m.vec_id, h.tbl,
+                         string_agg(case when list_sum(list_transform(
+                             range(1, len(m.v) + 1), i -> m.v[i] * h.hv[i]))
+                             > 0 then '1' else '0' end, '' order by h.hid)
+                         as bucket
+                  from m, h group by m.vec_id, h.tbl),
+            cand as (select distinct a.vec_id as a_id, b2.vec_id as b_id
+                     from b a join b b2
+                       on a.tbl = b2.tbl and a.bucket = b2.bucket
+                      and a.vec_id < b2.vec_id)
+            select c2.a_id, c2.b_id,
+                   cast(round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm), 4)
+                        as double) as cosine
+            from cand c2 join m a on a.vec_id = c2.a_id
+                         join m b2 on b2.vec_id = c2.b_id
+            where list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm) >= 0.999""",
         "ann_lsh_multiprobe": f"""
             with {_EMB_M.format(src='embeddings').lstrip()},
             h as (select vec_id as hid, v as hv from m
@@ -1159,6 +1196,7 @@ def queries():
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "neardup_lsh_multi": q_neardup_lsh_multi,
         "minhash_verified": q_minhash_verified,
         "host_cap": q_host_cap,
         "remove_boilerplate": q_remove_boilerplate,
