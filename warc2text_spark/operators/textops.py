@@ -264,6 +264,30 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus profile: doc/token/byte totals plus exact token-count
+    percentiles (p50/p90/p99) — the summary a curation run reports before
+    and after each cleaning stage.  Spark's exact ``percentile`` uses the
+    same linear interpolation as DuckDB's quantile_cont, so the oracle
+    matches bit-for-bit on the fixture.  One aggregation with map-side
+    combine; at 10^12 rows swap ``percentile`` for ``approx_percentile``
+    (the exact one holds per-group counts) — same shape, documented
+    accuracy trade."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    n_chars = F.octet_length(F.col(text_col))
+    pct = F.expr(
+        f"percentile(size(split({text_col}, ' ')), array(0.5, 0.9, 0.99))")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.sum(n_chars).cast("long").alias("total_chars"),
+        F.round(F.avg(n_tok), 4).alias("mean_tokens"),
+        F.round(pct[0], 4).alias("p50_tokens"),
+        F.round(pct[1], 4).alias("p90_tokens"),
+        F.round(pct[2], 4).alias("p99_tokens"),
+    )
+
+
 def host_cap(df: DataFrame, cap: int = 100, url_col: str = "url",
              text_col: str = "text") -> DataFrame:
     """Per-domain document cap: keep the top ``cap`` docs per host ranked

@@ -479,6 +479,10 @@ def q_minhash_verified(spark, sf_dir) -> DataFrame:
     return dedup.minhash_verified_pairs(_clone_docs(spark, sf_dir))
 
 
+def q_corpus_stats(spark, sf_dir) -> DataFrame:
+    return textops.corpus_stats(_docs(spark, sf_dir, spread=False))
+
+
 def q_remove_boilerplate(spark, sf_dir) -> DataFrame:
     """CCNet-style cross-document line dedup: every doc gets a shared
     header (boilerplate in all docs) and a footer shared within its
@@ -924,6 +928,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "corpus_stats": """
+            with t as (select len(string_split(text, ' ')) as n_tok,
+                              strlen(text) as n_chars from documents)
+            select count(*)::bigint as n_docs,
+                   sum(n_tok)::bigint as total_tokens,
+                   sum(n_chars)::bigint as total_chars,
+                   cast(round(avg(n_tok), 4) as double) as mean_tokens,
+                   cast(round(quantile_cont(n_tok, 0.5), 4) as double)
+                     as p50_tokens,
+                   cast(round(quantile_cont(n_tok, 0.9), 4) as double)
+                     as p90_tokens,
+                   cast(round(quantile_cont(n_tok, 0.99), 4) as double)
+                     as p99_tokens
+            from t""",
         "curate": f"""
             with d0 as (select cast(doc_id as varchar) as doc_id,
                                'https://s' || (doc_id % 20) || '.example/p'
@@ -1201,6 +1219,7 @@ def queries():
         "host_cap": q_host_cap,
         "remove_boilerplate": q_remove_boilerplate,
         "curate": q_curate,
+        "corpus_stats": q_corpus_stats,
         "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
