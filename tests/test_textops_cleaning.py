@@ -57,3 +57,33 @@ def test_remove_boilerplate_plan_broadcasts_dup_lines(spark):
     df = textops.remove_boilerplate(docs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dup-line set is the build side
+
+
+def test_canonical_url_rules(spark):
+    from warc2text_spark.operators.textops import canonical_url
+    cases = [
+        ("https://EX.Example/Path#frag", "https://ex.example/Path"),
+        ("https://ex.example:443/a", "https://ex.example/a"),
+        ("http://ex.example:80/a", "http://ex.example/a"),
+        ("https://ex.example:8443/a", "https://ex.example:8443/a"),
+        ("https://ex.example/a/", "https://ex.example/a"),
+        ("https://ex.example/a/?q=1", "https://ex.example/a/?q=1"),
+        ("https://ex.example/", "https://ex.example/"),  # root kept
+        ("HTTPS://EX.example/P?Q=Mixed", "https://ex.example/P?Q=Mixed"),
+        ("no-scheme-at-all", "no-scheme-at-all"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_first_per_canonical(spark):
+    from warc2text_spark.operators.textops import url_dedup
+    docs = spark.createDataFrame([
+        (1, "https://A.example/x#f"),
+        (2, "https://a.example/x"),      # same canonical as 1
+        (3, "https://a.example:443/x"),  # same again
+        (4, "https://b.example/y"),
+    ], "doc_id long, url string")
+    got = {(r.doc_id, r.canon_url) for r in url_dedup(docs).collect()}
+    assert got == {("1", "https://a.example/x"), ("4", "https://b.example/y")}

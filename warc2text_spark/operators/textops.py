@@ -264,6 +264,40 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def canonical_url(url: Column) -> Column:
+    """Engine-portable URL canonicalization: strip the fragment,
+    lower-case the scheme://host[:port] prefix, drop default ports
+    (:80/:443), drop a trailing slash on a bare (query-less) path.
+    Deliberately conservative — no query-param reordering, which changes
+    semantics on some sites.  Every rule is a regexp on patterns that
+    behave identically in Spark and DuckDB (the oracle writes ``\\1`` where
+    Spark writes ``$1`` — dialect replacement syntax, same regex)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    prefix = F.lower(
+        F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.when(prefix != "", F.concat(prefix, rest)).otherwise(u)
+    u = F.regexp_replace(u, "^(https://[^/?#:]+):443(/|$)", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/?#:]+):80(/|$)", "$1$2")
+    # trailing slash only on a NON-EMPTY path ('https://h/' root is kept)
+    return F.regexp_replace(
+        u, "^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$", "$1")
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level dedup: canonicalize, keep the first doc (string doc_id
+    order) per canonical URL — the cheap pre-pass a crawl pipeline runs
+    before content dedup (re-crawls and fragment/port/case variants
+    collapse without touching payloads).  One window over the canonical
+    key; only (doc_id, url) columns shuffle."""
+    from pyspark.sql import Window
+    base = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     canonical_url(F.col(url_col)).alias("canon_url"))
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return (base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus profile: doc/token/byte totals plus exact token-count
     percentiles (p50/p90/p99) — the summary a curation run reports before

@@ -479,6 +479,23 @@ def q_minhash_verified(spark, sf_dir) -> DataFrame:
     return dedup.minhash_verified_pairs(_clone_docs(spark, sf_dir))
 
 
+_URL_VARIANT_SQL_SPARK = """case doc_id % 5
+    when 0 then concat('https://SX.Example/p', doc_id % 50)
+    when 1 then concat('https://sx.example:443/p', doc_id % 50)
+    when 2 then concat('https://sx.example/p', doc_id % 50, '#frag', doc_id)
+    when 3 then concat('https://sx.example/p', doc_id % 50, '/')
+    else concat('https://sx.example/p', doc_id % 50) end"""
+
+
+def q_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL-level dedup over five canonicalization variants per group
+    (case, default port, fragment, trailing slash, canonical) — all 500
+    docs collapse to 50 canonical URLs, keep-first wins."""
+    docs = _docs(spark, sf_dir, spread=False).selectExpr(
+        "doc_id", f"{_URL_VARIANT_SQL_SPARK} as url")
+    return textops.url_dedup(docs)
+
+
 def q_corpus_stats(spark, sf_dir) -> DataFrame:
     return textops.corpus_stats(_docs(spark, sf_dir, spread=False))
 
@@ -928,6 +945,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "url_dedup": r"""
+            with u0 as (select cast(doc_id as varchar) as doc_id,
+                               case doc_id % 5
+                                 when 0 then 'https://SX.Example/p' || (doc_id % 50)
+                                 when 1 then 'https://sx.example:443/p' || (doc_id % 50)
+                                 when 2 then 'https://sx.example/p' || (doc_id % 50)
+                                             || '#frag' || doc_id
+                                 when 3 then 'https://sx.example/p' || (doc_id % 50) || '/'
+                                 else 'https://sx.example/p' || (doc_id % 50) end as url
+                        from documents),
+            c1 as (select doc_id, regexp_replace(url, '#.*$', '') as u from u0),
+            c2 as (select doc_id,
+                          case when regexp_extract(u,
+                                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) <> ''
+                               then lower(regexp_extract(u,
+                                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                                    || regexp_replace(u,
+                                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+                               else u end as u
+                   from c1),
+            c3 as (select doc_id, regexp_replace(regexp_replace(u,
+                          '^(https://[^/?#:]+):443(/|$)', '\1\2'),
+                          '^(http://[^/?#:]+):80(/|$)', '\1\2') as u from c2),
+            c4 as (select doc_id, regexp_replace(u,
+                          '^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$', '\1')
+                          as canon_url from c3)
+            select doc_id, canon_url from
+              (select doc_id, canon_url,
+                      row_number() over (partition by canon_url
+                                         order by doc_id) as rn
+               from c4) where rn = 1""",
         "corpus_stats": """
             with t as (select len(string_split(text, ' ')) as n_tok,
                               strlen(text) as n_chars from documents)
@@ -1220,6 +1268,7 @@ def queries():
         "remove_boilerplate": q_remove_boilerplate,
         "curate": q_curate,
         "corpus_stats": q_corpus_stats,
+        "url_dedup": q_url_dedup,
         "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
