@@ -206,3 +206,40 @@ def test_encoding_errors_policy_through_pipeline():
     assert (err_i, text_i) == (SUCCESS, "caf\n")
     _, err_s, _, _ = run("strict")
     assert err_s == UTF8_CONVERSION_ERROR
+
+
+def test_cjk_multibyte_detection_overrides_declared():
+    # util.cc:68-91: uchardet's detection is trusted OVER the declared
+    # charset — the deterministic stand-in now covers unambiguous legacy
+    # CJK multibyte pages
+    jp = "これは日本語のページです。本文はかな漢字を含みます。" * 4
+    sjis = f"<p>{jp}</p>".encode("shift_jis")
+    text, err, charset = clean_payload(sjis, "text/html", "iso-8859-1", "u")
+    assert (err, charset) == (SUCCESS, "shift_jis")
+    assert "日本語" in text
+
+    # GB2312 page declaring nothing: unambiguous only if euc_jp rejects it
+    zh = "这是一个中文网页的正文内容测试" * 4
+    gb = f"<p>{zh}</p>".encode("gb2312")
+    _, err_gb, cs_gb = clean_payload(gb, "text/html", "", "u")
+    # gb2312 often also strictly decodes as euc_jp -> ambiguous is allowed;
+    # either the exact detection or a non-crash fallback must hold
+    assert err_gb in (SUCCESS, UNKNOWN_ENCODING_ERROR, UTF8_CONVERSION_ERROR)
+
+    # a sparse-curly-quote cp1252 page must NOT be misread as Shift_JIS
+    cp = ("<p>she said \x93hello\x94 and left \x96 then came back</p>"
+          + " plain ascii filler" * 20).encode("latin-1")
+    _, err_cp, cs_cp = clean_payload(cp, "text/html", "windows-1252", "u")
+    assert (err_cp, cs_cp) == (SUCCESS, "windows-1252")
+
+
+def test_accented_latin_not_misread_as_cjk():
+    # accent bytes can form VALID Shift_JIS pairs ('és' = 0xE9 0x73 is a
+    # kanji); the high-byte density floor must keep Latin text Latin
+    fr = ("l'été était arrivé et les invités étaient déjà réunis "
+          "dans la véranda éclairée ") * 10
+    payload = f"<p>{fr}</p>".encode("latin-1")
+    text, err, charset = clean_payload(payload, "text/html",
+                                       "iso-8859-1", "u")
+    assert (err, charset) == (SUCCESS, "iso-8859-1")
+    assert "été" in text

@@ -33,10 +33,63 @@ from __future__ import annotations
 import codecs
 
 
+# CJK codepoint ranges for the multibyte detector's content check
+_CJK_RANGES = ((0x3040, 0x30FF),   # kana
+               (0x3400, 0x9FFF),   # han
+               (0xFF61, 0xFF9F))   # half-width kana
+_MB_SAMPLE = 65536
+_MB_MIN_HI = 16          # too few high bytes: no statistical signal
+_MB_MIN_CJK_RATIO = 0.5  # decoded CJK chars vs high-byte pair estimate
+# CJK multibyte body text is dense in high bytes even with ASCII markup
+# (>= 30% typical); accented Latin text stays under ~5%, so the density
+# floor rejects a French page whose accents happen to form valid pairs
+_MB_MIN_HI_DENSITY = 0.10
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(a <= cp <= b for a, b in _CJK_RANGES)
+
+
+def _cjk_multibyte_guess(data: bytes) -> str | None:
+    """Deterministic slice of uchardet's statistical model: legacy CJK
+    multibyte encodings (the reference trusts uchardet over the declared
+    charset, util.cc:68-91 — a page declaring iso-8859-1 while shipping
+    Shift_JIS bytes must be overridden).  Fires only when UNAMBIGUOUS:
+
+    * enough high bytes to carry a signal (>= 16 in the 64 KB sample);
+    * the sample STRICTLY decodes in exactly one candidate encoding
+      (shift_jis / euc_jp / gb2312 — euc_jp and gb2312 overlap heavily,
+      so genuinely ambiguous pages fall through to the declared charset);
+    * the decoded high-byte pairs are mostly CJK characters (a cp1252 doc
+      whose sparse curly quotes happen to parse as Shift_JIS lead bytes
+      decodes to isolated kanji soup, but its high-byte count is tiny and
+      its CJK ratio check still holds — the guard is the pair-count floor).
+
+    KOI8-R/cp1251 discrimination is NOT attempted: every byte maps in
+    both, so strictness carries no signal (documented gap; uchardet uses
+    letter-frequency models there)."""
+    sample = data[:_MB_SAMPLE]
+    n_hi = sum(1 for b in sample if b >= 0x80)
+    if n_hi < _MB_MIN_HI or n_hi < _MB_MIN_HI_DENSITY * len(sample):
+        return None
+    hits = []
+    for enc in ("shift_jis", "euc_jp", "gb2312"):
+        try:
+            txt = sample.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        cjk = sum(1 for ch in txt if _is_cjk(ch))
+        if cjk >= _MB_MIN_CJK_RATIO * (n_hi / 2):
+            hits.append(enc)
+    return hits[0] if len(hits) == 1 else None
+
+
 def default_detect(data: bytes) -> str | None:
     """Deterministic stand-in for uchardet's confident classes: BOMs,
-    strict ASCII, strict UTF-8; anything else gives up (weak-class
-    recovery happens in detect_charset)."""
+    strict ASCII, strict UTF-8, unambiguous legacy CJK multibyte;
+    anything else gives up (weak-class recovery happens in
+    detect_charset)."""
     if data.startswith(codecs.BOM_UTF8):
         try:
             data.decode("utf-8-sig")
@@ -58,7 +111,8 @@ def default_detect(data: bytes) -> str | None:
         data.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return None
+        pass
+    return _cjk_multibyte_guess(data)
 
 
 import re as _re

@@ -18,7 +18,7 @@ from ..operators import dedup, similarity, textops
 from ..operators.filters import split_stream
 from ..operators.multimodal import media_metadata
 from .pipeline import PipelineOptions, counters, demux_by_lang, run_pipeline
-from .spansgen import build_spans
+from .spansgen import SJIS_SENTENCE, build_spans
 
 NL = "chr(10)"
 
@@ -212,6 +212,19 @@ def q_extract_transport(spark, sf_dir) -> DataFrame:
                        PipelineOptions(classifier="skip",
                                        media_text_mode="extract"))
     return res.main.select("doc_id", "plaintext")
+
+
+def q_extract_sjis(spark, sf_dir) -> DataFrame:
+    """Detected-over-declared charset override: Shift_JIS pages declaring
+    iso-8859-1 are recovered (charset column proves the detector fired);
+    langid also labels them ja via the kana/han script path."""
+    from .spansgen import build_sjis_spans
+    res = run_pipeline(build_sjis_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic",
+                                       media_text_mode="extract"))
+    return res.main.select(
+        "doc_id", "plaintext", "charset",
+        F.element_at("langs", 1)["lang"].alias("lang"))
 
 
 def q_langid_script(spark, sf_dir) -> DataFrame:
@@ -887,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
         "langid_script": _langid_script_oracle(),
+        "extract_sjis": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   '{SJIS_SENTENCE}' || ' ' || doc_id || {NL} as plaintext,
+                   'shift_jis' as charset,
+                   'ja' as lang
+            from documents""",
         "extract_transport": f"""
             select cast(doc_id as varchar) as doc_id,
                    case doc_id % 3
@@ -1259,6 +1278,7 @@ def queries():
         "langid_demux": q_langid_demux,
         "langid_labels": q_langid_labels,
         "langid_script": q_langid_script,
+        "extract_sjis": q_extract_sjis,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,

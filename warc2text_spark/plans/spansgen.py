@@ -167,6 +167,49 @@ def build_script_spans(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# constant Japanese body for the Shift_JIS-recovery corpus (kept in sync
+# with the oracle, which rebuilds the expected UTF-8 text from it)
+SJIS_SENTENCE = "これは日本語のページです。本文はかな漢字を含みます。"
+
+
+def build_sjis_spans(spark, sf_dir: str) -> DataFrame:
+    """Legacy-CJK corpus: every doc is a Shift_JIS-encoded page DECLARING
+    iso-8859-1 — the uchardet-style detected-over-declared override
+    (util.cc:68-91) must recover it.  Encoding is a pure per-row function
+    (executor-side mapInPandas); the expected plaintext is closed-form:
+    SJIS_SENTENCE + ' ' + doc_id + '\\n'."""
+    import base64
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import INPUT_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
+                                    "http_status", "http_ct", "content_enc",
+                                    "transfer_enc", "warc_date", "spans")}
+            for doc_id in pdf["doc_id"]:
+                body = f"<p>{SJIS_SENTENCE} {doc_id}</p>".encode("shift_jis")
+                rows["doc_id"].append(str(doc_id))
+                rows["url"].append(f"https://jp.example/{doc_id}.html")
+                rows["warc_type"].append("response")
+                rows["warc_ct"].append("application/http; msgtype=response")
+                rows["http_status"].append("200 OK")
+                rows["http_ct"].append("text/html; charset=iso-8859-1")
+                rows["content_enc"].append("")
+                rows["transfer_enc"].append("")
+                rows["warc_date"].append("2024-01-01T00:00:00Z")
+                rows["spans"].append([dict(
+                    kind="media", text="",
+                    media_ref=base64.b64encode(body).decode(), offset=0)])
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, INPUT_SCHEMA)
+
+
 def build_transport_spans(spark, sf_dir: str) -> DataFrame:
     """Transport-encoded corpus for the P6/P7 paths: per ``doc_id % 3``
 
