@@ -87,3 +87,40 @@ def test_url_dedup_keeps_first_per_canonical(spark):
     ], "doc_id long, url string")
     got = {(r.doc_id, r.canon_url) for r in url_dedup(docs).collect()}
     assert got == {("1", "https://a.example/x"), ("4", "https://b.example/y")}
+
+
+def test_winnow_kernel_matches_expression_twin(spark):
+    import random
+
+    from warc2text_spark.operators.textops import (
+        winnow_fingerprints,
+        winnow_fingerprints_expr,
+    )
+    rng = random.Random(5)
+    pieces = ["abcdef", "x", "", "the quick brown fox", "été déjà",
+              "aaaaaaaaaa", "ab", "0123456789"]
+    rows = [(i, "".join(rng.choice(pieces) for _ in range(rng.randint(0, 4))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted((r.doc_id, r.fp)
+                  for r in winnow_fingerprints(docs).collect())
+    slow = sorted((r.doc_id, r.fp)
+                  for r in winnow_fingerprints_expr(docs).collect())
+    assert fast == slow
+
+
+def test_winnow_shared_fingerprints_on_overlap(spark):
+    # the winnowing guarantee: documents sharing a substring of length
+    # >= w + k - 1 (= 8) share at least one fingerprint
+    from warc2text_spark.operators.textops import winnow_fingerprints
+    shared = "COMMONSTRETCH"  # len 13 >= 8
+    docs = spark.createDataFrame([
+        (1, "left padding " + shared + " right"),
+        (2, "entirely different prefix " + shared),
+        (3, "no overlap here at all whatsoever"),
+    ], "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps["1"] & fps["2"]
+    assert not (fps["1"] & fps["2"] & fps["3"])

@@ -88,6 +88,89 @@ def fingerprint(df: DataFrame, text_col: str = "text", gram: int = 5) -> DataFra
     )
 
 
+# winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03 shape):
+# polynomial rolling hash base/modulus chosen so every intermediate fits a
+# 64-bit signed long on any engine (acc < M, acc*B + 255 < 2^40)
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    polynomial rolling hash of every k-gram (over code points), then the
+    minimum hash of each w-window of consecutive k-grams; the distinct
+    selected hashes are the document's fingerprint set (guaranteed to
+    share values with any document overlapping by >= w+k-1 characters —
+    the property exact-match plagiarism/near-dup pipelines rely on).
+
+    This is the package's one justified Arrow kernel outside extraction:
+    the per-position rolling recurrence is a linear scan that Catalyst's
+    higher-order functions can only express as an O(n*k) interpreted
+    expression tree (measured ~100x slower than this vectorized numpy
+    form, which does k vector ops per document).  The Catalyst expression
+    twin below stays for differential tests; the DuckDB oracle mirrors the
+    same integer arithmetic."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                text = text or ""
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32) \
+                    .astype(np.int64)
+                n = max(len(codes) - (k - 1), 1)
+                # pad so short texts hash like the expression twin
+                # (out-of-range chars contribute ascii('') == 0)
+                if len(codes) < n + k - 1:
+                    codes = np.concatenate(
+                        [codes, np.zeros(n + k - 1 - len(codes), np.int64)])
+                acc = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    acc = (acc * WINNOW_B + codes[j:j + n]) % WINNOW_M
+                n_win = max(len(acc) - (w - 1), 1)
+                if len(acc) < n_win + w - 1:
+                    acc = np.concatenate(
+                        [acc, np.full(n_win + w - 1 - len(acc), WINNOW_M,
+                                      np.int64)])
+                wins = np.lib.stride_tricks.sliding_window_view(acc, w) \
+                    .min(axis=1)
+                fps = np.unique(wins)
+                out_ids.extend([str(doc_id)] * len(fps))
+                out_fps.extend(fps.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+
+    return df.select(F.col("doc_id"), F.col(text_col)) \
+        .mapInPandas(kernel, "doc_id string, fp long")
+
+
+def winnow_fingerprints_expr(df: DataFrame, text_col: str = "text",
+                             k: int = 5, w: int = 4) -> DataFrame:
+    """Catalyst expression twin of winnow_fingerprints (same outputs;
+    interpreted HOF tree, ~100x slower — differential-test use only)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * WINNOW_B + F.ascii(F.substring(t, i + j, 1)))
+        % WINNOW_M)
+    hashes = F.transform(F.sequence(F.lit(1), n), gram_hash)
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    selected = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(hashes, j, w))))
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(selected).alias("fp"),
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash: per token, bit i comes from the top bit of the i-th
     hex nibble of md5(token); per-doc majority vote per bit.  Pure string

@@ -509,6 +509,10 @@ def q_url_dedup(spark, sf_dir) -> DataFrame:
     return textops.url_dedup(docs)
 
 
+def q_winnow(spark, sf_dir) -> DataFrame:
+    return textops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_corpus_stats(spark, sf_dir) -> DataFrame:
     return textops.corpus_stats(_docs(spark, sf_dir, spread=False))
 
@@ -964,6 +968,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "winnow": f"""
+            with t as (select cast(doc_id as varchar) as doc_id, text,
+                              greatest(length(text) - 4, 1) as n
+                       from documents),
+            g as (select doc_id,
+                         list_transform(range(1, n + 1),
+                           i -> list_reduce(
+                                  list_prepend(0::bigint,
+                                    list_transform(range(0, 5),
+                                      j -> ascii(substr(text, (i + j)::int,
+                                                        1))::bigint)),
+                                  (acc, x) -> (acc * {textops.WINNOW_B} + x)
+                                              % {textops.WINNOW_M})) as hs
+                  from t),
+            w as (select doc_id,
+                         list_distinct(list_transform(
+                           range(1, greatest(len(hs) - 3, 1) + 1),
+                           j -> list_min(hs[j:j+3]))) as fps
+                  from g)
+            select doc_id, unnest(fps) as fp from w""",
         "url_dedup": r"""
             with u0 as (select cast(doc_id as varchar) as doc_id,
                                case doc_id % 5
@@ -1289,6 +1313,7 @@ def queries():
         "curate": q_curate,
         "corpus_stats": q_corpus_stats,
         "url_dedup": q_url_dedup,
+        "winnow": q_winnow,
         "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
