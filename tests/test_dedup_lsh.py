@@ -150,3 +150,17 @@ def test_multi_table_lsh_recall_superset_and_no_cartesian(spark, emb, tmp_path):
     plan = multi._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     release_intermediates(multi)
+
+
+def test_connected_components_chains_and_representatives(spark):
+    from warc2text_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),       # 4-chain
+         ("x", "y"),                                # pair
+         ("m", "n"), ("n", "o"), ("m", "o")],       # triangle
+        "a_id string, b_id string")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x",
+                   "m": "m", "n": "m", "o": "m"}

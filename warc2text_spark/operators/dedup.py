@@ -214,6 +214,56 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return _attach(out, cached)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup clusters from a pair list: label propagation to the
+    minimum (string) doc_id reachable in each component — the step that
+    turns candidate/verified pairs into \"keep one representative per
+    cluster\".  Returns (doc_id, cluster_id) for every doc appearing in a
+    pair; the representative is the doc whose id == cluster_id.
+
+    Each iteration is one join + one map-side-combined groupBy over the
+    (id, label) frame — labels and edges only, payloads never move.
+    Convergence needs D iterations for component diameter D; near-dup
+    components are shallow (clones cluster around one source), so the
+    driver loop usually exits after 2-3 rounds via the zero-changes check
+    (a one-scalar action per round, not a data collect).  The iterative
+    fixpoint is inherently non-SQL-single-query; the DuckDB oracle uses a
+    recursive CTE over the same edges."""
+    sym = (pairs.select(F.col("a_id").cast("string").alias("src"),
+                        F.col("b_id").cast("string").alias("dst"))
+           .union(pairs.select(F.col("b_id").cast("string"),
+                               F.col("a_id").cast("string"))))
+    # localCheckpoint (eager) TRUNCATES lineage each round — without it
+    # every iteration's plan nests the previous one and Catalyst analysis
+    # time explodes exponentially (the standard iterative-algorithm trap;
+    # on a cluster with unreliable executors use checkpoint() to a
+    # reliable store instead)
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("id").alias("dst"),
+                                      F.col("label").alias("dlabel")),
+                        "dst")
+               .groupBy("src").agg(F.min("dlabel").alias("nbr")))
+        new_labels = (labels.join(nbr, labels.id == nbr.src, "left")
+                      .select(labels.id,
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def embedding_near_duplicates_lsh(df: DataFrame,
                                   hyperplanes: list[list[float]],
                                   threshold: float = 0.999,

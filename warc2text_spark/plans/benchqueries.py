@@ -487,6 +487,15 @@ def q_simhash_pairs(spark, sf_dir) -> DataFrame:
     return dedup.simhash_near_pairs(_clone_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup clusters over the MinHash candidate pairs: label
+    propagation to the min reachable doc_id (materialize=None — the
+    component loop persists the symmetric edge list itself)."""
+    pairs = dedup.minhash_candidate_pairs(_clone_docs(spark, sf_dir),
+                                          materialize=None)
+    return dedup.connected_components(pairs)
+
+
 def q_minhash_verified(spark, sf_dir) -> DataFrame:
     """Full dedup pipeline: LSH candidates -> exact shingle-Jaccard."""
     return dedup.minhash_verified_pairs(_clone_docs(spark, sf_dir))
@@ -711,6 +720,24 @@ def _minhash_pairs_oracle() -> str:
     sigs = _minhash_sig_exprs(_CLONES_SQL)
     return (f"with sigs as ({sigs}) "
             f"select distinct a_id, b_id from ({_minhash_band_joins()})")
+
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE twin of connected_components over the MinHash
+    candidate pairs (transitive closure -> min reachable id; component
+    sizes here are clone-pair scale, so the closure stays tiny)."""
+    sigs = _minhash_sig_exprs(_CLONES_SQL)
+    return f"""
+with recursive sigs as ({sigs}),
+cand as (select distinct a_id, b_id from ({_minhash_band_joins()})),
+sym as (select a_id as a, b_id as b from cand
+        union select b_id as a, a_id as b from cand),
+nodes as (select distinct a as id from sym),
+reach(id, r) as (
+  select id, id from nodes
+  union
+  select s.a, r.r from sym s join reach r on s.b = r.id)
+select id as doc_id, min(r) as cluster_id from reach group by id"""
 
 
 def _minhash_verified_oracle(threshold: float = 0.8) -> str:
@@ -968,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "winnow": f"""
             with t as (select cast(doc_id as varchar) as doc_id, text,
                               greatest(length(text) - 4, 1) as n
@@ -1308,6 +1336,7 @@ def queries():
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "neardup_lsh_multi": q_neardup_lsh_multi,
         "minhash_verified": q_minhash_verified,
+        "dedup_clusters": q_dedup_clusters,
         "host_cap": q_host_cap,
         "remove_boilerplate": q_remove_boilerplate,
         "curate": q_curate,
