@@ -381,6 +381,18 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
             .filter(F.col("rn") == 1).drop("rn"))
 
 
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent whitespace tokens with
+    counts (tokenizer-health / stopword-discovery staple).  One explode +
+    map-side-combined groupBy; the final top-k is TakeOrderedAndProject,
+    never a global sort.  Deterministic ties: count desc, token asc."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (tok.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(k))
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus profile: doc/token/byte totals plus exact token-count
     percentiles (p50/p90/p99) — the summary a curation run reports before

@@ -518,6 +518,10 @@ def q_url_dedup(spark, sf_dir) -> DataFrame:
     return textops.url_dedup(docs)
 
 
+def q_vocab_topk(spark, sf_dir) -> DataFrame:
+    return textops.vocab_topk(_docs(spark, sf_dir, spread=False), 50)
+
+
 def q_winnow(spark, sf_dir) -> DataFrame:
     return textops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -996,6 +1000,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "vocab_topk": """
+            select token, count(*)::bigint as n
+            from (select unnest(string_split(text, ' ')) as token
+                  from documents)
+            group by token order by n desc, token limit 50""",
         "winnow": f"""
             with t as (select cast(doc_id as varchar) as doc_id, text,
                               greatest(length(text) - 4, 1) as n
@@ -1343,6 +1352,7 @@ def queries():
         "corpus_stats": q_corpus_stats,
         "url_dedup": q_url_dedup,
         "winnow": q_winnow,
+        "vocab_topk": q_vocab_topk,
         "redact_pii": q_redact_pii,
         "multilang_demux": q_multilang_demux,
         "jsonl_lines": q_jsonl_lines,
