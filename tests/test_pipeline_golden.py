@@ -150,6 +150,26 @@ def test_write_outputs_excludes_unk_from_lang_counters(spark, tmp_path):
     assert back.filter("lang = 'unk'").count() == 1
 
 
+def test_counters_single_pass_uses_observations(spark):
+    # total/text aggregates must come from the CollectMetrics nodes riding
+    # the one lang-aggregate job — not from separate actions re-scanning
+    # prefiltered/main.  Handing counters() a result whose prefiltered
+    # frame is unusable proves the single-pass path never touches it.
+    from warc2text_spark.plans.pipeline import PipelineResult
+    from warc2text_spark.sources.fixtures import fixture_df
+    df, expected = fixture_df(spark)
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    poisoned = PipelineResult(
+        main=res.main, robots=res.robots, pdf=res.pdf,
+        extracted=res.extracted, prefiltered=None,
+        obs_total=res.obs_total, obs_text=res.obs_text)
+    c = counters(poisoned).collect()[0]
+    kept = sum(1 for v in expected.values() if v is not None)
+    assert c.textRecords == kept
+    assert c.totalRecords >= kept
+    assert c.langRecords == c.textRecords
+
+
 def test_counters_releases_persisted_frames(spark):
     from warc2text_spark.sources.fixtures import fixture_df
     df, _ = fixture_df(spark)

@@ -144,23 +144,20 @@ _LONG = ("<p>" + "the cat and the dog of the big old house " * 5 + "</p>")
 def test_bilang_html_field_single_line_over_57_bytes(spark, tmp_path):
     # F.base64 would MIME-chunk (CRLF/76 chars) any record > 57 bytes and
     # break positional alignment; the writer must emit one b64 line per
-    # record on both the payload_b64 path and the plaintext fallback.
+    # record.  Requesting 'html' without the payload column must fail
+    # loudly (the reference html file is the original payload,
+    # bilangwriter.cc:126-131 — substituting plaintext would be wrong).
+    import pytest
     df = spark.createDataFrame(
         [_doc("d1", [_t(_LONG)]), _doc("d2", [_t("<p>short</p>")])],
         schema=INPUT_SCHEMA)
 
-    # fallback path: no payload_b64 column (default pipeline options)
     rows = demux_by_lang(run_pipeline(
         df, PipelineOptions(classifier="skip")).main)
     assert "payload_b64" not in rows.columns
-    out = str(tmp_path / "compat_html_fb")
-    write_bilang_files(rows, out, ("url", "html", "text"))
-    d = os.path.join(out, "unlabeled")
-    html = _lines(os.path.join(d, "html.gz"))
-    text = _lines(os.path.join(d, "text.gz"))
-    assert len(html) == len(text) == 2
-    decoded = [base64.b64decode(line).decode("utf-8") for line in html]
-    assert any(len(t) > 57 and "the cat and the dog" in t for t in decoded)
+    with pytest.raises(ValueError, match="payload_b64"):
+        write_bilang_files(rows, str(tmp_path / "compat_html_fb"),
+                           ("url", "html", "text"))
 
     # payload path: keep_payload carries the transport-decoded bytes
     rows_p = demux_by_lang(run_pipeline(
@@ -192,16 +189,34 @@ def test_cli_parquet_html_column_has_no_line_breaks(spark, tmp_path):
 
 
 def test_bilang_metadata_field(spark, tmp_path):
+    # metadata lines are the reference's toJSON(record, chunk, true):
+    # one ordered-key JSON object per record, keys f,o,s,rs,u,c,ts,de
+    # (nlohmann::ordered_json — insertion order; bilangwriter.cc:65-91,
+    # 140-141), positionally aligned with url.gz.
+    import json
     out = str(tmp_path / "compat_meta")
     rows = demux_by_lang(run_pipeline(
         spark.createDataFrame(
-            [_doc("d1", [_t("<p>the cat and the dog</p>")])],
+            [_doc("d1", [_t("<p>the cat and the dog</p>")], url="https://x/1"),
+             _doc("d2", [_t("<p>more of the cat</p>")], url="https://x/2")],
             schema=INPUT_SCHEMA),
         PipelineOptions(classifier="skip")).main)
     write_bilang_files(rows, out, ("url", "metadata"))
     d = os.path.join(out, "unlabeled")
     assert sorted(os.listdir(d)) == ["metadata.gz", "url.gz"]
-    assert _lines(os.path.join(d, "metadata.gz")) == ["ascii"]
+    meta = _lines(os.path.join(d, "metadata.gz"))
+    urls = _lines(os.path.join(d, "url.gz"))
+    assert len(meta) == len(urls) == 2
+    for line, url in zip(meta, urls):
+        obj = json.loads(line)
+        assert list(obj.keys()) == ["f", "o", "s", "rs", "u", "c", "ts", "de"]
+        assert obj["u"] == url            # positional alignment
+        assert obj["o"] == 0 and obj["s"] == obj["rs"] > 0
+        assert obj["c"] == "text/html"
+        assert obj["de"] == "ascii"
+        assert obj["ts"] == "2024-01-01T00:00:00Z"
+    assert json.loads(meta[0])["f"] == "d1"
+    assert json.loads(meta[1])["f"] == "d2"
 
 
 def test_bilang_part_files_remove_per_lang_skew_ceiling(spark, tmp_path):

@@ -119,7 +119,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 1
 
     from .plans.pipeline import (PipelineOptions, counters, demux_by_lang,
-                                 jsonl_projection, partition_safe_lang)
+                                 jsonl_projection, metadata_json_col,
+                                 partition_safe_lang)
     from .plans.pipeline import run_pipeline
     from .session import get_spark
     from .sources.table_io import read_input, write_output
@@ -226,6 +227,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 compression=None if args.compress == "none" else args.compress)
     elif args.compat_output:
         from .sinks.bilang_writer import write_bilang_files
+        if ("html" in fields and args.skip_text_extraction
+                and "payload_b64" not in rows.columns):
+            # with --skip-text-extraction plaintext IS the transport-decoded
+            # payload, so b64(plaintext) is the correct html line (the
+            # writer otherwise refuses html without keep_payload).  Strip
+            # F.base64's MIME CRLF chunking to keep one line per record.
+            rows = rows.withColumn(
+                "payload_b64",
+                F.regexp_replace(F.base64(F.col("plaintext").cast("binary")),
+                                 "[\r\n]", ""))
         write_bilang_files(rows, args.output, tuple(fields) or ("url", "text"),
                            compresslevel=args.compress_level,
                            parts_per_lang=args.compat_parts)
@@ -236,7 +247,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "file": F.concat_ws(":", "doc_id", F.lit("0"),
                                     F.octet_length("plaintext")).alias("file"),
                 "date": F.col("warc_date").alias("date"),
-                "metadata": F.col("charset").alias("metadata_charset"),
+                # ordered-key JSON metadata object, same contract as the
+                # compat writer's metadata file (bilangwriter.cc:140-141)
+                "metadata": metadata_json_col().alias("metadata"),
                 # b64 of the transport-decoded payload (bilangwriter.cc:126-131);
                 # with --skip-text-extraction plaintext IS the payload
                 # F.base64 is MIME-chunked (CRLF every 76 chars) on this

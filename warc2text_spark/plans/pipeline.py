@@ -57,9 +57,15 @@ class PipelineResult:
     pdf: DataFrame        # F7 side route (raw input rows)
     extracted: DataFrame  # post-Kernel-1, pre-drop (for metrics/diagnostics)
     prefiltered: DataFrame  # post-F1-F9 input rows (for A1 counters)
+    # CollectMetrics handles attached at plan-build time so counters() can
+    # read total/text aggregates from the SAME job that computes the lang
+    # aggregate — one input scan, not three (warcpreprocessor.hh:57-62)
+    obs_total: object = None
+    obs_text: object = None
 
 
 def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> PipelineResult:
+    from pyspark.sql import Observation
     opts = opts or PipelineOptions()
     main0, robots, pdf = flt.split_stream(
         df,
@@ -68,8 +74,19 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
         max_record_size=opts.max_record_size,
         case_insensitive=opts.case_insensitive_headers,
     )
+    # A1 totalRecords/totalBytes ride the plan as a CollectMetrics node —
+    # free at execution time, and placed ABOVE the F1-F9 filters so their
+    # parquet pushdown is unaffected (CollectMetrics blocks pushdown
+    # through itself, so it must sit above anything that needs to reach
+    # the scan).
+    obs_total = Observation()
+    main0_obs = main0.observe(
+        obs_total,
+        F.count(F.lit(1)).alias("totalRecords"),
+        F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
+    )
     ext = run_extract(
-        main0,
+        main0_obs,
         ExtractOptions(
             tag_filters_text=opts.tag_filters_text,
             tag_filters_invert=opts.tag_filters_invert,
@@ -85,8 +102,15 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
     kept = ext.filter(keep_predicate(opts.tag_filters_invert, opts.skip_extraction))
     if not opts.fuse_langid:
         kept = run_langid(kept, opts.classifier)
+    obs_text = Observation()
+    kept = kept.observe(
+        obs_text,
+        F.count(F.lit(1)).alias("textRecords"),
+        F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
+    )
     return PipelineResult(main=kept, robots=robots, pdf=pdf, extracted=ext,
-                          prefiltered=main0)
+                          prefiltered=main0, obs_total=obs_total,
+                          obs_text=obs_text)
 
 
 def paragraph_id_col(chunk=None):
@@ -118,6 +142,25 @@ def demux_by_lang(result_main: DataFrame, paragraph_identification: bool = False
     if paragraph_identification:
         rows = rows.withColumn("chunk", paragraph_id_col())
     return rows
+
+
+def metadata_json_col():
+    """``toJSON(record, chunk, metadata_only=true)`` — one ordered-key JSON
+    object (keys f,o,s,rs,u,c,ts,de; ``nlohmann::ordered_json`` preserves
+    insertion order, bilangwriter.cc:65-91,140-141).  Spark's ``to_json``
+    keeps struct-field order; the reference getters return ``std::string``
+    (never null), so string keys coalesce to ''."""
+    rs = F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
+    return F.to_json(F.struct(
+        F.col("doc_id").alias("f"),
+        F.lit(0).cast("long").alias("o"),
+        rs.cast("long").alias("s"),
+        rs.cast("long").alias("rs"),
+        F.coalesce(F.col("url"), F.lit("")).alias("u"),
+        flt.clean_http_ct().alias("c"),
+        F.coalesce(F.col("warc_date"), F.lit("")).alias("ts"),
+        F.coalesce(F.col("charset"), F.lit("")).alias("de"),
+    ))
 
 
 def jsonl_projection(lang_rows: DataFrame, skip_extraction: bool = False) -> DataFrame:
@@ -160,30 +203,32 @@ def counters(result: PipelineResult) -> DataFrame:
     textRecords/textBytes: records with non-empty extracted text;
     langRecords/langBytes: (record x lang) chunks excluding 'unk'.
     """
-    # the text and lang aggregates both consume the extracted frame; persist
-    # it so the kernel runs once, not twice.  The three aggregates are each
-    # a single row, so they are collected eagerly here and the persist is
-    # released before returning — no cached partitions outlive the call.
-    kept = result.main.persist()
-    try:
+    # ONE action: the lang aggregate's job flows through the CollectMetrics
+    # nodes run_pipeline attached below (prefiltered totals) and above
+    # (kept-text totals) the kernel, so total/text aggregates come out of
+    # the same single input scan — at 100 TB the old three-action shape
+    # cost one extra full scan per metrics call.
+    not_unk = F.col("lang") != "unk"
+    langs = explode_by_lang(result.main).agg(
+        F.count(F.when(not_unk, 1)).alias("langRecords"),
+        F.coalesce(F.sum(F.when(not_unk, F.octet_length("chunk"))),
+                   F.lit(0)).alias("langBytes"),
+    ).collect()[0]
+    if result.obs_total is not None and result.obs_text is not None:
+        total, text = result.obs_total.get, result.obs_text.get
+    else:  # PipelineResult built without observations (hand-assembled)
         total = result.prefiltered.agg(
             F.count(F.lit(1)).alias("totalRecords"),
             F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
-        ).collect()[0]
-        text = kept.agg(
+        ).collect()[0].asDict()
+        text = result.main.agg(
             F.count(F.lit(1)).alias("textRecords"),
             F.coalesce(F.sum(F.octet_length("plaintext")), F.lit(0)).alias("textBytes"),
-        ).collect()[0]
-        langs = explode_by_lang(kept).filter(~F.col("lang").isin("unk")).agg(
-            F.count(F.lit(1)).alias("langRecords"),
-            F.coalesce(F.sum(F.octet_length("chunk")), F.lit(0)).alias("langBytes"),
-        ).collect()[0]
-    finally:
-        kept.unpersist()
+        ).collect()[0].asDict()
     spark = result.main.sparkSession
     return spark.createDataFrame(
-        [(total.totalRecords, total.totalBytes, text.textRecords,
-          text.textBytes, langs.langRecords, langs.langBytes)],
+        [(total["totalRecords"], total["totalBytes"], text["textRecords"],
+          text["textBytes"], langs.langRecords, langs.langBytes)],
         "totalRecords bigint, totalBytes bigint, textRecords bigint, "
         "textBytes bigint, langRecords bigint, langBytes bigint")
 

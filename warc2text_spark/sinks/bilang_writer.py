@@ -13,6 +13,10 @@ the reference:
   bilangwriter.cc:126-137); url/mime/file/date are plain lines;
 * ``file`` is the provenance triple ``filename:offset:size``
   (bilangwriter.cc:121-125) — here ``doc_id:0:<text bytes>``;
+* ``metadata`` is the one-line ordered-key JSON object per record —
+  ``toJSON(record, chunk, metadata_only=true)`` with keys
+  ``f,o,s,rs,u,c,ts,de`` in insertion order (``nlohmann::ordered_json``,
+  bilangwriter.cc:65-91,140-141);
 * gzip, level 3 (warc2text_main.cc:60-62 default).  The reference also
   supports zstd output (bilangwriter.cc:47-51); this sandbox has no zstd
   binding (no ``zstandard`` wheel, stdlib ``compression.zstd`` is 3.14+),
@@ -27,7 +31,9 @@ enabled file of its (lang, part) group, which *is* the positional
 alignment (the same loop shape as BilangWriter::write).  With the default
 ``parts_per_lang=1`` the layout is byte-compatible with the reference
 (``<lang>/text.gz``); with N > 1 a dominant language (English is ~half a
-crawl) fans out to N independent gzip streams ``<lang>/text.<part>.gz``,
+crawl) fans out to N independent gzip streams named with a zero-padded
+four-digit part id — ``<lang>/text.0000.gz`` … ``<lang>/text.0003.gz``
+(glob ``<lang>/text.*.gz``),
 each internally aligned — the skew ceiling of one-task-per-language is
 gone and the consumer contract holds per part.  Like the reference
 binary, each task writes to a filesystem path visible where it runs; on a
@@ -63,21 +69,34 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
     if parts_per_lang < 1:
         raise ValueError("parts_per_lang must be >= 1")
     has_payload = "payload_b64" in lang_rows.columns
+    if "html" in fields and not has_payload:
+        # the reference's html file is the original transport-decoded
+        # payload (bilangwriter.cc:126-131); silently substituting
+        # base64(plaintext) would hand a consumer the wrong bytes.  The
+        # CLI sets keep_payload for '-f html'; a library caller must too.
+        raise ValueError(
+            "'html' field requested but the frame has no payload_b64 "
+            "column — run the pipeline with keep_payload=True "
+            "(CLI: '-f html' sets it automatically)")
+    from ..operators.filters import clean_http_ct
+    from ..plans.pipeline import metadata_json_col
+    rs = F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
     rows = lang_rows.select(
         "lang", "doc_id",
         F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
                F.lit(parts_per_lang)).cast("int").alias("part"),
         F.coalesce(F.col("chunk"), F.lit("")).alias("chunk"),
         F.coalesce(F.col("url"), F.lit("")).alias("url"),
-        F.coalesce(F.col("http_ct"), F.lit("")).alias("mime"),
+        clean_http_ct().alias("mime"),
         F.coalesce(F.col("warc_date"), F.lit("")).alias("date"),
-        F.coalesce(F.col("charset"), F.lit("")).alias("metadata"),
-        F.octet_length(F.coalesce(F.col("plaintext"), F.lit("")))
-         .cast("string").alias("size"),
-        # payload_b64 comes from Python b64encode (single-line); when the
-        # payload is absent we carry plaintext raw and encode it in
-        # write_partition — F.base64 is MIME-chunked (CRLF every 76 chars)
-        # on this runtime and would break the one-line-per-record layout.
+        # toJSON(record, chunk, metadata_only=true) — ordered keys
+        # f,o,s,rs,u,c,ts,de (bilangwriter.cc:65-91,140-141); provenance
+        # maps as in jsonl_projection (f=doc_id, o=0, s=rs=payload bytes)
+        metadata_json_col().alias("metadata"),
+        rs.cast("string").alias("size"),
+        # payload_b64 comes from Python b64encode (single-line) — F.base64
+        # is MIME-chunked (CRLF every 76 chars) on this runtime and would
+        # break the one-line-per-record layout.
         (F.coalesce(F.col("payload_b64"), F.lit("")) if has_payload
          else F.lit(None).cast("string")).alias("html_b64"),
         F.coalesce(F.col("plaintext"), F.lit("")).alias("plaintext"),
@@ -113,13 +132,10 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                     if f == "text":
                         line = base64.b64encode(row.chunk.encode("utf-8"))
                     elif f == "html":
-                        line = (row.html_b64.encode("ascii")
-                                if row.html_b64 is not None else
-                                base64.b64encode(
-                                    row.plaintext.encode("utf-8")))
+                        line = row.html_b64.encode("ascii")
                     elif f == "file":
                         line = f"{row.doc_id}:0:{row.size}".encode("utf-8")
-                    else:  # url | mime | date | metadata (charset)
+                    else:  # url | mime | date | metadata (ordered JSON)
                         line = getattr(row, f).encode("utf-8")
                     w[f].write(line + b"\n")
         finally:
