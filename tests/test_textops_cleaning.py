@@ -87,6 +87,12 @@ def test_url_dedup_keeps_first_per_canonical(spark):
     ], "doc_id long, url string")
     got = {(r.doc_id, r.canon_url) for r in url_dedup(docs).collect()}
     assert got == {("1", "https://a.example/x"), ("4", "https://b.example/y")}
+    # keep-first is a map-side-combinable aggregate, not a window — a
+    # viral canonical URL must not pin the dedup to one sorting task
+    # (min over a string buffer plans as SortAggregate; partial_min is the
+    # map-side combine that collapses a viral key before the shuffle)
+    plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan and "Window" not in plan, plan
 
 
 def test_winnow_kernel_matches_expression_twin(spark):

@@ -161,10 +161,11 @@ def lsh_topk(df: DataFrame, query: list[float],
              vec_col: str = "embedding") -> DataFrame:
     """ANN: rank only the query's LSH bucket (the 10^12-scale path)."""
     bucketed = lsh_bits(df, hyperplanes, vec_col)
-    qdf = lsh_bits(
-        df.sparkSession.createDataFrame([(0, query)], "vec_id long, embedding array<double>"),
-        hyperplanes)
-    qbucket = [r.bucket for r in qdf.collect()][0]
+    # the query's bucket is a pure function of (query, hyperplanes) — a
+    # driver-side fold, not a 1-row Spark job (same left-to-right double
+    # accumulation as lsh_bits' F.aggregate, so the sign bits agree
+    # bit-for-bit); _probe_buckets[0] is exactly that bucket
+    qbucket = _probe_buckets(query, hyperplanes, n_probe=1)[0]
     cand = bucketed.filter(F.col("bucket") == qbucket)
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _as_double(F.col(vec_col))

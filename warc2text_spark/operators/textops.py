@@ -371,14 +371,17 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """URL-level dedup: canonicalize, keep the first doc (string doc_id
     order) per canonical URL — the cheap pre-pass a crawl pipeline runs
     before content dedup (re-crawls and fragment/port/case variants
-    collapse without touching payloads).  One window over the canonical
-    key; only (doc_id, url) columns shuffle."""
-    from pyspark.sql import Window
+    collapse without touching payloads).  Keep-first == min(doc_id) per
+    key, so this is a groupBy-min, not a window: the aggregate gets
+    map-side combine (a viral canonical URL collapses to one row per
+    input partition before the shuffle) and no per-key sort — immune to
+    single-key skew that would pin a window variant to one task.  Only
+    (doc_id, url) columns shuffle."""
     base = df.select(F.col("doc_id").cast("string").alias("doc_id"),
                      canonical_url(F.col(url_col)).alias("canon_url"))
-    w = Window.partitionBy("canon_url").orderBy("doc_id")
-    return (base.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).drop("rn"))
+    return (base.groupBy("canon_url")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "canon_url"))
 
 
 def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:

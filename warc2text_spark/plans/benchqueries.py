@@ -1051,11 +1051,8 @@ def oracle_sql() -> dict[str, str]:
             c4 as (select doc_id, regexp_replace(u,
                           '^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$', '\1')
                           as canon_url from c3)
-            select doc_id, canon_url from
-              (select doc_id, canon_url,
-                      row_number() over (partition by canon_url
-                                         order by doc_id) as rn
-               from c4) where rn = 1""",
+            select min(doc_id) as doc_id, canon_url
+            from c4 group by canon_url""",
         "corpus_stats": """
             with t as (select len(string_split(text, ' ')) as n_tok,
                               strlen(text) as n_chars from documents)
