@@ -24,6 +24,43 @@ def test_sniff():
     assert sniff_media_type(b"junk") == "application/octet-stream"
 
 
+def test_parse_image_header_real_codecs():
+    from warc2text_spark.operators.multimodal import parse_image_header
+    from warc2text_spark.plans.spansgen import (_gif_header, _jpeg_header,
+                                                _png_header)
+    for w, h in ((1, 1), (640, 480), (1920, 1080), (65535, 1)):
+        assert parse_image_header(_png_header(w, h)) == (w, h)
+        assert parse_image_header(_jpeg_header(w, h)) == (w, h)
+        if w <= 65535 and h <= 65535:
+            assert parse_image_header(_gif_header(w, h)) == (w, h)
+    # PNG > uint16 dims (the GIF/JPEG fields cap at 65535)
+    assert parse_image_header(_png_header(1 << 20, 3)) == (1 << 20, 3)
+    # JPEG with APP0 before SOF0 (real files lead with JFIF metadata)
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+    jpeg = b"\xff\xd8" + app0 + _jpeg_header(123, 45)[2:]
+    assert parse_image_header(jpeg) == (123, 45)
+    # malformed inputs: never raise, return None
+    for bad in (b"", b"\x89PNG\r\n\x1a\n", b"\x89PNG\r\n\x1a\nXXXXIDAT",
+                b"GIF89a\x01", b"\xff\xd8\xff", b"\xff\xd8\x00\x00",
+                b"IMG42", b"junk"):
+        assert parse_image_header(bad) is None
+
+
+def test_media_features_real_headers(spark):
+    from warc2text_spark.plans.spansgen import _gif_header, _png_header
+    rows = [
+        _doc("p1", [_m(_png_header(800, 600), 0)]),
+        _doc("g1", [_m(_gif_header(320, 200), 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+    feats = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert (feats["p1"].media_type, feats["p1"].width, feats["p1"].height) \
+        == ("image/png", 800, 600)
+    assert (feats["g1"].media_type, feats["g1"].width, feats["g1"].height) \
+        == ("image/gif", 320, 200)
+
+
 def test_media_metadata_and_features(spark):
     df = media_df(spark)
     meta = {r.doc_id: r.media_bytes for r in media_metadata(df).collect()}

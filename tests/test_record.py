@@ -233,6 +233,54 @@ def test_cjk_multibyte_detection_overrides_declared():
     assert (err_cp, cs_cp) == (SUCCESS, "windows-1252")
 
 
+_RU = ("Это новый день и мы снова здесь. Русский текст страницы "
+       "содержит обычные слова и предложения о жизни. ") * 3
+_KO = "이것은 한국어 페이지입니다. 본문은 한글과 한자를 포함합니다. " * 3
+_ZH_T = "這是一個中文網頁。正文包含漢字和標點符號。今天是美好的一天。" * 3
+
+
+def test_cyrillic_frequency_detection():
+    # uchardet-style Cyrillic model (util.cc:68-91): cp1251 vs koi8-r by
+    # case statistics (the layouts swap the upper/lower banks) + a
+    # common-letter frequency floor
+    for enc, want in (("windows-1251", "windows-1251"), ("koi8_r", "koi8-r")):
+        raw = f"<p>{_RU}</p>".encode(enc)
+        # undeclared: recovered, not mislabeled windows-1252
+        text, err, charset = clean_payload(raw, "text/html", "", "u")
+        assert (err, charset) == (SUCCESS, want), (enc, err, charset)
+        assert "Русский текст" in text
+        # declared-latin: implausible declaration loses to the model
+        text, err, charset = clean_payload(raw, "text/html", "iso-8859-1", "u")
+        assert (err, charset) == (SUCCESS, want)
+        assert "обычные слова" in text
+
+
+def test_statistical_guess_never_stomps_plausible_declaration():
+    # ADVICE r3: a correctly-declared single-byte page must keep its
+    # declared charset even if some statistical candidate happens to
+    # strictly decode the bytes (confidence asymmetry)
+    raw = f"<p>{_RU}</p>".encode("windows-1251")
+    _, err, charset = clean_payload(raw, "text/html", "windows-1251", "u")
+    assert (err, charset) == (SUCCESS, "windows-1251")
+    # koi8-r declared on koi8-r bytes: kept, never flipped to cp1251
+    raw_k = f"<p>{_RU}</p>".encode("koi8_r")
+    _, err_k, charset_k = clean_payload(raw_k, "text/html", "koi8-r", "u")
+    assert (err_k, charset_k) == (SUCCESS, "koi8-r")
+
+
+def test_euc_kr_and_big5_detection():
+    # hangul is decisive for euc-kr even though Korean EUC bytes strictly
+    # decode in euc_jp/gb2312/big5 too; big5 text decodes uniquely
+    raw_ko = f"<p>{_KO}</p>".encode("euc_kr")
+    text, err, charset = clean_payload(raw_ko, "text/html", "iso-8859-1", "u")
+    assert (err, charset) == (SUCCESS, "euc_kr")
+    assert "한국어" in text
+    raw_zh = f"<p>{_ZH_T}</p>".encode("big5")
+    text, err, charset = clean_payload(raw_zh, "text/html", "", "u")
+    assert (err, charset) == (SUCCESS, "big5")
+    assert "中文網頁" in text
+
+
 def test_accented_latin_not_misread_as_cjk():
     # accent bytes can form VALID Shift_JIS pairs ('és' = 0xE9 0x73 is a
     # kanji); the high-byte density floor must keep Latin text Latin

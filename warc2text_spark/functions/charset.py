@@ -14,15 +14,27 @@ the default detector is deterministic and pluggable (mirroring the
 reference's pluggable ``LanguageDetector`` pattern):
 
 * strong detections (BOMs, strict ASCII, strict UTF-8) win over the
-  declared charset, like uchardet does;
+  declared charset unconditionally, like uchardet does;
+* statistical detections — legacy CJK multibyte (shift_jis / euc_jp /
+  gb2312 / big5 / euc_kr, script-evidence scored) and Cyrillic
+  single-byte (windows-1251 / koi8-r, case + letter-frequency model) —
+  win only when the declared charset is IMPLAUSIBLE on the same sample
+  (fails strict decode, or claims a Western-Latin charset for
+  high-byte-dense text).  This is uchardet's confidence asymmetry: a
+  correctly-declared cp1251 page is never stomped by a coincidental
+  Shift_JIS parse, while a declared-latin-but-actually-cp1251/shift_jis
+  page is recovered;
 * otherwise the declared charset (lower-cased) is used;
-* with *no* declared charset, a weak legacy-class guess recovers the page
-  as windows-1252 (or iso-8859-1 when cp1252's five undefined bytes
-  appear) instead of dropping it — uchardet classifies undeclared legacy
-  Latin pages the same way (util.cc:68-91), and old crawls are full of
-  them.  Documented delta vs the reference: our weak guess defers to an
-  explicit declaration, where uchardet's guess would override it; strong
-  detections keep the reference's detected-wins precedence.
+* with *no* declared charset, the statistical models above run first,
+  then a weak legacy-class guess recovers the page as windows-1252 (or
+  iso-8859-1 when cp1252's five undefined bytes appear) instead of
+  dropping it — uchardet classifies undeclared legacy Latin pages the
+  same way (util.cc:68-91), and old crawls are full of them.
+
+Remaining scope gap vs uchardet: no frequency models for euc-kr-vs-gb2312
+han-only text (deterministic preference order documented at
+_cjk_multibyte_guess) or for rarer single-byte families (iso-8859-5,
+cp866 Cyrillic variants, Thai, Hebrew, Arabic).
 
 Fixtures pin declared-charset cases so the precedence logic is stable (see
 FIXTURES.md F09).
@@ -33,10 +45,17 @@ from __future__ import annotations
 import codecs
 
 
-# CJK codepoint ranges for the multibyte detector's content check
-_CJK_RANGES = ((0x3040, 0x30FF),   # kana
-               (0x3400, 0x9FFF),   # han
-               (0xFF61, 0xFF9F))   # half-width kana
+# script codepoint ranges for the multibyte detector's content checks.
+# Half-width katakana (U+FF61-FF9F) is deliberately NOT evidence: shift_jis
+# maps every SINGLE byte 0xA1-0xDF there, so any dense single-byte text
+# (koi8-r lowercase Cyrillic lives at 0xC0-0xDF) "decodes" to hw-kana soup
+# — the classic false positive.  Real Japanese pages are dominated by
+# full-width kana/kanji (2-byte), which still carries the signal; a
+# hw-kana-only page (old mobile content) falls back to its declared
+# charset (documented miss).
+_KANA_RANGES = ((0x3040, 0x30FF),)
+_HAN_RANGES = ((0x3400, 0x9FFF), (0xF900, 0xFAFF))
+_HANGUL_RANGES = ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))
 _MB_SAMPLE = 65536
 _MB_MIN_HI = 16          # too few high bytes: no statistical signal
 _MB_MIN_CJK_RATIO = 0.5  # decoded CJK chars vs high-byte pair estimate
@@ -46,50 +65,139 @@ _MB_MIN_CJK_RATIO = 0.5  # decoded CJK chars vs high-byte pair estimate
 _MB_MIN_HI_DENSITY = 0.10
 
 
-def _is_cjk(ch: str) -> bool:
-    cp = ord(ch)
-    return any(a <= cp <= b for a, b in _CJK_RANGES)
+def _in_ranges(cp: int, ranges) -> bool:
+    return any(a <= cp <= b for a, b in ranges)
+
+
+def _script_counts(txt: str):
+    kana = han = hangul = 0
+    for ch in txt:
+        cp = ord(ch)
+        if cp < 0x80:
+            continue
+        if _in_ranges(cp, _KANA_RANGES):
+            kana += 1
+        elif _in_ranges(cp, _HAN_RANGES):
+            han += 1
+        elif _in_ranges(cp, _HANGUL_RANGES):
+            hangul += 1
+    return kana, han, hangul
 
 
 def _cjk_multibyte_guess(data: bytes) -> str | None:
     """Deterministic slice of uchardet's statistical model: legacy CJK
     multibyte encodings (the reference trusts uchardet over the declared
     charset, util.cc:68-91 — a page declaring iso-8859-1 while shipping
-    Shift_JIS bytes must be overridden).  Fires only when UNAMBIGUOUS:
+    Shift_JIS bytes must be overridden).  Gates first (both measured on
+    the 64 KB sample):
 
-    * enough high bytes to carry a signal (>= 16 in the 64 KB sample);
-    * the sample STRICTLY decodes in exactly one candidate encoding
-      (shift_jis / euc_jp / gb2312 — euc_jp and gb2312 overlap heavily,
-      so genuinely ambiguous pages fall through to the declared charset);
-    * the decoded high-byte pairs are mostly CJK characters (a cp1252 doc
-      whose sparse curly quotes happen to parse as Shift_JIS lead bytes
-      decodes to isolated kanji soup, but its high-byte count is tiny and
-      its CJK ratio check still holds — the guard is the pair-count floor).
+    * enough high bytes to carry a signal (>= 16) at body-text density
+      (>= 10% — accented Latin stays under ~5%);
+    * a candidate counts only if the sample STRICTLY decodes and the
+      decoded high-byte pairs are mostly CJK/hangul characters.
 
-    KOI8-R/cp1251 discrimination is NOT attempted: every byte maps in
-    both, so strictness carries no signal (documented gap; uchardet uses
-    letter-frequency models there)."""
+    The EUC-structured encodings overlap heavily (Korean euc-kr text
+    strictly decodes in euc_jp/gb2312/big5 too), so a unique strict
+    decode is rare; ambiguity resolves by script evidence, mirroring
+    uchardet's per-encoding frequency models with deterministic rules:
+
+    1. hangul-dominant euc_kr decode (>= 60% of pairs) -> euc-kr: no
+       other candidate's native text produces hangul at all;
+    2. kana-dominant decode (>= 25% of pairs) -> Japanese: prefer
+       shift_jis, then euc_jp (gb2312 carries kana rows, but
+       gb2312-encoded kana-dominant text is essentially nonexistent);
+    3. han-only text -> gb2312 over big5 over euc_jp: real big5 text
+       almost always hits low trail bytes (0x40-0x7E) that kill the EUC
+       grids so it usually decodes uniquely; a kanji-only euc_jp page is
+       the documented residual confusion (uchardet shares it)."""
     sample = data[:_MB_SAMPLE]
     n_hi = sum(1 for b in sample if b >= 0x80)
     if n_hi < _MB_MIN_HI or n_hi < _MB_MIN_HI_DENSITY * len(sample):
         return None
-    hits = []
-    for enc in ("shift_jis", "euc_jp", "gb2312"):
+    n_pairs = max(n_hi / 2, 1)
+    hits: dict[str, tuple[int, int, int]] = {}
+    for enc in ("shift_jis", "euc_jp", "gb2312", "big5", "euc_kr"):
         try:
             txt = sample.decode(enc)
         except (UnicodeDecodeError, LookupError):
             continue
-        cjk = sum(1 for ch in txt if _is_cjk(ch))
-        if cjk >= _MB_MIN_CJK_RATIO * (n_hi / 2):
-            hits.append(enc)
-    return hits[0] if len(hits) == 1 else None
+        kana, han, hangul = _script_counts(txt)
+        if kana + han + hangul >= _MB_MIN_CJK_RATIO * n_pairs:
+            hits[enc] = (kana, han, hangul)
+    if not hits:
+        return None
+    if len(hits) == 1:
+        return next(iter(hits))
+    if "euc_kr" in hits:
+        if hits["euc_kr"][2] >= 0.6 * n_pairs:
+            return "euc_kr"
+        del hits["euc_kr"]  # mixed hangul/han soup: not Korean
+        if len(hits) == 1:
+            return next(iter(hits))
+        if not hits:
+            return None
+    kana_dominant = [e for e in ("shift_jis", "euc_jp", "gb2312")
+                     if e in hits and hits[e][0] >= 0.25 * n_pairs]
+    if kana_dominant:
+        return kana_dominant[0]
+    for enc in ("gb2312", "big5", "euc_jp", "shift_jis"):
+        if enc in hits:
+            return enc
+    return None
+
+
+# windows-1251 vs koi8-r: both decode nearly every byte, so strictness
+# carries no signal — discriminate by case statistics (the two layouts
+# swap the upper/lower Cyrillic banks, so the WRONG decode of real text
+# is uppercase-dominant) plus a letter-frequency floor, the same evidence
+# uchardet's Cyrillic model uses (util.cc:68-91).
+_CYR_MIN_HI_DENSITY = 0.10
+_CYR_MIN_COHERENCE = 0.9    # decoded high bytes that are Cyrillic letters
+_CYR_MIN_LOWER = 0.6        # lowercase share of Cyrillic letters
+# the ten most frequent Russian letters cover ~55-70% of running Cyrillic
+# text (uk/bg distributions are close enough to pass); Greek or Latin
+# bytes mis-decoded as cp1251 land well under the floor
+_CYR_COMMON = frozenset("оеаинтслвр")
+_CYR_MIN_COMMON = 0.45
+
+
+def _cyrillic_guess(data: bytes) -> str | None:
+    sample = data[:_MB_SAMPLE]
+    n_hi = sum(1 for b in sample if b >= 0x80)
+    if n_hi < _MB_MIN_HI or n_hi < _CYR_MIN_HI_DENSITY * len(sample):
+        return None
+    best, best_lower = None, 0.0
+    for enc in ("windows-1251", "koi8-r"):
+        try:
+            txt = sample.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        cyr = [ch for ch in txt if 0x400 <= ord(ch) <= 0x4FF]
+        if len(cyr) < _CYR_MIN_COHERENCE * n_hi:
+            continue
+        lower = sum(1 for ch in cyr
+                    if 0x430 <= ord(ch) <= 0x45F or ord(ch) in (0x491,))
+        common = sum(1 for ch in cyr if ch in _CYR_COMMON)
+        if (lower < _CYR_MIN_LOWER * len(cyr)
+                or common < _CYR_MIN_COMMON * len(cyr)):
+            continue
+        if lower > best_lower:
+            best, best_lower = enc, lower
+    return best
+
+
+# detections in this set are certain (BOM / strict-decode classes) and
+# always beat the declared charset; anything else default_detect returns
+# is statistical and subject to detect_charset's declared-plausibility
+# asymmetry
+STRONG_DETECTIONS = frozenset({"utf-8-sig", "utf-16", "ascii", "utf-8"})
 
 
 def default_detect(data: bytes) -> str | None:
     """Deterministic stand-in for uchardet's confident classes: BOMs,
-    strict ASCII, strict UTF-8, unambiguous legacy CJK multibyte;
-    anything else gives up (weak-class recovery happens in
-    detect_charset)."""
+    strict ASCII, strict UTF-8, statistical legacy CJK multibyte and
+    Cyrillic single-byte models; anything else gives up (weak-class
+    recovery happens in detect_charset)."""
     if data.startswith(codecs.BOM_UTF8):
         try:
             data.decode("utf-8-sig")
@@ -112,7 +220,7 @@ def default_detect(data: bytes) -> str | None:
         return "utf-8"
     except UnicodeDecodeError:
         pass
-    return _cjk_multibyte_guess(data)
+    return _cjk_multibyte_guess(data) or _cyrillic_guess(data)
 
 
 import re as _re
@@ -158,12 +266,46 @@ def charset_is_supported(charset: str) -> bool:
         return False
 
 
+# Western-Latin single-byte charsets: body text in these is mostly ASCII
+# letters (accents stay under ~5% of bytes), so a >= 10% high-byte-dense
+# page declaring one of them is as good as a failed strict decode — the
+# evidence the statistical override needs.  Central-European Latin
+# charsets (cp1250, iso-8859-2) are deliberately absent: their accent
+# density is legitimately high.
+_LATIN_SINGLE_BYTE = frozenset({
+    "windows-1252", "cp1252", "iso-8859-1", "latin-1", "latin1",
+    "iso8859-1", "iso-8859-15", "us-ascii", "ascii",
+})
+
+
+def _declared_plausible(data: bytes, charset: str) -> bool:
+    """uchardet-style confidence asymmetry for STATISTICAL detections: a
+    declared charset that strictly decodes the sample and is consistent
+    with its byte statistics keeps precedence; one that fails to decode
+    (or claims a Western-Latin charset for high-byte-dense text) loses to
+    the detector (ADVICE r3: the CJK guess must not stomp a correctly
+    declared cp1251 page)."""
+    sample = data[:_MB_SAMPLE]
+    try:
+        sample.decode(charset)
+    except (UnicodeDecodeError, LookupError):
+        return False
+    if charset in _LATIN_SINGLE_BYTE:
+        n_hi = sum(1 for b in sample if b >= 0x80)
+        if n_hi >= _MB_MIN_HI_DENSITY * len(sample):
+            return False
+    return True
+
+
 def detect_charset(data: bytes, declared: str, detector=default_detect) -> str | None:
-    """util.cc:68-91: detected wins over declared; an unsupported declared
-    charset is unknown-encoding; with neither a detection nor a declared
-    charset, the weak legacy-class guess recovers the page (see module
-    docstring for the precedence delta vs the reference)."""
+    """util.cc:68-91: detected wins over declared (strong detections
+    unconditionally; statistical ones only when the declared charset is
+    implausible on the same sample); an unsupported declared charset is
+    unknown-encoding; with neither a detection nor a declared charset,
+    the weak legacy-class guess recovers the page (see module docstring
+    for the precedence delta vs the reference)."""
     detected = detector(data)
+    declared_lc = (declared or "").lower()
     if detected:
         # the reference probes the CHOSEN charset for converter support
         # (util.cc:84-90); a pluggable detector may return a name codecs
@@ -172,13 +314,18 @@ def detect_charset(data: bytes, declared: str, detector=default_detect) -> str |
         # emits known-good names, so the probe is skipped for it.
         if detector is not default_detect and not charset_is_supported(detected):
             return None
+        if (detector is default_detect
+                and detected not in STRONG_DETECTIONS
+                and declared_lc and charset_is_supported(declared_lc)
+                and declared_lc != detected.lower()
+                and _declared_plausible(data, declared_lc)):
+            return declared_lc
         return detected.lower()
-    charset = (declared or "").lower()
-    if not charset:
+    if not declared_lc:
         return legacy_guess(data)
-    if not charset_is_supported(charset):
+    if not charset_is_supported(declared_lc):
         return None
-    return charset
+    return declared_lc
 
 
 NO_CONVERT = frozenset({"utf8", "utf-8", "ascii"})  # record.cc:240

@@ -31,7 +31,9 @@ from .textops import tokens
 #             (or spark.catalog.clearCache() / session end);
 #   a path    write parquet there and read back — nothing stays cached,
 #             the right choice at cluster scale (the table doubles as a
-#             checkpoint of the signatures);
+#             checkpoint of the signatures).  A relative output directory
+#             that is literally named "cache" must be spelled "path:cache"
+#             (or "./cache") — the bare word is the persist sentinel;
 #   None      no break — Catalyst re-evaluates per join side (only sane
 #             when the projection is trivial).
 # ---------------------------------------------------------------------------
@@ -42,8 +44,9 @@ def _lineage_break(df: DataFrame, materialize: str | None):
         p = df.persist()
         return p, [p]
     if materialize:
-        df.write.mode("overwrite").parquet(materialize)
-        return df.sparkSession.read.parquet(materialize), []
+        path = materialize.removeprefix("path:")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path), []
     return df, []
 
 
@@ -242,6 +245,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("id").alias("dst"),
                                       F.col("label").alias("dlabel")),
@@ -260,6 +264,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise silently
+        # split clusters and disagree with the recursive-CTE oracle —
+        # truncation must never be silent
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            "— near-dup graphs this deep usually signal a degenerate "
+            "pair-generation step")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

