@@ -203,3 +203,28 @@ def test_arabic_script_discrimination_and_latin_breadth():
     for lang, text in cases.items():
         got, conf = classify(text)
         assert got == lang and conf >= 0.5, (lang, got, conf)
+
+
+def test_script_breadth_r4():
+    """Every SCRIPT_SENTENCES variant classifies to its intended language
+    with a confident margin (the langid_script fixture/oracle contract)."""
+    from warc2text_spark.plans.spansgen import SCRIPT_SENTENCES
+    expected = ["ru", "uk", "bg", "hi", "mr", "el", "ar", "fa", "ur",
+                "bn", "pa", "gu", "ta", "te", "kn", "ml", "si", "th",
+                "lo", "my", "ka", "hy", "am", "km", "he", "zh", "ja", "ko"]
+    assert len(SCRIPT_SENTENCES) == len(expected)
+    for sent, lang in zip(SCRIPT_SENTENCES, expected):
+        got, conf = classify(sent + " 123")
+        assert got == lang and conf >= 0.5, (lang, got, conf)
+
+
+def test_latin_breadth_sentences_win_margin():
+    """The langid_latin oracle hardcodes each variant's label; this is the
+    authoring-time guarantee it relies on — every language's evidence
+    sentence beats all siblings under the margin rule."""
+    from warc2text_spark.plans.spansgen import latin_sentences
+    sents = latin_sentences()
+    assert len(sents) == 30
+    for lang, sent in sents:
+        got, conf = classify(sent + " 123")
+        assert got == lang and conf >= 0.5, (lang, got, conf)

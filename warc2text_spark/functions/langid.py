@@ -57,6 +57,40 @@ _STOPWORDS = {
     "vi": {"của", "là", "và", "có", "trong", "được", "các", "một",
            "những", "cho", "không", "với", "này", "đã", "người", "khi",
            "để", "trên"},
+    # breadth batch 2 (r4, CLD2-direction): sets curated to be distinctive
+    # against their close siblings — shared function words (da/no, cs/sk,
+    # lt/lv, nl/af) are deliberately left out or shared knowingly (a shared
+    # word credits every owner; the margin rule resolves or yields unk)
+    "da": {"af", "ud", "hvad", "hvem", "hvordan", "også", "være", "meget",
+           "nogle", "sådan", "mellem", "når", "efter", "uden"},
+    "no": {"av", "ut", "hva", "fra", "eller", "noen", "bare", "mye",
+           "slik", "blir", "etter", "mot", "ble", "skal"},
+    "is": {"að", "það", "ekki", "við", "fyrir", "hafa", "þetta", "eins",
+           "hún", "hann", "því", "verið", "þegar", "mjög"},
+    "hu": {"és", "hogy", "nem", "egy", "az", "van", "volt", "csak",
+           "már", "mint", "még", "vagy", "ez", "minden"},
+    "ca": {"amb", "més", "però", "dels", "aquesta", "també", "són",
+           "molt", "fins", "després", "aquest", "altres", "quan", "seva"},
+    "hr": {"što", "također", "jer", "nakon", "između", "već", "vrlo",
+           "kao", "ili", "biti", "dok", "samo", "ovo", "svi"},
+    "sl": {"tudi", "lahko", "vendar", "zdaj", "bilo", "kjer", "ker",
+           "zelo", "brez", "proti", "bolj", "lahko", "vse", "njih"},
+    "sk": {"som", "ako", "aj", "tiež", "môže", "pri", "sú", "ktorý",
+           "ešte", "veľmi", "medzi", "bolo", "ich", "bude"},
+    "et": {"ning", "või", "ka", "kui", "seda", "oma", "aga", "väga",
+           "juba", "siis", "nagu", "üle", "välja", "kõik"},
+    "lt": {"ir", "yra", "kad", "bet", "tai", "kaip", "buvo", "labai",
+           "dar", "jau", "taip", "nes", "tik", "apie"},
+    "lv": {"un", "ar", "ka", "kā", "tika", "vai", "tas", "šis", "ļoti",
+           "pēc", "arī", "bija", "var", "savu"},
+    "af": {"nie", "vir", "baie", "hulle", "gesê", "ná", "sodat", "egter",
+           "waarin", "word", "dat", "hierdie", "teen", "volgens"},
+    "sq": {"dhe", "në", "për", "një", "është", "nuk", "me", "të", "si",
+           "nga", "por", "kjo", "janë", "sipas"},
+    "sw": {"ya", "wa", "kwa", "ni", "za", "katika", "hii", "sana",
+           "lakini", "watu", "kama", "hata", "wake", "yake"},
+    "tl": {"ang", "ng", "mga", "sa", "ay", "hindi", "ito", "kung",
+           "naman", "siya", "lamang", "niya", "kanyang", "ito"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -69,12 +103,26 @@ _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
 _SCRIPT_RANGES = (
     (0x0370, 0x03FF, "el"),   # Greek
     (0x0400, 0x04FF, "cyr"),  # Cyrillic (ru/uk/bg resolved below)
+    (0x0530, 0x058F, "hy"),   # Armenian
     (0x0590, 0x05FF, "he"),   # Hebrew
     (0x0600, 0x06FF, "arab"),  # Arabic script (ar/fa/ur resolved below)
     (0x0750, 0x077F, "arab"),  # Arabic Supplement
     (0x0900, 0x097F, "dev"),  # Devanagari (hi/mr resolved below)
+    (0x0980, 0x09FF, "bn"),   # Bengali
+    (0x0A00, 0x0A7F, "pa"),   # Gurmukhi
+    (0x0A80, 0x0AFF, "gu"),   # Gujarati
+    (0x0B80, 0x0BFF, "ta"),   # Tamil
+    (0x0C00, 0x0C7F, "te"),   # Telugu
+    (0x0C80, 0x0CFF, "kn"),   # Kannada
+    (0x0D00, 0x0D7F, "ml"),   # Malayalam
+    (0x0D80, 0x0DFF, "si"),   # Sinhala
     (0x0E00, 0x0E7F, "th"),   # Thai
+    (0x0E80, 0x0EFF, "lo"),   # Lao
+    (0x1000, 0x109F, "my"),   # Myanmar
+    (0x10A0, 0x10FF, "ka"),   # Georgian
     (0x1100, 0x11FF, "ko"),   # Hangul Jamo
+    (0x1200, 0x137F, "am"),   # Ethiopic (Amharic et al.)
+    (0x1780, 0x17FF, "km"),   # Khmer
     (0x3040, 0x309F, "kana"),  # Hiragana
     (0x30A0, 0x30FF, "kana"),  # Katakana
     (0x3400, 0x4DBF, "han"),  # CJK Ext A

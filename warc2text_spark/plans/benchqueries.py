@@ -256,45 +256,109 @@ def q_langid_script(spark, sf_dir) -> DataFrame:
 def _langid_script_oracle() -> str:
     """SQL twin of the script classifier over the same closed-form
     sentences (spansgen.SCRIPT_SENTENCES).  Assumes single-script rows (as
-    the fixture synthesizes): the margin test collapses to the
-    script-evidence floor, and the same-script marker CASE mirrors
-    langid._marker_lang's first-listed-wins-ties rule exactly."""
+    the fixture synthesizes): exactly one script class carries nonzero
+    evidence, so the argmax CASE chain needs no tie-break, the margin test
+    collapses to the script-evidence floor (>= 4 chars), and the
+    same-script marker CASE mirrors langid._marker_lang's
+    first-listed-wins-ties rule exactly.  Range table mirrors
+    functions/langid._SCRIPT_RANGES one-to-one."""
     from .spansgen import SCRIPT_SENTENCES
-    text_case = ("case doc_id % 9 " + " ".join(
+    text_case = (f"case doc_id % {len(SCRIPT_SENTENCES)} " + " ".join(
         f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
         + " end")
+    # class -> codepoint ranges (regex char-class body); han/kana combine
+    # into zh/ja and cyr/dev/arab resolve via markers, all other classes
+    # are the language label directly.
+    ranges = {
+        "el": r"\x{0370}-\x{03FF}",
+        "cyr": r"\x{0400}-\x{04FF}",
+        "hy": r"\x{0530}-\x{058F}",
+        "he": r"\x{0590}-\x{05FF}",
+        "arab": r"\x{0600}-\x{06FF}\x{0750}-\x{077F}",
+        "dev": r"\x{0900}-\x{097F}",
+        "bn": r"\x{0980}-\x{09FF}",
+        "pa": r"\x{0A00}-\x{0A7F}",
+        "gu": r"\x{0A80}-\x{0AFF}",
+        "ta": r"\x{0B80}-\x{0BFF}",
+        "te": r"\x{0C00}-\x{0C7F}",
+        "kn": r"\x{0C80}-\x{0CFF}",
+        "ml": r"\x{0D00}-\x{0D7F}",
+        "si": r"\x{0D80}-\x{0DFF}",
+        "th": r"\x{0E00}-\x{0E7F}",
+        "lo": r"\x{0E80}-\x{0EFF}",
+        "my": r"\x{1000}-\x{109F}",
+        "ka": r"\x{10A0}-\x{10FF}",
+        "ko": r"\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}",
+        "am": r"\x{1200}-\x{137F}",
+        "km": r"\x{1780}-\x{17FF}",
+        "kana": r"\x{3040}-\x{309F}\x{30A0}-\x{30FF}",
+        "han": r"\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}",
+    }
+    counts = ",\n        ".join(
+        f"length(regexp_replace(s, '[^{rng}]', '', 'g')) as c_{cls}"
+        for cls, rng in ranges.items())
+    singles = [c for c in ranges if c not in
+               ("cyr", "dev", "arab", "kana", "han")]
+    mx_terms = ", ".join(
+        ["c_cyr", "c_dev", "c_arab", "c_ja", "c_zh"]
+        + [f"c_{c}" for c in singles])
+    single_arms = " ".join(
+        f"when c_{c} = mx then '{c}'" for c in sorted(singles))
     return rf"""
 with t as (select doc_id, {text_case} || ' ' || doc_id as s from documents),
 m as (select doc_id, lower(s) as ls,
-        length(regexp_replace(s, '[^\x{{0400}}-\x{{04FF}}]', '', 'g')) as cyr,
-        length(regexp_replace(s, '[^\x{{0900}}-\x{{097F}}]', '', 'g')) as dev,
-        length(regexp_replace(s, '[^\x{{0370}}-\x{{03FF}}]', '', 'g')) as el,
-        length(regexp_replace(s, '[^\x{{0600}}-\x{{06FF}}\x{{0750}}-\x{{077F}}]',
-                              '', 'g')) as arab
+        {counts}
       from t),
-mk as (select doc_id, cyr, dev, el, arab,
+mk as (select *,
+        case when c_kana > 0 then c_kana + c_han else 0 end as c_ja,
+        case when c_kana = 0 then c_han else 0 end as c_zh,
         length(regexp_replace(ls, '[^іїєґ]', '', 'g')) as uk_m,
         length(regexp_replace(ls, '[^ыэё]', '', 'g')) as ru_m,
         length(regexp_replace(ls, '[^ъ]', '', 'g')) as bg_m,
         length(regexp_replace(ls, '[^ळ]', '', 'g')) as mr_m,
         length(regexp_replace(ls, '[^ٹڈڑںےہ]', '', 'g')) as ur_m,
         length(regexp_replace(ls, '[^پچژگ]', '', 'g')) as fa_m
-       from m)
+       from m),
+mxd as (select *, greatest({mx_terms}) as mx from mk)
 select cast(doc_id as varchar) as doc_id,
-  case when greatest(cyr, dev, el, arab) < 4 then 'unk'
-       when cyr >= dev and cyr >= el and cyr >= arab then
+  case when mx < 4 then 'unk'
+       when c_cyr = mx then
             case when uk_m > 0 and uk_m >= ru_m and uk_m >= bg_m then 'uk'
                  when ru_m > 0 and ru_m >= bg_m then 'ru'
                  when bg_m > 0 then 'bg'
                  else 'ru' end
-       when dev >= el and dev >= arab then
+       when c_dev = mx then
             (case when mr_m > 0 then 'mr' else 'hi' end)
-       when arab >= el then
+       when c_arab = mx then
             case when ur_m > 0 and ur_m >= fa_m then 'ur'
                  when fa_m > 0 then 'fa'
                  else 'ar' end
-       else 'el' end as lang
-from mk"""
+       when c_ja = mx then 'ja'
+       when c_zh = mx then 'zh'
+       {single_arms}
+       end as lang
+from mxd"""
+
+
+def q_langid_latin(spark, sf_dir) -> DataFrame:
+    """Latin-script stopword breadth (30 languages): each fixture row is a
+    single-language evidence sentence; the oracle asserts the expected
+    label independently (the sentences are authored to win the margin
+    rule, verified in tests/test_urlutil_paragraph_langid.py)."""
+    from .spansgen import build_latin_spans
+    res = run_pipeline(build_latin_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic"))
+    return res.main.select(
+        "doc_id", F.element_at("langs", 1)["lang"].alias("lang"))
+
+
+def _langid_latin_oracle() -> str:
+    from .spansgen import latin_sentences
+    sents = latin_sentences()
+    arms = " ".join(f"when {i} then '{lang}'"
+                    for i, (lang, _) in enumerate(sents))
+    return (f"select cast(doc_id as varchar) as doc_id, "
+            f"case doc_id % {len(sents)} {arms} end as lang from documents")
 
 
 def _langid_oracle() -> str:
@@ -1078,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
         "langid_script": _langid_script_oracle(),
+        "langid_latin": _langid_latin_oracle(),
         "extract_sjis": f"""
             select cast(doc_id as varchar) as doc_id,
                    '{SJIS_SENTENCE}' || ' ' || doc_id || {NL} as plaintext,
@@ -1490,6 +1555,7 @@ def queries():
         "langid_demux": q_langid_demux,
         "langid_labels": q_langid_labels,
         "langid_script": q_langid_script,
+        "langid_latin": q_langid_latin,
         "extract_sjis": q_extract_sjis,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,

@@ -124,9 +124,12 @@ def build_zip_spans(spark, sf_dir: str,
 
 
 # non-Latin corpus for the script/same-script langid path; one constant
-# sentence per variant (doc_id % 9), suffixed with the id (Latin digits add
-# no script evidence).  Keep in sync with SCRIPT_TEXT_SQL below — the
-# DuckDB oracle recomputes the classifier rule over the same constants.
+# sentence per variant (doc_id % len(SCRIPT_SENTENCES)), suffixed with the
+# id (Latin digits add no script evidence).  Keep in sync with
+# SCRIPT_TEXT_CASE below — the DuckDB oracle recomputes the classifier
+# rule over the same constants.  Variants 9+ are the r4 breadth batch:
+# one single-script sentence per added script language (the oracle labels
+# them via per-range counts, benchqueries._NEW_SCRIPT_SQL).
 SCRIPT_SENTENCES = (
     "это новый день ещё раз мы были здесь",            # 0: ru (ы э ё)
     "це новий день і ще раз ми були тут її єдність",   # 1: uk (і ї є)
@@ -137,9 +140,28 @@ SCRIPT_SENTENCES = (
     "هذا يوم جديد ونحن نذهب الى الخارج",               # 6: ar (no fa/ur letters)
     "این یک روز خوب است و ما پژوهش گروه چند",          # 7: fa (پ ژ گ چ)
     "یہ ایک اچھا دن ہے اور ہم باہر جاتے ہیں",          # 8: ur (ہ ے dominate)
+    "এটি একটি নতুন দিন এবং আমরা আবার এখানে আছি",        # 9: bn
+    "ਇਹ ਇੱਕ ਨਵਾਂ ਦਿਨ ਹੈ ਅਤੇ ਅਸੀਂ ਫਿਰ ਇੱਥੇ ਹਾਂ",            # 10: pa
+    "આ એક નવો દિવસ છે અને અમે ફરી અહીં છીએ",           # 11: gu
+    "இது ஒரு புதிய நாள் மற்றும் நாம் மீண்டும் இங்கே",       # 12: ta
+    "ఇది ఒక కొత్త రోజు మరియు మేము మళ్ళీ ఇక్కడ",           # 13: te
+    "ಇದು ಹೊಸ ದಿನ ಮತ್ತು ನಾವು ಮತ್ತೆ ಇಲ್ಲಿ",                 # 14: kn
+    "ഇത് ഒരു പുതിയ ദിവസം ഞങ്ങൾ വീണ്ടും ഇവിടെ",          # 15: ml
+    "මෙය අලුත් දවසක් අපි නැවත මෙහි සිටිමු",              # 16: si
+    "วันนี้เป็นวันใหม่และเราอยู่ที่นี่อีกครั้ง",                      # 17: th
+    "ມື້ນີ້ແມ່ນມື້ໃໝ່ ແລະ ພວກເຮົາຢູ່ທີ່ນີ້ອີກ",                       # 18: lo
+    "ဒီနေ့သည် နေ့သစ်ဖြစ်ပြီး ကျွန်ုပ်တို့ ဒီမှာ ရှိသည်",           # 19: my
+    "ეს არის ახალი დღე და ჩვენ ისევ აქ ვართ",          # 20: ka
+    "սա նոր օր է և մենք նորից այստեղ ենք",             # 21: hy
+    "ይህ አዲስ ቀን ነው እና እኛ እንደገና እዚህ ነን",               # 22: am
+    "នេះជាថ្ងៃថ្មី ហើយយើងនៅទីនេះម្តងទៀត",                 # 23: km
+    "זה יום חדש ואנחנו שוב כאן היום",                  # 24: he
+    "这是新的一天我们又在这里",                           # 25: zh (han only)
+    "これはあたらしいいちにちです",                       # 26: ja (kana)
+    "오늘은 새로운 날이고 우리는 다시 여기에 있다",        # 27: ko
 )
 
-SCRIPT_TEXT_CASE = ("case nid % 9 " + " ".join(
+SCRIPT_TEXT_CASE = (f"case nid % {len(SCRIPT_SENTENCES)} " + " ".join(
     f"when {i} then '{s}'" for i, s in enumerate(SCRIPT_SENTENCES))
     + " end")
 
@@ -155,6 +177,41 @@ def build_script_spans(spark, sf_dir: str) -> DataFrame:
     return docs.selectExpr("doc_id as nid").selectExpr(
         "cast(nid as string) as doc_id",
         "concat('https://s', nid % 20, '.example/page', nid, '.html') as url",
+        "'response' as warc_type",
+        "'application/http; msgtype=response' as warc_ct",
+        "'200 OK' as http_status",
+        "'text/html; charset=utf-8' as http_ct",
+        "'' as content_enc",
+        "'' as transfer_enc",
+        "'2024-01-01T00:00:00Z' as warc_date",
+        f"array(named_struct('kind', 'text', 'text', {body}, "
+        f"'media_ref', '', 'offset', 0)) as spans",
+    )
+
+
+def latin_sentences() -> tuple[tuple[str, str], ...]:
+    """(lang, sentence) per Latin-script stopword language, alphabetical.
+    Each sentence is the language's full evidence set (sorted, joined) —
+    sanity-checked at authoring time to win the margin rule against every
+    sibling, so the oracle can assert the label independently rather than
+    recompute the classifier."""
+    from ..functions.langid import _STOPWORDS
+    return tuple((lang, " ".join(sorted(_STOPWORDS[lang])))
+                 for lang in sorted(_STOPWORDS))
+
+
+def build_latin_spans(spark, sf_dir: str) -> DataFrame:
+    """Interleaved-table rows exercising the full Latin-script stopword
+    breadth (30 languages, CLD2-direction): one constant sentence per
+    variant (doc_id % 30), suffixed with the id (digits add no evidence)."""
+    sents = latin_sentences()
+    case = (f"case nid % {len(sents)} " + " ".join(
+        f"when {i} then '{s}'" for i, (_, s) in enumerate(sents)) + " end")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = f"concat('<p>', {case}, ' ', nid, '</p>')"
+    return docs.selectExpr("doc_id as nid").selectExpr(
+        "cast(nid as string) as doc_id",
+        "concat('https://l', nid % 20, '.example/page', nid, '.html') as url",
         "'response' as warc_type",
         "'application/http; msgtype=response' as warc_ct",
         "'200 OK' as http_status",
