@@ -60,8 +60,8 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
     ``lang_rows`` is the demux_by_lang frame (doc_id, lang, chunk, url,
     http_ct, warc_date, plaintext[, payload_b64] ...).  ``parts_per_lang``
     > 1 shards each language into that many positional file groups
-    (``<lang>/{text,url,...}.<part>.gz``) so no single task owns a whole
-    language.
+    (zero-padded ``<lang>/{text,url,...}.0000.gz`` …; glob ``text.*.gz``)
+    so no single task owns a whole language.
     """
     unknown = set(fields) - set(FIELD_NAMES)
     if unknown:
