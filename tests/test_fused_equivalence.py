@@ -83,3 +83,26 @@ def test_window_fast_path_matches_byte_loop():
         finally:
             sc._WINDOW_FAST_ENABLED = True
         assert fast == slow, doc[:120]
+
+
+def test_long_segment_fast_path_cap_boundaries():
+    """The r4 extended fast path (segments beyond MAX_TOKEN_SIZE with no
+    over-cap token) must match the token loop exactly at the 1023/1024-byte
+    cap boundaries, for '&'-led tokens, and around the \\x0b quirk."""
+    from warc2text_spark.functions.textextract import process_html
+
+    cases = [
+        b"<p>" + b"x" * 5000 + b"</p>",                    # over-cap word
+        b"<p>" + b"x" * 1023 + b" tail</p>",               # exactly at cap
+        b"<p>" + b"x" * 1024 + b" tail</p>",               # one over
+        b"<p>&" + b"y" * 1022 + b" t</p>",                 # &-token at cap
+        b"<p>&" + b"y" * 1023 + b" t</p>",                 # &-token one over
+        b"<p>" + (b"word " * 400) + b"</p>",               # long seg, small tokens
+        b"<p>" + (b"word \n\t " * 400) + b"</p>",          # collapse needed
+        b"<p>" + b"a\x0bb" + b" c" * 800 + b"</p>",        # \x0b in long seg
+        b"<p>" + b"q" * 2000 + b"&amp;" + b"r" * 2000 + b"</p>",
+    ]
+    for doc in cases:
+        fast = process_html(doc, fused=True)
+        slow = process_html(doc, fused=False)
+        assert fast == slow, doc[:60]

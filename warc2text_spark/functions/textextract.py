@@ -104,6 +104,15 @@ _CAP = sc.MAX_TOKEN_SIZE - 1
 
 _WS_RUN = _re.compile(rb"[ \t\n\r\f]+")
 _WS_SET = frozenset(b" \t\n\r\f")
+# any token that the 1023-byte cap would truncate must contain a run of
+# >= 1023 non-delimiter bytes ('&'-led tokens are '&' + tail, so the tail
+# alone reaches 1023; plain words reach 1024).  A conservative hit (an
+# exactly-1023 run that forms an uncapped token) just takes the exact
+# token loop — correctness never depends on this test.
+_OVER_CAP = _re.compile(rb"[^<& \t\n\r\f]{1023}")
+# collapse is a no-op when the only whitespace is isolated single spaces —
+# the common case for real body text; one allocation-free C scan decides
+_NEEDS_COLLAPSE = _re.compile(rb"[\t\n\r\f]|  ")
 
 
 def _fused_body(s: sc.Scanner, out: bytearray, suppress: bool) -> None:
@@ -123,12 +132,16 @@ def _fused_body(s: sc.Scanner, out: bytearray, suppress: bool) -> None:
         if _WS_RUN.search(seg) and out and out[-1] not in _C_ISSPACE:
             out.append(0x20)
         return
-    if len(seg) <= _CAP and 0x0B not in seg:
-        # no token can exceed the cap: collapse ws runs to single spaces.
+    if 0x0B not in seg and (len(seg) <= _CAP or not _OVER_CAP.search(seg)):
+        # no token can exceed the cap (short segment, or no 1023-byte
+        # non-delimiter run anywhere): collapse ws runs to single spaces
+        # in one C pass — this is the production path for real crawl
+        # pages, whose body segments routinely run tens of KB.
         # \x0b disables this: it is C-isspace (makes _add_space a no-op
         # after it) but not scanner-whitespace (so it sits inside words),
         # breaking the collapse-to-single-space equivalence.
-        seg = _WS_RUN.sub(b" ", seg)
+        if _NEEDS_COLLAPSE.search(seg):
+            seg = _WS_RUN.sub(b" ", seg)
         if seg[0] == 0x20 and (not out or out[-1] in _C_ISSPACE):
             seg = seg[1:]
         out += seg
