@@ -211,7 +211,8 @@ def test_script_breadth_r4():
     from warc2text_spark.plans.spansgen import SCRIPT_SENTENCES
     expected = ["ru", "uk", "bg", "hi", "mr", "el", "ar", "fa", "ur",
                 "bn", "pa", "gu", "ta", "te", "kn", "ml", "si", "th",
-                "lo", "my", "ka", "hy", "am", "km", "he", "zh", "ja", "ko"]
+                "lo", "my", "ka", "hy", "am", "km", "he", "zh", "ja", "ko",
+                "be", "sr", "mk", "kk"]
     assert len(SCRIPT_SENTENCES) == len(expected)
     for sent, lang in zip(SCRIPT_SENTENCES, expected):
         got, conf = classify(sent + " 123")

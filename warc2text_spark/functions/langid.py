@@ -142,9 +142,18 @@ _MIN_SCRIPT_EVIDENCE = 4
 # single CASE expression, so the SQL oracle twin is definitionally
 # identical (plans/benchqueries._langid_script_oracle).
 _CYRILLIC_MARKERS = (
-    ("uk", "іїєґ"),   # Ukrainian-only letters
-    ("ru", "ыэё"),    # Russian letters absent from Ukrainian and Bulgarian
-    ("bg", "ъ"),      # ~3% of Bulgarian text, ~0.02% of Russian
+    # NB: order is the tie-break (first-listed wins).  і is shared by uk
+    # and be: pure-be text adds ў so be outranks uk; pure-uk text adds
+    # ї/є so uk outranks be — uk listed first keeps the tie when only і
+    # appears.  Serbian and Macedonian share ј/љ/њ/џ; the split letters
+    # are ђ/ћ (sr) vs ѓ/ќ/ѕ (mk), counted on top of the shared set.
+    ("uk", "іїєґ"),       # Ukrainian letters (і shared with be/kk)
+    ("be", "іў"),         # Belarusian: ў is unique, і shared with uk
+    ("kk", "әғқңөұүһі"),  # Kazakh consonants/vowels (+ shared і)
+    ("sr", "ђћјљњџ"),     # Serbian Cyrillic (ј љ њ џ shared with mk)
+    ("mk", "ѓќѕјљњџ"),    # Macedonian (ѓ ќ ѕ unique)
+    ("ru", "ыэё"),        # Russian letters absent from uk/bg
+    ("bg", "ъ"),          # ~3% of Bulgarian text, ~0.02% of Russian
 )
 _DEVANAGARI_MARKERS = (
     ("mr", "ळ"),      # retroflex LLA: frequent in Marathi, absent in Hindi

@@ -304,6 +304,32 @@ def _langid_script_oracle() -> str:
         + [f"c_{c}" for c in singles])
     single_arms = " ".join(
         f"when c_{c} = mx then '{c}'" for c in sorted(singles))
+    # same-script marker resolution, GENERATED from the Python tables so
+    # sibling additions stay in lockstep.  _marker_lang semantics: the
+    # first-listed language attaining the (nonzero) maximum marker count
+    # wins; all-zero falls back to the family default.
+    from ..functions.langid import (_ARABIC_MARKERS, _CYRILLIC_MARKERS,
+                                    _DEVANAGARI_MARKERS)
+    fams = (("cyr", _CYRILLIC_MARKERS, "ru"),
+            ("dev", _DEVANAGARI_MARKERS, "hi"),
+            ("arab", _ARABIC_MARKERS, "ar"))
+    marker_cols, fam_mx_cols, fam_cases = [], [], {}
+    for fam, markers, default in fams:
+        names = []
+        for lang, chars in markers:
+            n = f"m_{fam}_{lang}"
+            names.append(n)
+            marker_cols.append(
+                f"length(regexp_replace(ls, '[^{chars}]', '', 'g')) as {n}")
+        mx = (f"greatest({', '.join(names)})" if len(names) > 1
+              else names[0])
+        fam_mx_cols.append(f"{mx} as fx_{fam}")
+        arms = " ".join(f"when {n} = fx_{fam} then '{lang}'"
+                        for n, (lang, _) in zip(names, markers))
+        fam_cases[fam] = (f"case when fx_{fam} = 0 then '{default}' "
+                          f"{arms} end")
+    marker_sql = ",\n        ".join(marker_cols)
+    fam_mx_sql = ",\n        ".join(fam_mx_cols)
     return rf"""
 with t as (select doc_id, {text_case} || ' ' || doc_id as s from documents),
 m as (select doc_id, lower(s) as ls,
@@ -312,27 +338,17 @@ m as (select doc_id, lower(s) as ls,
 mk as (select *,
         case when c_kana > 0 then c_kana + c_han else 0 end as c_ja,
         case when c_kana = 0 then c_han else 0 end as c_zh,
-        length(regexp_replace(ls, '[^іїєґ]', '', 'g')) as uk_m,
-        length(regexp_replace(ls, '[^ыэё]', '', 'g')) as ru_m,
-        length(regexp_replace(ls, '[^ъ]', '', 'g')) as bg_m,
-        length(regexp_replace(ls, '[^ळ]', '', 'g')) as mr_m,
-        length(regexp_replace(ls, '[^ٹڈڑںےہ]', '', 'g')) as ur_m,
-        length(regexp_replace(ls, '[^پچژگ]', '', 'g')) as fa_m
+        {marker_sql}
        from m),
-mxd as (select *, greatest({mx_terms}) as mx from mk)
+fx as (select *,
+        {fam_mx_sql}
+       from mk),
+mxd as (select *, greatest({mx_terms}) as mx from fx)
 select cast(doc_id as varchar) as doc_id,
   case when mx < 4 then 'unk'
-       when c_cyr = mx then
-            case when uk_m > 0 and uk_m >= ru_m and uk_m >= bg_m then 'uk'
-                 when ru_m > 0 and ru_m >= bg_m then 'ru'
-                 when bg_m > 0 then 'bg'
-                 else 'ru' end
-       when c_dev = mx then
-            (case when mr_m > 0 then 'mr' else 'hi' end)
-       when c_arab = mx then
-            case when ur_m > 0 and ur_m >= fa_m then 'ur'
-                 when fa_m > 0 then 'fa'
-                 else 'ar' end
+       when c_cyr = mx then {fam_cases['cyr']}
+       when c_dev = mx then {fam_cases['dev']}
+       when c_arab = mx then {fam_cases['arab']}
        when c_ja = mx then 'ja'
        when c_zh = mx then 'zh'
        {single_arms}

@@ -159,6 +159,14 @@ SCRIPT_SENTENCES = (
     "这是新的一天我们又在这里",                           # 25: zh (han only)
     "これはあたらしいいちにちです",                       # 26: ja (kana)
     "오늘은 새로운 날이고 우리는 다시 여기에 있다",        # 27: ko
+    # 28-31: Cyrillic siblings (r4 batch 2) — і/ў pick be over the ru
+    # markers э/ы that real Belarusian text also carries; ђ/ћ vs ѓ/ќ/ѕ
+    # split sr from mk on top of their shared ј/љ/њ/џ; Kazakh counts і
+    # plus its unique vowel/consonant row
+    "гэта быў новы дзень і мы зноў былі тут і ўсё было іначай і цікава",  # 28: be
+    "ово је нови дан и ми смо поново овде љубав њега џеп ђак ћао јесте",  # 29: sr
+    "ова е нов ден и ние сме повторно овде ѓавол ќе ѕвезда јас љубов њива џеб",  # 30: mk
+    "бұл жаңа күн және біз қайтадан осындамыз қазақ тілі үшін сөздер",    # 31: kk
 )
 
 SCRIPT_TEXT_CASE = (f"case nid % {len(SCRIPT_SENTENCES)} " + " ".join(
