@@ -1,0 +1,61 @@
+"""Selection operators: decontamination, unigram surprisal, stratified
+sampling — semantics beyond the driver-oracle parity rows."""
+
+import pytest
+
+from warc2text_spark.operators.selection import (
+    decontaminate, sample_stratified, unigram_surprisal)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ("2", "one two three four five six seven eight nine ten"),
+        # shares the full 8-gram prefix of doc 1
+        ("3", "alpha beta gamma delta epsilon zeta eta theta other words"),
+        # shorter than n=8 tokens: can never be contaminated
+        ("4", "alpha beta gamma"),
+        ("5", "completely different sentence with unrelated content here "
+              "today again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_decontaminate_drops_ngram_hits(docs):
+    bench = docs.filter("doc_id = '1'")
+    kept = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    # 1 contains itself, 3 shares an 8-gram with it; 2/4/5 survive
+    assert kept == {"2", "4", "5"}
+
+
+def test_decontaminate_short_benchmark_is_noop(docs):
+    bench = docs.filter("doc_id = '4'")  # < 8 tokens -> no n-grams
+    kept = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert kept == {"1", "2", "3", "4", "5"}
+
+
+def test_surprisal_orders_common_below_rare(spark):
+    rows = [("c", "the the the the the the the the"),
+            ("r", "zyzzyva qoph xylyl vexil wyvern kexes jnana fjeld")]
+    base = spark.createDataFrame(
+        [("b%d" % i, "the quick brown fox jumps over lazy dogs")
+         for i in range(20)] + rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(base).collect()}
+    assert out["c"]["n_tokens"] == 8
+    # all-common text is less surprising than all-hapax text
+    assert out["c"]["surprisal"] < out["r"]["surprisal"]
+
+
+def test_sample_stratified_deterministic_and_salted(spark):
+    rows = [(str(i), "en" if i % 2 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    a = {r["doc_id"] for r in sample_stratified(df, "lang", 20).collect()}
+    b = {r["doc_id"] for r in sample_stratified(df, "lang", 20).collect()}
+    assert a == b and 0 < len(a) < 400          # deterministic, non-trivial
+    wider = {r["doc_id"]
+             for r in sample_stratified(df, "lang", 60).collect()}
+    assert a <= wider                            # thresholds nest
+    other = {r["doc_id"]
+             for r in sample_stratified(df, "lang", 20, salt="x").collect()}
+    assert other != a                            # independent draw per salt

@@ -926,6 +926,34 @@ def q_media_pipeline(spark, sf_dir) -> DataFrame:
             .join(frames, ["doc_id", "offset"]))
 
 
+def q_decontam(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: docs sharing an 8-gram with the held-out
+    set (doc_id % 50 == 0 plays the benchmark) are dropped; the document
+    side never shuffles (two broadcast joins)."""
+    from ..operators.selection import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench).select("doc_id")
+
+
+def q_surprisal(spark, sf_dir) -> DataFrame:
+    """Unigram-LM quality score: mean token surprisal under the corpus's
+    own Laplace-smoothed head-vocabulary model (pass 1 counts shuffle,
+    pass 2 zero-shuffle Arrow kernel)."""
+    from ..operators.selection import unigram_surprisal
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(docs)
+
+
+def q_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Deterministic 20% per-language sample: md5-bucket filter, zero
+    shuffle, reproducible across engines (the oracle recomputes the same
+    buckets in DuckDB)."""
+    from ..operators.selection import sample_stratified
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_stratified(docs, "lang", 20).select("doc_id", "lang")
+
+
 def _merge_registry_queries(d: dict) -> dict:
     d["simhash"] = q_simhash_widths
     del d["simhash64"]
@@ -1154,6 +1182,37 @@ def oracle_sql() -> dict[str, str]:
                     and (mean_wl >= 3.0 and mean_wl <= 10.0)
                     and n_stop >= 2 and dup_ratio <= 0.5) as "pass"
             from m""",
+        "decontam": r"""
+            with toks as (select doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') as t from documents),
+            ng as (select doc_id,
+                    unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                        i -> array_to_string(t[i:i+7], ' '))) as ng
+                   from toks),
+            bench as (select distinct ng from ng where doc_id % 50 = 0),
+            bad as (select distinct g.doc_id from ng g join bench using (ng))
+            select d.doc_id from documents d
+            anti join bad b on d.doc_id = b.doc_id""",
+        "surprisal": r"""
+            with toks as (select doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') as t from documents),
+            tok as (select doc_id, unnest(t) as w from toks),
+            freq as (select w, count(*) as c from tok
+                     group by w order by c desc, w limit 100000),
+            tot as (select sum(c) + count(*) + 1 as denom from freq)
+            select cast(t.doc_id as varchar) as doc_id,
+                   count(*)::bigint as n_tokens,
+                   round(ln((select denom from tot))
+                         - sum(ln(coalesce(f.c, 0) + 1)) / count(*),
+                         6) as surprisal
+            from tok t left join freq f using (w)
+            group by t.doc_id""",
+        "sample_stratified": """
+            select doc_id, lang from documents
+            where ('0x' || substr(md5(lang || ':' || doc_id || ':s4'),
+                                  1, 8))::bigint % 100 < 20""",
         "simhash": _simhash_oracle(),
         "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
@@ -1572,6 +1631,9 @@ def queries():
         "langid_labels": q_langid_labels,
         "langid_script": q_langid_script,
         "langid_latin": q_langid_latin,
+        "decontam": q_decontam,
+        "surprisal": q_surprisal,
+        "sample_stratified": q_sample_stratified,
         "extract_sjis": q_extract_sjis,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
