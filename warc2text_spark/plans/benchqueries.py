@@ -377,6 +377,33 @@ def _langid_latin_oracle() -> str:
             f"case doc_id % {len(sents)} {arms} end as lang from documents")
 
 
+def _compat_layout_oracle() -> str:
+    """(lang, field, value) multiset the compat writer's files must decode
+    to: lang via the stopword-margin SQL twin, metadata via the same
+    string-built ordered-key JSON fragments as the jsonl oracle (keys
+    f,o,s,rs,u,c,ts,de — metadata_only, bilangwriter.cc:65-91,140-141)."""
+    url = ("'https://s' || (doc_id % 20) || '.example/page' || doc_id || "
+           "case when doc_id % 10 = 0 then '.html?q=a b' else '.html' end")
+    ct = "case when doc_id % 10 = 5 then 'text/plain' else 'text/html' end"
+    meta = (f"""'{{"f":' || to_json(cast(doc_id as varchar))::varchar """
+            f"""|| ',"o":0,"s":' || strlen(exp) || ',"rs":' || strlen(exp) """
+            f"""|| ',"u":' || to_json({url})::varchar """
+            f"""|| ',"c":' || to_json({ct})::varchar """
+            f"""|| ',"ts":"2024-01-01T00:00:00Z","de":"ascii"}}'""")
+    return f"""
+with kept as (select doc_id, {EXP_CASE} as exp
+              from documents where doc_id % 10 <= 5),
+lab as ({_langid_oracle()}),
+base0 as (select k.doc_id as doc_id, k.exp, l.lang
+          from kept k join lab l on cast(k.doc_id as varchar) = l.doc_id),
+base as (select doc_id, exp, lang, {url} as url, {ct} as ct from base0)
+select lang, 'url' as field, url as value from base
+union all select lang, 'mime', ct from base
+union all select lang, 'date', '2024-01-01T00:00:00Z' from base
+union all select lang, 'metadata', {meta} from base
+union all select lang, 'text', exp from base"""
+
+
 def _langid_oracle() -> str:
     values = _stopword_values()
     return rf"""
@@ -926,6 +953,65 @@ def q_media_pipeline(spark, sf_dir) -> DataFrame:
             .join(frames, ["doc_id", "offset"]))
 
 
+def q_warc_ingest(spark, sf_dir) -> DataFrame:
+    """S1/S2/S3 round trip, driver-checked: the fixture table is
+    serialized to real .warc.gz files (one gzip member per record, 8
+    part files — the per-file task loop), re-ingested through the real
+    WARC parser (split_members -> read_header -> parse_record), and the
+    parsed header fields + reassembled payload sizes are compared against
+    the closed-form expectation.  Writer defaults surface here by design:
+    a NULL http_status serializes as '200 OK', request records carry no
+    HTTP block (status/ct come back empty), and payloads round-trip
+    whitespace-stripped (record.cc payload trim, P5)."""
+    import os
+    import shutil
+
+    from ..sinks.warc_writer import write_warc_gz
+    from ..sources.warcio import warc_to_spans_df
+    out_dir = "/tmp/w2t_warcrt_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_gz(build_spans(spark, sf_dir).repartition(8), out_dir)
+    back = warc_to_spans_df(spark, f"{out_dir}/*.warc.gz")
+    return back.select(
+        "url", "warc_type",
+        F.coalesce("http_status", F.lit("")).alias("http_status"),
+        "http_ct",
+        F.octet_length(F.element_at("spans", 1)["text"])
+        .cast("long").alias("payload_octets"))
+
+
+def q_compat_layout(spark, sf_dir) -> DataFrame:
+    """K1 round trip, driver-checked: the heuristic pipeline demuxes by
+    language and the compat writer emits the reference's positional
+    ``<out>/<lang>/{text,url,mime,date,metadata}.gz`` layout; the files
+    are read back (text lines base64-decoded, metadata as the raw
+    ordered-key JSON) and compared as a (lang, field, value) multiset
+    against the closed-form oracle — lang via the stopword-margin SQL
+    twin, metadata via the jsonl-builder fragments."""
+    import os
+    import shutil
+    from functools import reduce
+
+    from ..sinks.bilang_writer import write_bilang_files
+    out_dir = "/tmp/w2t_compat_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_pipeline(build_spans(spark, sf_dir),
+                       PipelineOptions(classifier="heuristic"))
+    write_bilang_files(demux_by_lang(res.main), out_dir,
+                       fields=("text", "url", "mime", "date", "metadata"))
+    parts = []
+    for field in ("url", "mime", "date", "metadata", "text"):
+        val = (F.unbase64("value").cast("string") if field == "text"
+               else F.col("value"))
+        parts.append(
+            spark.read.text(f"{out_dir}/*/{field}.gz")
+            .select(F.regexp_extract(F.input_file_name(),
+                                     r"/([^/]+)/[^/]+$", 1).alias("lang"),
+                    F.lit(field).alias("field"),
+                    val.alias("value")))
+    return reduce(DataFrame.unionByName, parts)
+
+
 def q_decontam(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination: docs sharing an 8-gram with the held-out
     set (doc_id % 50 == 0 plays the benchmark) are dropped; the document
@@ -1182,6 +1268,39 @@ def oracle_sql() -> dict[str, str]:
                     and (mean_wl >= 3.0 and mean_wl <= 10.0)
                     and n_stop >= 2 and dup_ratio <= 0.5) as "pass"
             from m""",
+        "warc_ingest": f"""
+            select
+              case when doc_id % 10 = 9 then
+                     'https://s' || (doc_id % 20) || '.example/robots.txt'
+                   when doc_id % 10 = 8 then
+                     'https://s' || (doc_id % 20) || '.example/img'
+                     || doc_id || '.png'
+                   when doc_id % 10 = 0 then
+                     'https://s' || (doc_id % 20) || '.example/page'
+                     || doc_id || '.html?q=a b'
+                   else 'https://s' || (doc_id % 20) || '.example/page'
+                        || doc_id || '.html' end as url,
+              case when doc_id % 10 = 6 then 'request'
+                   else 'response' end as warc_type,
+              case when doc_id % 10 = 6 then ''
+                   when doc_id % 10 = 7 then '404 Not Found'
+                   else '200 OK' end as http_status,
+              case when doc_id % 10 = 6 then ''
+                   when doc_id % 10 = 5 then 'text/plain'
+                   when doc_id % 10 = 4 then 'text/html'
+                   else 'text/html; charset=utf-8' end as http_ct,
+              cast(case doc_id % 10
+                when 2 then strlen({PAY_ENT})
+                when 3 then strlen('<h1>' || source || '</h1>'
+                                   || 'IMG' || doc_id
+                                   || '<p>' || replace(text, 'o', '0')
+                                   || '</p>')
+                when 4 then strlen({PAY_SCRIPT})
+                when 5 then strlen(replace(text, ' ',
+                                           ' ' || {NL} || ' '))
+                else strlen({PAY_STD}) end as bigint) as payload_octets
+            from documents""",
+        "compat_layout": _compat_layout_oracle(),
         "decontam": r"""
             with toks as (select doc_id,
                     list_filter(string_split_regex(text, '\s+'),
@@ -1634,6 +1753,8 @@ def queries():
         "decontam": q_decontam,
         "surprisal": q_surprisal,
         "sample_stratified": q_sample_stratified,
+        "warc_ingest": q_warc_ingest,
+        "compat_layout": q_compat_layout,
         "extract_sjis": q_extract_sjis,
         "extract_transport": q_extract_transport,
         "ann_ivf_topk": q_ann_ivf_topk,
