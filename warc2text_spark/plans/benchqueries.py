@@ -1040,6 +1040,66 @@ def q_sample_stratified(spark, sf_dir) -> DataFrame:
     return sample_stratified(docs, "lang", 20).select("doc_id", "lang")
 
 
+def q_langid_all(spark, sf_dir) -> DataFrame:
+    """All three langid fixtures under one driver row: the stopword corpus
+    (documents text), the 32-variant script corpus and the 30-language
+    Latin-breadth corpus — (fixture, doc_id, lang)."""
+    a = q_langid_labels(spark, sf_dir).select(
+        F.lit("stopword").alias("fixture"), "doc_id", "lang")
+    b = q_langid_script(spark, sf_dir).select(
+        F.lit("script").alias("fixture"), "doc_id", "lang")
+    c = q_langid_latin(spark, sf_dir).select(
+        F.lit("latin").alias("fixture"), "doc_id", "lang")
+    return a.unionByName(b).unionByName(c)
+
+
+def q_extract_detect(spark, sf_dir) -> DataFrame:
+    """Detected-over-declared charset recovery, both legacy families in
+    one driver row: Shift_JIS declaring iso-8859-1 and the Cyrillic/Korean
+    corpus (cp1251 declared-latin, undeclared koi8-r, euc-kr)."""
+    a = q_extract_sjis(spark, sf_dir).select(
+        F.lit("sjis").alias("variant"), "doc_id", "plaintext", "charset",
+        "lang")
+    b = q_extract_cyrillic(spark, sf_dir).select(
+        F.lit("cyr").alias("variant"), "doc_id", "plaintext", "charset",
+        "lang")
+    return a.unionByName(b)
+
+
+def q_demux_modes(spark, sf_dir) -> DataFrame:
+    """Single-language and multilang demux histograms in one driver row:
+    (mode, lang, n)."""
+    a = q_langid_demux(spark, sf_dir).select(
+        F.lit("single").alias("mode"), "lang", F.col("n_docs").alias("n"))
+    b = q_multilang_demux(spark, sf_dir).select(
+        F.lit("multi").alias("mode"), "lang", F.col("n_chunks").alias("n"))
+    return a.unionByName(b)
+
+
+def q_clean_text(spark, sf_dir) -> DataFrame:
+    """Text-cleaning ops in one driver row: CCNet-style cross-document
+    boilerplate-line removal and PII redaction — (op, doc_id, clean_text,
+    bytes_removed [-1 sentinel for the boilerplate op — the compare
+    harness sorts value tuples, so the column must stay orderable])."""
+    a = q_remove_boilerplate(spark, sf_dir).select(
+        F.lit("boilerplate").alias("op"), "doc_id", "clean_text",
+        F.lit(-1).cast("long").alias("bytes_removed"))
+    b = q_redact_pii(spark, sf_dir).select(
+        F.lit("pii").alias("op"), "doc_id", "clean_text",
+        F.col("bytes_removed").cast("long").alias("bytes_removed"))
+    return a.unionByName(b)
+
+
+def q_compat_layout_jsonl(spark, sf_dir) -> DataFrame:
+    """compat_layout plus the K2 jsonl surface as (lang='', field='jsonl')
+    rows — every output surface in one driver row."""
+    base = q_compat_layout(spark, sf_dir)
+    j = q_jsonl_lines(spark, sf_dir).select(
+        F.lit("").alias("lang"), F.lit("jsonl").alias("field"),
+        F.col("jsonl").alias("value"))
+    return base.unionByName(j)
+
+
 def _merge_registry_queries(d: dict) -> dict:
     d["simhash"] = q_simhash_widths
     del d["simhash64"]
@@ -1052,6 +1112,18 @@ def _merge_registry_queries(d: dict) -> dict:
     d["media_pipeline"] = q_media_pipeline
     for k in ("media_features", "media_resize", "media_frames"):
         del d[k]
+    # r4 merges — the driver checks the FIRST 50 keys, so every surface
+    # must fit inside the cap; component queries stay pytest-covered
+    d["langid_labels"] = q_langid_all
+    del d["langid_script"], d["langid_latin"]
+    d["extract_detect"] = q_extract_detect
+    del d["extract_sjis"], d["extract_cyrillic"]
+    d["langid_demux"] = q_demux_modes
+    del d["multilang_demux"]
+    d["clean_text"] = q_clean_text
+    del d["remove_boilerplate"], d["redact_pii"]
+    d["compat_layout"] = q_compat_layout_jsonl
+    del d["jsonl_lines"]
     return d
 
 
@@ -1082,6 +1154,34 @@ def _merge_registry_oracles(d: dict) -> dict:
     # component media_* oracles (old fixture) are superseded
     for k in ("media_features", "media_resize", "media_frames"):
         del d[k]
+    # r4 merges (see _merge_registry_queries)
+    d["langid_labels"] = (
+        f"select 'stopword' as fixture, doc_id, lang "
+        f"from ({d['langid_labels']})\nunion all\n"
+        f"select 'script', doc_id, lang "
+        f"from ({d.pop('langid_script')})\nunion all\n"
+        f"select 'latin', doc_id, lang "
+        f"from ({d.pop('langid_latin')})")
+    d["extract_detect"] = (
+        f"select 'sjis' as variant, doc_id, plaintext, charset, lang "
+        f"from ({d.pop('extract_sjis')})\nunion all\n"
+        f"select 'cyr', doc_id, plaintext, charset, lang "
+        f"from ({d.pop('extract_cyrillic')})")
+    d["langid_demux"] = (
+        f"select 'single' as mode, lang, n_docs as n "
+        f"from ({d['langid_demux']})\nunion all\n"
+        f"select 'multi', lang, n_chunks "
+        f"from ({d.pop('multilang_demux')})")
+    d["clean_text"] = (
+        f"select 'boilerplate' as op, doc_id, clean_text, "
+        f"cast(-1 as bigint) as bytes_removed "
+        f"from ({d.pop('remove_boilerplate')})\nunion all\n"
+        f"select 'pii', doc_id, clean_text, cast(bytes_removed as bigint) "
+        f"from ({d.pop('redact_pii')})")
+    d["compat_layout"] = (
+        f"{d['compat_layout']}\nunion all\n"
+        f"select '' as lang, 'jsonl' as field, jsonl as value "
+        f"from ({d.pop('jsonl_lines')})")
     d["media_pipeline"] = """
         with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                           doc_id % 4 as v,
