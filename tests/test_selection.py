@@ -59,3 +59,19 @@ def test_sample_stratified_deterministic_and_salted(spark):
     other = {r["doc_id"]
              for r in sample_stratified(df, "lang", 20, salt="x").collect()}
     assert other != a                            # independent draw per salt
+
+
+def test_semdedup_removes_clones_keeps_min_id(spark):
+    from warc2text_spark.operators.dedup import semdedup
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (101, [2.0, 0.0, 0.0]),   # same direction as 1 -> cosine 1.0
+        (102, [0.0, 0.0, 1.0]),   # orthogonal to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = {r["vec_id"]: r for r in semdedup(df, cents, 0.95).collect()}
+    assert out[1]["kept"] and not out[101]["kept"]      # min id wins
+    assert out[1]["cluster"] == out[101]["cluster"] == 0
+    assert out[2]["kept"] and out[102]["kept"]          # no near-dup

@@ -383,6 +383,51 @@ def embedding_near_duplicates_lsh_multi(df: DataFrame,
     return _attach(out, cached)
 
 
+def semdedup(df: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.95,
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (public method, arXiv 2303.09540): cluster embeddings
+    against a coarse codebook, compare cosines ONLY within a cluster, and
+    keep the smallest-id member of every near-identical group.  Returns
+    (vec_id, cluster, kept) for every input vector.
+
+    Scale: assignment is a pure per-row argmin against the broadcast
+    codebook (no shuffle, first-index tie-break like ivf_topk); the pair
+    stage shuffles once on the cluster key and is quadratic only within a
+    cluster — the codebook granularity bounds the largest cluster, which
+    is the method's point versus corpus-wide all-pairs.  The removal set
+    is ids-only.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = [F.aggregate(
+              F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                         lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, x: acc + x)
+          for c in centroids]
+    darr = F.array(*d2)
+    cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    base = df.select(
+        F.col("vec_id").cast("long").alias("vec_id"), v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        .alias("nrm"),
+        cluster.alias("cluster"))
+    a = base.select(F.col("vec_id").alias("a_id"), "cluster",
+                    F.col("v").alias("a_v"), F.col("nrm").alias("a_n"))
+    b = base.select(F.col("vec_id").alias("b_id"), "cluster",
+                    F.col("v").alias("b_v"), F.col("nrm").alias("b_n"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a_n") * F.col("b_n"))
+    removed = (a.join(b, "cluster")
+               .filter(F.col("a_id") < F.col("b_id"))
+               .filter(cos >= threshold)
+               .select(F.col("b_id").alias("vec_id")).distinct()
+               .withColumn("rm", F.lit(True)))
+    return (base.join(removed, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.col("rm").isNull().alias("kept")))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column (small/SF scale;
     the 10^12 path buckets by hyperplane signs first — similarity.lsh_bits)."""

@@ -929,10 +929,24 @@ def q_ann_lsh_variants(spark, sf_dir) -> DataFrame:
 def q_neardup_lsh_variants(spark, sf_dir) -> DataFrame:
     single = q_neardup_lsh(spark, sf_dir)
     multi = q_neardup_lsh_multi(spark, sf_dir)
+    exact = q_embedding_neardup(spark, sf_dir)
     return (single.select(F.lit("lsh").alias("variant"), "a_id", "b_id",
                           "cosine")
             .unionByName(multi.select(F.lit("lsh_multi").alias("variant"),
+                                      "a_id", "b_id", "cosine"))
+            .unionByName(exact.select(F.lit("exact").alias("variant"),
                                       "a_id", "b_id", "cosine")))
+
+
+def q_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup over the clone corpus: codebook = embeddings 1..8 (same
+    fixed quantizer as ann_ivf_topk), clones land in their source's
+    cluster at cosine 1.0 and are removed (kept=false, min-id wins)."""
+    emb = _clone_emb(spark, sf_dir)
+    cents = [[float(x) for x in r.embedding] for r in
+             _emb(spark, sf_dir).filter(F.col("vec_id").between(1, 8))
+             .orderBy("vec_id").collect()]
+    return dedup.semdedup(emb, cents, threshold=0.95)
 
 
 def q_media_pipeline(spark, sf_dir) -> DataFrame:
@@ -1108,7 +1122,8 @@ def _merge_registry_queries(d: dict) -> dict:
     d["ann_lsh_topk"] = q_ann_lsh_variants
     del d["ann_lsh_multiprobe"]
     d["neardup_lsh"] = q_neardup_lsh_variants
-    del d["neardup_lsh_multi"]
+    del d["neardup_lsh_multi"], d["embedding_neardup"]
+    d["semdedup"] = q_semdedup
     d["media_pipeline"] = q_media_pipeline
     for k in ("media_features", "media_resize", "media_frames"):
         del d[k]
@@ -1147,7 +1162,36 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"from ({d['neardup_lsh']})\n"
         f"union all\n"
         f"select 'lsh_multi' as variant, a_id, b_id, cosine "
-        f"from ({d.pop('neardup_lsh_multi')})")
+        f"from ({d.pop('neardup_lsh_multi')})\n"
+        f"union all\n"
+        f"select 'exact' as variant, a_id, b_id, cosine "
+        f"from ({d.pop('embedding_neardup')})")
+    d["semdedup"] = f"""
+        with {_EMB_M.format(src=f'({_EMB_CLONES_SQL})').lstrip()},
+        c as (select vec_id as cid, v as cv from m
+              where vec_id between 1 and 8),
+        dd as (select m.vec_id, c.cid,
+                      list_sum(list_transform(range(1, len(m.v) + 1),
+                           i -> (m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i])))
+                      as dist
+               from m, c),
+        a as (select vec_id, cid from
+               (select vec_id, cid,
+                       row_number() over (partition by vec_id
+                                          order by dist, cid) as rn
+                from dd) where rn = 1),
+        rm as (select distinct ay.vec_id
+               from a ax join a ay on ax.cid = ay.cid
+                                  and ax.vec_id < ay.vec_id
+               join m mx on mx.vec_id = ax.vec_id
+               join m my on my.vec_id = ay.vec_id
+               where list_sum(list_transform(range(1, len(mx.v) + 1),
+                         i -> mx.v[i] * my.v[i])) / (mx.nrm * my.nrm)
+                     >= 0.95)
+        select cast(a.vec_id as bigint) as vec_id,
+               cast(a.cid - 1 as int) as cluster,
+               (rm.vec_id is null) as kept
+        from a left join rm on a.vec_id = rm.vec_id"""
     # standalone closed-form oracle over build_media_spans: header sizes
     # are constants (PNG 33 / GIF 13 / JPEG 15 B), dims are 1 + id % 640/480,
     # the fake 'IMG'||id twin keeps the stub branch oracle-checked; the
