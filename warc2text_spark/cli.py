@@ -60,7 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invert-tag-filters", action="store_true")
     p.add_argument("--url-filters", dest="url_filters")
     p.add_argument("--pdfpass", help="write routed PDF records here")
-    p.add_argument("--robotspass", help="write routed robots.txt records here")
+    p.add_argument("--robotspass", "--robotstxtpass", dest="robotspass",
+                   help="write routed robots.txt records here "
+                        "(binary flag --robotspass, warc2text_main.cc:48; "
+                        "--robotstxtpass accepted for the README spelling)")
     p.add_argument("--robots-process", action="store_true")
     p.add_argument("--paragraph-identification", action="store_true")
     p.add_argument("--skip-text-extraction", action="store_true")
