@@ -75,3 +75,23 @@ def test_semdedup_removes_clones_keeps_min_id(spark):
     assert out[1]["kept"] and not out[101]["kept"]      # min id wins
     assert out[1]["cluster"] == out[101]["cluster"] == 0
     assert out[2]["kept"] and out[102]["kept"]          # no near-dup
+
+
+def test_substring_dedup_clone_ratio(spark):
+    from warc2text_spark.operators.textops import substring_dedup
+    rows = [("1", "the quick brown fox jumps over the lazy dog again today"),
+            ("2", "completely different words appear in this one sentence"),
+            ("clone1", "the quick brown fox jumps over the lazy dog again today")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(df).collect()}
+    assert out["1"]["dup_ratio"] == 1.0 and out["clone1"]["dup_ratio"] == 1.0
+    assert out["2"]["dup_ratio"] == 0.0
+    assert out["1"]["n_fp"] == out["clone1"]["n_fp"]
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from warc2text_spark.operators.textops import bpe_pair_counts
+    # 'ab ab cd' -> pair 'a b</w>' count 2, 'c d</w>' count 1
+    df = spark.createDataFrame([("x", "ab ab cd")], "doc_id string, text string")
+    out = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    assert out == {"a b</w>": 2, "c d</w>": 1}

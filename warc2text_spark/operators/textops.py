@@ -396,6 +396,68 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
             .limit(k))
 
 
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    k: int = 20, w: int = 16,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-substring detection (the public direction
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): winnowing fingerprints over long k-grams shared by
+    >= min_docs documents mark repeated substrings; per document, the
+    share of its fingerprints that are corpus-repeated is its duplication
+    score (1.0 for a verbatim clone, ~0 for fresh text).  Returns
+    (doc_id, n_fp, n_shared, dup_ratio).
+
+    Scale: fingerprints shuffle as (id, hash) pairs only; the duplicated-
+    hash set is orders smaller than the corpus (it IS the repeated
+    content) and broadcasts; the per-doc aggregate is map-side-combined.
+    Payloads never move.  At extreme scale swap the broadcast for a bloom
+    filter of duplicated hashes (same pattern as remove_boilerplate)."""
+    fps = winnow_fingerprints(df, text_col, k=k, w=w)
+    dup = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("fp", F.lit(1).alias("is_dup")))
+    per = (fps.join(F.broadcast(dup), "fp", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_fp"),
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                .cast("long").alias("n_shared")))
+    return per.select(
+        "doc_id", "n_fp", "n_shared",
+        F.round(F.col("n_shared") / F.col("n_fp"), 6).alias("dup_ratio"))
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """First iteration of BPE tokenizer training (public algorithm,
+    Sennrich et al. 2016): corpus-weighted counts of adjacent SYMBOL pairs
+    — characters at iteration 0, with an end-of-word marker '</w>' on the
+    last symbol — ranked desc; the top pair is the first merge.
+
+    Scale: pass 1 collapses the corpus to the distinct-word frequency
+    table (one map-side-combined groupBy — the type/token ratio does the
+    compression); pair explosion runs over *types*, weighted by their
+    counts, so the second aggregate touches |vocab| x word-length rows,
+    not the corpus.  Top-k is TakeOrderedAndProject, never a global sort.
+    Deterministic ties: count desc, pair asc."""
+    wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc")))
+    chars = F.split(F.col("w"), "")
+    pairs = F.when(
+        F.size(chars) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(chars) - 1),
+            lambda i: F.concat(
+                F.element_at(chars, i), F.lit(" "),
+                F.element_at(chars, i + 1),
+                F.when(i == F.size(chars) - 1, F.lit("</w>"))
+                .otherwise(F.lit(""))))
+    ).otherwise(F.array().cast("array<string>"))
+    return (wf.select(F.explode(pairs).alias("pair"), "wc")
+            .groupBy("pair").agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(k))
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus profile: doc/token/byte totals plus exact token-count
     percentiles (p50/p90/p99) — the summary a curation run reports before

@@ -1054,6 +1054,37 @@ def q_sample_stratified(spark, sf_dir) -> DataFrame:
     return sample_stratified(docs, "lang", 20).select("doc_id", "lang")
 
 
+def q_fp_all(spark, sf_dir) -> DataFrame:
+    """Both fingerprinting algorithms in one driver row: rolling
+    char-ngram fingerprints and MOSS winnowing — (algo, doc_id, fp)."""
+    a = q_fingerprint(spark, sf_dir).select(
+        F.lit("rolling").alias("algo"), "doc_id",
+        F.col("fingerprint").alias("fp"))
+    b = q_winnow(spark, sf_dir).select(
+        F.lit("winnow").alias("algo"), "doc_id",
+        F.col("fp").cast("string").alias("fp"))
+    return a.unionByName(b)
+
+
+def q_substring_dedup(spark, sf_dir) -> DataFrame:
+    """Repeated-substring duplication scores over the clone corpus: a
+    clone's every fingerprint is shared with its source (dup_ratio 1.0);
+    long k=20 grams keep unrelated word-soup docs near 0."""
+    return textops.substring_dedup(_clone_docs(spark, sf_dir))
+
+
+def q_vocab_all(spark, sf_dir) -> DataFrame:
+    """Corpus token statistics in one driver row: unigram vocabulary head
+    + BPE adjacent-symbol pair counts (the first tokenizer-training merge
+    candidates) — (kind, token, n)."""
+    uni = q_vocab_topk(spark, sf_dir).select(
+        F.lit("unigram").alias("kind"), "token", "n")
+    pair = textops.bpe_pair_counts(
+        _docs(spark, sf_dir, spread=False), 50).select(
+        F.lit("bpe_pair").alias("kind"), F.col("pair").alias("token"), "n")
+    return uni.unionByName(pair)
+
+
 def q_langid_all(spark, sf_dir) -> DataFrame:
     """All three langid fixtures under one driver row: the stopword corpus
     (documents text), the 32-variant script corpus and the 30-language
@@ -1137,6 +1168,10 @@ def _merge_registry_queries(d: dict) -> dict:
     del d["multilang_demux"]
     d["clean_text"] = q_clean_text
     del d["remove_boilerplate"], d["redact_pii"]
+    d["vocab_topk"] = q_vocab_all
+    d["winnow"] = q_fp_all
+    del d["fingerprint"]
+    d["substring_dedup"] = q_substring_dedup
     d["compat_layout"] = q_compat_layout_jsonl
     del d["jsonl_lines"]
     return d
@@ -1226,6 +1261,54 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"{d['compat_layout']}\nunion all\n"
         f"select '' as lang, 'jsonl' as field, jsonl as value "
         f"from ({d.pop('jsonl_lines')})")
+    d["winnow"] = (
+        f"select 'rolling' as algo, doc_id, fingerprint as fp "
+        f"from ({d.pop('fingerprint')})\nunion all\n"
+        f"select 'winnow', doc_id, cast(fp as varchar) "
+        f"from ({d['winnow']})")
+    d["substring_dedup"] = f"""
+        with t as (select cast(doc_id as varchar) as doc_id, text,
+                          greatest(length(text) - 19, 1) as n
+                   from ({_CLONES_SQL})),
+        g as (select doc_id,
+                     list_transform(range(1, n + 1),
+                       i -> list_reduce(
+                              list_prepend(0::bigint,
+                                list_transform(range(0, 20),
+                                  j -> ascii(substr(text, (i + j)::int,
+                                                    1))::bigint)),
+                              (acc, x) -> (acc * {textops.WINNOW_B} + x)
+                                          % {textops.WINNOW_M})) as hs
+              from t),
+        w as (select doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 15, 1) + 1),
+                       j -> list_min(hs[j:j+15]))) as fps
+              from g),
+        fps as (select doc_id, unnest(fps) as fp from w),
+        dup as (select fp from fps group by fp having count(*) >= 2),
+        per as (select f.doc_id, count(*)::bigint as n_fp,
+                       sum(case when d.fp is not null then 1
+                                else 0 end)::bigint as n_shared
+                from fps f left join dup d on f.fp = d.fp
+                group by f.doc_id)
+        select doc_id, n_fp, n_shared,
+               round(n_shared * 1.0 / n_fp, 6) as dup_ratio
+        from per"""
+    d["vocab_topk"] = (
+        f"select 'unigram' as kind, token, n "
+        f"from ({d['vocab_topk']})\nunion all\n"
+        f"select 'bpe_pair', pair, n from (\n"
+        f"  with wf as (select w, count(*)::bigint as wc\n"
+        f"              from (select unnest(string_split(text, ' ')) as w\n"
+        f"                    from documents) group by w),\n"
+        f"  p as (select unnest(list_transform(range(1, strlen(w)), i ->\n"
+        f"            substr(w, i, 1) || ' ' || substr(w, i + 1, 1)\n"
+        f"            || case when i = strlen(w) - 1 then '</w>'\n"
+        f"                    else '' end)) as pair, wc\n"
+        f"        from wf)\n"
+        f"  select pair, sum(wc)::bigint as n from p\n"
+        f"  group by pair order by n desc, pair limit 50)")
     d["media_pipeline"] = """
         with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                           doc_id % 4 as v,
