@@ -165,3 +165,51 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     base = probes[0]
     for p in probes[1:]:
         assert sum(a != b for a, b in zip(base, p)) == 1
+
+
+def test_decontam_and_surprisal_match_python_twins(spark):
+    """First-principles twins for the round-4 selection operators on a
+    randomized corpus: 8-gram decontamination membership and the
+    Laplace-unigram surprisal formula."""
+    import math
+
+    from warc2text_spark.operators.selection import (
+        decontaminate, unigram_surprisal)
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = [(str(i), " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(3, 30))))
+            for i in range(150)]
+    # plant exact 8-gram overlaps: doc 100+ copies a window from doc i
+    for i in range(8):
+        base = rows[i][1].split(" ")
+        if len(base) >= 8:
+            rows.append((str(200 + i),
+                         " ".join(base[:8]) + " trailing words here"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = docs.filter(F.col("doc_id").cast("int") < 8)
+
+    # python twin: benchmark 8-gram set, then membership per doc
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 8]) for i in range(len(ws) - 7)}
+    bench_ng = set()
+    for did, t in rows:
+        if int(did) < 8:
+            bench_ng |= grams(t)
+    expect_kept = {did for did, t in rows if not (grams(t) & bench_ng)}
+    got_kept = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert got_kept == expect_kept
+    assert any(int(d) >= 200 for d in set(dict(rows)) - got_kept)
+
+    # surprisal twin
+    cnt = Counter(w for _, t in rows for w in t.split())
+    denom = math.log(sum(cnt.values()) + len(cnt) + 1)
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    for did, t in rows:
+        ws = t.split()
+        exp = round(denom - sum(math.log(cnt[w] + 1) for w in ws) / len(ws),
+                    6)
+        assert abs(out[did]["surprisal"] - exp) < 1e-9, did
+        assert out[did]["n_tokens"] == len(ws)

@@ -127,9 +127,10 @@ def build_zip_spans(spark, sf_dir: str,
 # sentence per variant (doc_id % len(SCRIPT_SENTENCES)), suffixed with the
 # id (Latin digits add no script evidence).  Keep in sync with
 # SCRIPT_TEXT_CASE below — the DuckDB oracle recomputes the classifier
-# rule over the same constants.  Variants 9+ are the r4 breadth batch:
+# rule over the same constants.  Variants 9+ are the r4 breadth batches:
 # one single-script sentence per added script language (the oracle labels
-# them via per-range counts, benchqueries._NEW_SCRIPT_SQL).
+# them via the generated range-table argmax + marker CASE in
+# benchqueries._langid_script_oracle).
 SCRIPT_SENTENCES = (
     "это новый день ещё раз мы были здесь",            # 0: ru (ы э ё)
     "це новий день і ще раз ми були тут її єдність",   # 1: uk (і ї є)
