@@ -95,3 +95,17 @@ def test_bpe_pair_counts_weighted(spark):
     df = spark.createDataFrame([("x", "ab ab cd")], "doc_id string, text string")
     out = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
     assert out == {"a b</w>": 2, "c d</w>": 1}
+
+
+def test_bitext_candidates_url_alignment(spark):
+    from warc2text_spark.operators.align import bitext_candidates
+    rows = [
+        ("1", "en", "https://site.example/en/about.html"),
+        ("2", "fr", "https://site.example/fr/about.html"),
+        ("3", "pt", "https://site.example/pt-br/about.html"),
+        ("4", "en", "https://other.example/en/about.html"),   # different host
+        ("5", "en", "https://site.example/en/contact.html"),  # different page
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, url string")
+    pairs = {(r["a_id"], r["b_id"]) for r in bitext_candidates(df).collect()}
+    assert pairs == {("1", "2"), ("1", "3"), ("2", "3")}

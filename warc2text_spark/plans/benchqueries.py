@@ -1054,6 +1054,30 @@ def q_sample_stratified(spark, sf_dir) -> DataFrame:
     return sample_stratified(docs, "lang", 20).select("doc_id", "lang")
 
 
+def q_jaccard_all(spark, sf_dir) -> DataFrame:
+    """Both exact-Jaccard surfaces in one driver row: adjacent-id pairs
+    and the LSH-pruned verified pairs — (variant, a_id, b_id, jaccard)."""
+    adj = q_jaccard_pairs(spark, sf_dir).select(
+        F.lit("adjacent").alias("variant"),
+        F.col("doc_id").alias("a_id"), F.col("other_id").alias("b_id"),
+        "jaccard")
+    ver = q_minhash_verified(spark, sf_dir).select(
+        F.lit("lsh_verified").alias("variant"), "a_id", "b_id", "jaccard")
+    return adj.unionByName(ver)
+
+
+def q_bitext_candidates(spark, sf_dir) -> DataFrame:
+    """URL-alignment bitext candidates (bitextor's step after warc2text):
+    synthesized urls put each doc at https://h<id%20>.example/<lang>/
+    p<id%100>.html, so docs congruent mod 100 with different langs pair."""
+    from ..operators.align import bitext_candidates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "lang",
+        "concat('https://h', doc_id % 20, '.example/', lang, '/p', "
+        "doc_id % 100, '.html') as url")
+    return bitext_candidates(docs)
+
+
 def q_fp_all(spark, sf_dir) -> DataFrame:
     """Both fingerprinting algorithms in one driver row: rolling
     char-ngram fingerprints and MOSS winnowing — (algo, doc_id, fp)."""
@@ -1172,6 +1196,9 @@ def _merge_registry_queries(d: dict) -> dict:
     d["winnow"] = q_fp_all
     del d["fingerprint"]
     d["substring_dedup"] = q_substring_dedup
+    d["jaccard_pairs"] = q_jaccard_all
+    del d["minhash_verified"]
+    d["bitext_candidates"] = q_bitext_candidates
     d["compat_layout"] = q_compat_layout_jsonl
     del d["jsonl_lines"]
     return d
@@ -1266,6 +1293,20 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"from ({d.pop('fingerprint')})\nunion all\n"
         f"select 'winnow', doc_id, cast(fp as varchar) "
         f"from ({d['winnow']})")
+    d["jaccard_pairs"] = (
+        f"select 'adjacent' as variant, doc_id as a_id, other_id as b_id, "
+        f"jaccard from ({d['jaccard_pairs']})\nunion all\n"
+        f"select 'lsh_verified', a_id, b_id, jaccard "
+        f"from ({d.pop('minhash_verified')})")
+    d["bitext_candidates"] = """
+        with b as (select cast(doc_id as varchar) as id, lang,
+                          'h' || (doc_id % 20) || '.example|https://h'
+                          || (doc_id % 20) || '.example/p'
+                          || (doc_id % 100) || '.html' as key
+                   from documents)
+        select x.id as a_id, y.id as b_id,
+               x.lang as lang_a, y.lang as lang_b, x.key as key
+        from b x join b y on x.key = y.key and x.lang < y.lang"""
     d["substring_dedup"] = f"""
         with t as (select cast(doc_id as varchar) as doc_id, text,
                           greatest(length(text) - 19, 1) as n
