@@ -91,6 +91,30 @@ _STOPWORDS = {
            "lakini", "watu", "kama", "hata", "wake", "yake"},
     "tl": {"ang", "ng", "mga", "sa", "ay", "hindi", "ito", "kung",
            "naman", "siya", "lamang", "niya", "kanyang", "ito"},
+    # breadth batch 3 (r4): ten further CLD2-supported Latin-script
+    # languages; same curation rule — distinctive function words, close
+    # siblings (gl vs pt/es, az/uz vs tr) resolved by accented or
+    # language-unique forms
+    "cy": {"mae", "yn", "bod", "wedi", "gyda", "ond", "hefyd", "iawn",
+           "fel", "dyma", "eich", "ei", "wrth", "gan"},
+    "ga": {"agus", "ar", "go", "an", "atá", "bhí", "sé", "ach",
+           "seo", "mar", "freisin", "chun", "leis", "na"},
+    "eu": {"eta", "da", "ez", "bat", "du", "dira", "baina", "ere",
+           "dela", "izan", "hori", "zen", "oso", "egin"},
+    "gl": {"unha", "súa", "tamén", "despois", "máis", "pero", "polo",
+           "cando", "onde", "todo", "foi", "sobre", "seus", "dous"},
+    "mt": {"li", "hija", "huwa", "dan", "din", "kif", "biex", "fuq",
+           "kien", "jew", "aktar", "ħafna", "qed", "kollha"},
+    "az": {"və", "bir", "bu", "ki", "üçün", "ilə", "daha", "olan",
+           "edir", "olaraq", "çox", "sonra", "lakin", "isə"},
+    "uz": {"va", "bir", "bu", "uchun", "bilan", "ham", "emas",
+           "juda", "keyin", "lekin", "yoki", "edi", "uning", "katta"},
+    "so": {"iyo", "oo", "waa", "ka", "uu", "ay", "in", "waxaa",
+           "lagu", "soo", "kale", "sida", "laakiin", "markii"},
+    "lb": {"an", "datt", "mat", "fir", "vun", "net", "och", "awer",
+           "ginn", "hunn", "dëst", "iwwer", "nach", "ëmmer"},
+    "eo": {"kaj", "la", "estas", "ne", "por", "kun", "sed", "tio",
+           "ankaŭ", "pri", "kiu", "estis", "tre", "povas"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21

@@ -357,7 +357,7 @@ from mxd"""
 
 
 def q_langid_latin(spark, sf_dir) -> DataFrame:
-    """Latin-script stopword breadth (30 languages): each fixture row is a
+    """Latin-script stopword breadth (every _STOPWORDS language): each fixture row is a
     single-language evidence sentence; the oracle asserts the expected
     label independently (the sentences are authored to win the margin
     rule, verified in tests/test_urlutil_paragraph_langid.py)."""
@@ -435,9 +435,10 @@ from kept k left join labeled l on l.doc_id = k.doc_id"""
 
 def _stopword_values() -> str:
     from ..functions.langid import _STOPWORDS
-    return ", ".join(f"('{w}', '{lang}')"
-                     for lang, words in sorted(_STOPWORDS.items())
-                     for w in sorted(words))
+    return ", ".join(
+        "('{}', '{}')".format(w.replace("'", "''"), lang)
+        for lang, words in sorted(_STOPWORDS.items())
+        for w in sorted(words))
 
 
 def _multilang_demux_oracle() -> str:

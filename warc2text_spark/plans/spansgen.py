@@ -211,11 +211,14 @@ def latin_sentences() -> tuple[tuple[str, str], ...]:
 
 def build_latin_spans(spark, sf_dir: str) -> DataFrame:
     """Interleaved-table rows exercising the full Latin-script stopword
-    breadth (30 languages, CLD2-direction): one constant sentence per
-    variant (doc_id % 30), suffixed with the id (digits add no evidence)."""
+    breadth (CLD2-direction, one variant per _STOPWORDS language):
+    one constant sentence per variant, suffixed with the id (digits add no evidence)."""
     sents = latin_sentences()
+    # defensive single-quote escaping: a stopword containing an
+    # apostrophe must not break the SQL literal
     case = (f"case nid % {len(sents)} " + " ".join(
-        f"when {i} then '{s}'" for i, (_, s) in enumerate(sents)) + " end")
+        "when {} then '{}'".format(i, s.replace("'", "''"))
+        for i, (_, s) in enumerate(sents)) + " end")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     body = f"concat('<p>', {case}, ' ', nid, '</p>')"
     return docs.selectExpr("doc_id as nid").selectExpr(
