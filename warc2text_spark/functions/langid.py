@@ -183,8 +183,13 @@ _DEVANAGARI_MARKERS = (
     ("mr", "ळ"),      # retroflex LLA: frequent in Marathi, absent in Hindi
 )
 _ARABIC_MARKERS = (
-    ("ur", "ٹڈڑںےہ"),  # Urdu-only letters (retroflexes, bari ye, gol he)
-    ("fa", "پچژگ"),    # Persian-only letters (pe, che, zhe, gaf)
+    # ps/ug listed before fa: both borrow Persian پ/چ/ژ/گ, but their own
+    # letters (Pashto retroflexes; Uyghur vowel letters, written in every
+    # syllable) dominate native text, while fa text carries none of them
+    ("ur", "ٹڈڑںےہ"),   # Urdu-only letters (retroflexes, bari ye, gol he)
+    ("ps", "ځڅښږګڼۍ"),  # Pashto-only letters (incl. ګ U+06AB, not گ)
+    ("ug", "ۇۆۈېۋە"),   # Uyghur vowel letters (U+06C6-06D0 range + ە)
+    ("fa", "پچژگ"),     # Persian-only letters (pe, che, zhe, gaf)
 )
 
 

@@ -168,6 +168,10 @@ SCRIPT_SENTENCES = (
     "ово је нови дан и ми смо поново овде љубав њега џеп ђак ћао јесте",  # 29: sr
     "ова е нов ден и ние сме повторно овде ѓавол ќе ѕвезда јас љубов њива џеб",  # 30: mk
     "бұл жаңа күн және біз қайтадан осындамыз қазақ тілі үшін сөздер",    # 31: kk
+    # 32-33: Arabic-script siblings batch 2 — Pashto retroflexes and
+    # Uyghur vowel letters outrank the shared Persian پ/چ/ژ/گ
+    "دا یوه نوې ورځ ده او موږ بیا دلته یو ښځه ګل څه",                     # 32: ps
+    "بۇ يېڭى بىر كۈن ۋە بىز يەنە مۇشۇ يەردە تۇرىمىز",                     # 33: ug
 )
 
 SCRIPT_TEXT_CASE = (f"case nid % {len(SCRIPT_SENTENCES)} " + " ".join(
