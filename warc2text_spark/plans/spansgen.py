@@ -492,11 +492,17 @@ def build_transport_spans(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, INPUT_SCHEMA)
 
 
-def build_spans(spark, sf_dir: str, replicate: int = 1) -> DataFrame:
+def build_spans(spark, sf_dir: str, replicate: int = 1,
+                text_factor: int = 1) -> DataFrame:
     """The interleaved input table.  ``replicate`` scales the corpus for
-    benchmarking (new ids keep the variant distribution; deterministic)."""
+    benchmarking (new ids keep the variant distribution; deterministic);
+    ``text_factor`` > 1 repeats each document's text to synthesize
+    realistic large crawl pages (bench-only — the oracles assume 1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = docs.selectExpr("doc_id as onid", "text", "lang", "source")
+    text_expr = ("text" if text_factor == 1
+                 else f"rtrim(repeat(concat(text, ' '), {text_factor}))")
+    base = docs.selectExpr("doc_id as onid", f"{text_expr} as text",
+                           "lang", "source")
     if replicate > 1:
         reps = spark.range(replicate).selectExpr("id as rep")
         base = base.crossJoin(reps).selectExpr(
