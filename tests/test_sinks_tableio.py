@@ -290,3 +290,40 @@ def test_write_output_iceberg_branch_with_mock_catalog(spark, monkeypatch):
     write_output(df, "catalog.db.out", fmt="iceberg", partition_by=("lang",))
     assert recorded == {"partition_by": ("lang",), "mode": "overwrite",
                         "location": "catalog.db.out"}
+
+
+def test_bilang_zstd_output(spark, tmp_path):
+    """compression='zstd' writes the reference's .zst layout
+    (bilangwriter.cc:47-51,101) through the libzstd ctypes binding; files
+    round-trip through our streaming decompressor AND the system zstd
+    binary (real-consumer interop)."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from warc2text_spark.functions.zstd_io import available, decompress
+    if not available():
+        pytest.skip("libzstd not present")
+    df = spark.createDataFrame([
+        _doc("en-1", [_t("<p>the cat and the dog of the house</p>")],
+             url="https://x/en1"),
+        _doc("en-2", [_t("<p>this is the cat and the dog again here</p>")],
+             url="https://x/en2"),
+    ], schema=INPUT_SCHEMA)
+    res = run_pipeline(df, PipelineOptions(classifier="heuristic"))
+    out = str(tmp_path / "zst")
+    write_bilang_files(demux_by_lang(res.main), out, ("url", "text"),
+                       compression="zstd")
+    en = os.path.join(out, "en")
+    assert sorted(os.listdir(en)) == ["text.zst", "url.zst"]
+    urls = decompress(open(os.path.join(en, "url.zst"), "rb").read()) \
+        .decode().splitlines()
+    assert urls == ["https://x/en1", "https://x/en2"]
+    texts = [base64.b64decode(x).decode() for x in decompress(
+        open(os.path.join(en, "text.zst"), "rb").read()).splitlines()]
+    assert texts[0] == "the cat and the dog of the house\n"
+    if shutil.which("zstdcat"):
+        ext = subprocess.run(["zstdcat", os.path.join(en, "url.zst")],
+                             capture_output=True, check=True)
+        assert ext.stdout.decode().splitlines() == urls

@@ -240,9 +240,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "payload_b64",
                 F.regexp_replace(F.base64(F.col("plaintext").cast("binary")),
                                  "[\r\n]", ""))
+        if args.compress not in ("gzip", "zstd"):
+            raise SystemExit(
+                f"--compat-output supports gzip or zstd, not "
+                f"{args.compress} (bilangwriter.cc:47-51)")
         write_bilang_files(rows, args.output, tuple(fields) or ("url", "text"),
                            compresslevel=args.compress_level,
-                           parts_per_lang=args.compat_parts)
+                           parts_per_lang=args.compat_parts,
+                           compression=args.compress)
     else:
         cols = {"url": F.col("url"),
                 "text": F.col("chunk").alias("text"),

@@ -17,12 +17,11 @@ the reference:
   ``toJSON(record, chunk, metadata_only=true)`` with keys
   ``f,o,s,rs,u,c,ts,de`` in insertion order (``nlohmann::ordered_json``,
   bilangwriter.cc:65-91,140-141);
-* gzip, level 3 (warc2text_main.cc:60-62 default).  The reference also
-  supports zstd output (bilangwriter.cc:47-51); this sandbox has no zstd
-  binding (no ``zstandard`` wheel, stdlib ``compression.zstd`` is 3.14+),
-  so the compat writer is gzip-only — the parquet dataset path supports
-  zstd via parquet codecs.  When a binding appears, add
-  ``compression='zstd'`` here by swapping the ``gzip.open`` factory.
+* gzip, level 3 (warc2text_main.cc:60-62 default), or zstd with the
+  reference's ``.zst`` suffix (bilangwriter.cc:47-51,101) —
+  ``compression="zstd"`` streams through a ctypes binding over the
+  system libzstd (functions/zstd_io.py; no Python wheel needed), the
+  same C library the reference links.
 
 Execution model: rows are hash-partitioned by (lang, part) where ``part``
 is a secondary bucket key (xxhash64(doc_id) mod parts_per_lang), then
@@ -54,20 +53,31 @@ FIELD_NAMES = ("text", "html", "url", "mime", "file", "date", "metadata")
 def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                        fields: tuple[str, ...] = ("url", "text"),
                        compresslevel: int = 3,
-                       parts_per_lang: int = 1) -> None:
+                       parts_per_lang: int = 1,
+                       compression: str = "gzip") -> None:
     """Write (record x lang) rows in the reference's directory layout.
 
     ``lang_rows`` is the demux_by_lang frame (doc_id, lang, chunk, url,
     http_ct, warc_date, plaintext[, payload_b64] ...).  ``parts_per_lang``
     > 1 shards each language into that many positional file groups
     (zero-padded ``<lang>/{text,url,...}.0000.gz`` …; glob ``text.*.gz``)
-    so no single task owns a whole language.
+    so no single task owns a whole language.  ``compression`` is "gzip"
+    (default, .gz) or "zstd" (.zst, bilangwriter.cc:47-51,101 — streamed
+    through the system libzstd, functions/zstd_io.py).
     """
     unknown = set(fields) - set(FIELD_NAMES)
     if unknown:
         raise ValueError(f"unknown bilang fields: {sorted(unknown)}")
     if parts_per_lang < 1:
         raise ValueError("parts_per_lang must be >= 1")
+    if compression not in ("gzip", "zstd"):
+        raise ValueError(f"unsupported compat compression: {compression}")
+    if compression == "zstd":
+        from ..functions.zstd_io import available
+        if not available():  # fail on the driver, not inside tasks
+            raise RuntimeError(
+                "compression='zstd' requires libzstd on every executor "
+                "host (ctypes binding, functions/zstd_io.py)")
     has_payload = "payload_b64" in lang_rows.columns
     if "html" in fields and not has_payload:
         # the reference's html file is the original transport-decoded
@@ -110,10 +120,21 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
     field_list = list(fields)
     single_part = parts_per_lang == 1
 
+    use_zstd = compression == "zstd"
+
     def write_partition(it):
         import base64
         import gzip
         import os
+        if use_zstd:
+            from warc2text_spark.functions.zstd_io import ZstdWriter
+
+        def opener(path):
+            if use_zstd:
+                return ZstdWriter(path, level=compresslevel)
+            return gzip.open(path, "wb", compresslevel=compresslevel)
+
+        ext = ".zst" if use_zstd else ".gz"  # bilangwriter.cc:99-102
         writers: dict[tuple, dict] = {}
         try:
             for row in it:
@@ -123,9 +144,8 @@ def write_bilang_files(lang_rows: DataFrame, out_dir: str,
                 if w is None:
                     d = os.path.join(out_dir, lang)
                     os.makedirs(d, exist_ok=True)
-                    suffix = ".gz" if single_part else f".{row.part:04d}.gz"
-                    w = {f: gzip.open(os.path.join(d, f + suffix), "wb",
-                                      compresslevel=compresslevel)
+                    suffix = ext if single_part else f".{row.part:04d}{ext}"
+                    w = {f: opener(os.path.join(d, f + suffix))
                          for f in field_list}
                     writers[key] = w
                 for f in field_list:
