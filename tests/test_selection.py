@@ -109,3 +109,19 @@ def test_bitext_candidates_url_alignment(spark):
     df = spark.createDataFrame(rows, "doc_id string, lang string, url string")
     pairs = {(r["a_id"], r["b_id"]) for r in bitext_candidates(df).collect()}
     assert pairs == {("1", "2"), ("1", "3"), ("2", "3")}
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from warc2text_spark.operators.textops import paragraph_dedup
+    rows = [("a", "SHARED\nunique-a\ntail"),
+            ("b", "SHARED\nunique-b\ntail"),
+            ("c", "only fresh lines\nhere")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # 'a' is the string-min doc: keeps SHARED and tail
+    assert out["a"]["clean_text"] == "SHARED\nunique-a\ntail"
+    assert out["a"]["n_removed"] == 0
+    # 'b' loses both duplicated paragraphs but keeps its unique one
+    assert out["b"]["clean_text"] == "unique-b"
+    assert out["b"]["n_removed"] == 2
+    assert out["c"]["clean_text"] == "only fresh lines\nhere"

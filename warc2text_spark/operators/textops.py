@@ -396,6 +396,46 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
             .limit(k))
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style paragraph-level deduplication with keep-first
+    semantics (public method, CCNet paper: dedup at paragraph granularity
+    across the corpus): a paragraph (newline-delimited line) duplicated
+    across documents survives only in the smallest-id document; unique
+    paragraphs always survive.  Returns (id, clean_text, n_removed).
+
+    Differs from :func:`remove_boilerplate` (which drops a >= min_docs
+    line from EVERY document): here exactly one copy survives.
+
+    Scale: paragraphs explode once with (id, position); the winner per
+    paragraph is one map-side-combined min aggregate over (hash -> id)
+    pairs; the broadcast back joins hashes only; reassembly is one
+    groupBy over kept (id, pos, line) rows — line text crosses the
+    network once, like the extraction shuffle it typically follows.  At
+    extreme scale swap the winner broadcast for a sort-merge join on the
+    paragraph hash."""
+    lines = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    keyed = lines.withColumn("h", F.md5("line"))
+    winners = (keyed.groupBy("h")
+               .agg(F.min("id").alias("keep_id"),
+                    F.count(F.lit(1)).alias("n")))
+    keep = (F.col("n") == 1) | (F.col("id") == F.col("keep_id"))
+    return (keyed.join(F.broadcast(winners), "h")
+            .groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("pos", "line")))),
+                         lambda s: s["line"]),
+                     "\n").alias("clean_text"),
+                 F.sum(F.when(keep, 0).otherwise(1))
+                 .cast("long").alias("n_removed"))
+            .withColumnRenamed("id", id_col))
+
+
 def substring_dedup(df: DataFrame, text_col: str = "text",
                     k: int = 20, w: int = 16,
                     min_docs: int = 2) -> DataFrame:

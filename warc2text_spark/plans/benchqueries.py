@@ -1148,16 +1148,27 @@ def q_demux_modes(spark, sf_dir) -> DataFrame:
 
 def q_clean_text(spark, sf_dir) -> DataFrame:
     """Text-cleaning ops in one driver row: CCNet-style cross-document
-    boilerplate-line removal and PII redaction — (op, doc_id, clean_text,
-    bytes_removed [-1 sentinel for the boilerplate op — the compare
-    harness sorts value tuples, so the column must stay orderable])."""
+    boilerplate-line removal, PII redaction, and paragraph-level
+    keep-first dedup — (op, doc_id, clean_text, n_removed).  The
+    n_removed unit is per-op (bytes for pii, paragraphs for
+    paragraph_dedup, -1 sentinel for boilerplate — the compare harness
+    sorts value tuples, so the column must stay orderable/non-null)."""
     a = q_remove_boilerplate(spark, sf_dir).select(
         F.lit("boilerplate").alias("op"), "doc_id", "clean_text",
-        F.lit(-1).cast("long").alias("bytes_removed"))
+        F.lit(-1).cast("long").alias("n_removed"))
     b = q_redact_pii(spark, sf_dir).select(
         F.lit("pii").alias("op"), "doc_id", "clean_text",
-        F.col("bytes_removed").cast("long").alias("bytes_removed"))
-    return a.unionByName(b)
+        F.col("bytes_removed").cast("long").alias("n_removed"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("SHARED HEADER"), F.lit("\n"),
+                 F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
+                 F.lit("\n"), F.lit("FOOTER "),
+                 (F.col("doc_id") % 3).cast("string")).alias("text"))
+    c = textops.paragraph_dedup(docs).select(
+        F.lit("paragraph").alias("op"), "doc_id", "clean_text",
+        "n_removed")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_compat_layout_jsonl(spark, sf_dir) -> DataFrame:
@@ -1279,12 +1290,33 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"from ({d['langid_demux']})\nunion all\n"
         f"select 'multi', lang, n_chunks "
         f"from ({d.pop('multilang_demux')})")
+    para_sql = f"""
+        with t as (select cast(doc_id as varchar) as doc_id,
+                          'SHARED HEADER' || {NL} || doc_id || ' ' || text
+                          || {NL} || 'FOOTER ' || (doc_id % 3) as s
+                   from documents),
+        l as (select doc_id,
+                     unnest(string_split(s, {NL})) as line,
+                     generate_subscripts(string_split(s, {NL}), 1) as pos
+              from t),
+        w as (select line, min(doc_id) as keep_id, count(*) as n
+              from l group by line)
+        select l.doc_id,
+               coalesce(string_agg(
+                 case when w.n = 1 or l.doc_id = w.keep_id then l.line end,
+                 {NL} order by l.pos), '') as clean_text,
+               sum(case when w.n > 1 and l.doc_id <> w.keep_id
+                        then 1 else 0 end)::bigint as n_removed
+        from l join w using (line)
+        group by l.doc_id"""
     d["clean_text"] = (
         f"select 'boilerplate' as op, doc_id, clean_text, "
-        f"cast(-1 as bigint) as bytes_removed "
+        f"cast(-1 as bigint) as n_removed "
         f"from ({d.pop('remove_boilerplate')})\nunion all\n"
         f"select 'pii', doc_id, clean_text, cast(bytes_removed as bigint) "
-        f"from ({d.pop('redact_pii')})")
+        f"from ({d.pop('redact_pii')})\nunion all\n"
+        f"select 'paragraph', doc_id, clean_text, n_removed "
+        f"from ({para_sql})")
     d["compat_layout"] = (
         f"{d['compat_layout']}\nunion all\n"
         f"select '' as lang, 'jsonl' as field, jsonl as value "
