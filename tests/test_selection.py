@@ -125,3 +125,46 @@ def test_paragraph_dedup_keep_first(spark):
     assert out["b"]["clean_text"] == "unique-b"
     assert out["b"]["n_removed"] == 2
     assert out["c"]["clean_text"] == "only fresh lines\nhere"
+
+
+def test_surprisal_ascii_tokenizer_matches_model(spark):
+    """Non-ASCII whitespace (U+00A0 via &nbsp;) must NOT split tokens in
+    the scoring kernel: the model/oracle tokenizer is Java/RE2 \\s+
+    (ASCII-only) — code-review r4 regression."""
+    import math
+    rows = [("1", "foo bar baz"), ("2", "foo bar qux")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    from warc2text_spark.operators.selection import unigram_surprisal
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # 'foo\xa0bar' is ONE token on both sides (appears twice in the model)
+    assert out["1"]["n_tokens"] == 2
+    denom = math.log(4 + 3 + 1)  # T=4 tokens, V=3 types, +1
+    exp = round(denom - (math.log(2 + 1) + math.log(1 + 1)) / 2, 6)
+    assert abs(out["1"]["surprisal"] - exp) < 1e-9
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2 fill bytes (extra 0xFF before a marker) must not
+    reject the header — code-review r4 regression."""
+    import struct
+    from warc2text_spark.operators.multimodal import parse_image_header
+    sof0 = struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 45, 123) \
+        + b"\x01\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8\xff\xff\xff\xc0" + sof0) == (123, 45)
+    assert parse_image_header(b"\xff\xd8\xff\xc0" + sof0) == (123, 45)
+
+
+def test_counters_fresh_after_partial_scan(spark):
+    """An Observation is one-shot: a partial action (limit) before
+    counters() must not poison the metrics — code-review r4 regression."""
+    from warc2text_spark.plans.pipeline import (PipelineOptions, counters,
+                                                run_pipeline)
+    from warc2text_spark.plans.spansgen import build_spans
+    res = run_pipeline(build_spans(spark, "/root/testdata/sf0.001"),
+                       PipelineOptions(classifier="skip"))
+    baseline = counters(
+        run_pipeline(build_spans(spark, "/root/testdata/sf0.001"),
+                     PipelineOptions(classifier="skip"))).collect()[0]
+    res.main.limit(1).collect()  # partial scan consumes the observations
+    got = counters(res).collect()[0]
+    assert got.asDict() == baseline.asDict()

@@ -120,6 +120,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if unknown:
         print(f"unknown output files: {sorted(unknown)}", file=sys.stderr)
         return 1
+    if args.compat_output and args.compress not in ("gzip", "zstd"):
+        # validated before any Spark work or side outputs, like the other
+        # argument errors (bilangwriter.cc:47-51 supports gzip/zstd only)
+        print(f"--compat-output supports gzip or zstd, not {args.compress}",
+              file=sys.stderr)
+        return 1
 
     from .plans.pipeline import (PipelineOptions, counters, demux_by_lang,
                                  jsonl_projection, metadata_json_col,
@@ -240,10 +246,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "payload_b64",
                 F.regexp_replace(F.base64(F.col("plaintext").cast("binary")),
                                  "[\r\n]", ""))
-        if args.compress not in ("gzip", "zstd"):
-            raise SystemExit(
-                f"--compat-output supports gzip or zstd, not "
-                f"{args.compress} (bilangwriter.cc:47-51)")
         write_bilang_files(rows, args.output, tuple(fields) or ("url", "text"),
                            compresslevel=args.compress_level,
                            parts_per_lang=args.compat_parts,

@@ -109,7 +109,7 @@ _WS_SET = frozenset(b" \t\n\r\f")
 # alone reaches 1023; plain words reach 1024).  A conservative hit (an
 # exactly-1023 run that forms an uncapped token) just takes the exact
 # token loop — correctness never depends on this test.
-_OVER_CAP = _re.compile(rb"[^<& \t\n\r\f]{1023}")
+_OVER_CAP = _re.compile(rb"[^<& \t\n\r\f]{%d}" % _CAP)
 # collapse is a no-op when the only whitespace is isolated single spaces —
 # the common case for real body text; one allocation-free C scan decides
 _NEEDS_COLLAPSE = _re.compile(rb"[\t\n\r\f]|  ")

@@ -232,6 +232,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (a one-scalar action per round, not a data collect).  The iterative
     fixpoint is inherently non-SQL-single-query; the DuckDB oracle uses a
     recursive CTE over the same edges."""
+    if max_iter < 1:
+        # changed starts at 0, so max_iter=0 would skip both the loop and
+        # the non-convergence guard and return unpropagated labels
+        raise ValueError("max_iter must be >= 1")
     sym = (pairs.select(F.col("a_id").cast("string").alias("src"),
                         F.col("b_id").cast("string").alias("dst"))
            .union(pairs.select(F.col("b_id").cast("string"),
@@ -267,7 +271,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     if changed != 0:
         # a component with diameter > max_iter would otherwise silently
         # split clusters and disagree with the recursive-CTE oracle —
-        # truncation must never be silent
+        # truncation must never be silent.  NB convergence is only
+        # CONFIRMED by a zero-change round, so max_iter must exceed the
+        # deepest component's diameter by one; a graph that finishes
+        # propagating exactly on the last round still raises here
+        # (conservative by design — correctness was not verified).
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
             f"iterations ({changed} labels still changing); raise max_iter "
@@ -385,7 +393,8 @@ def embedding_near_duplicates_lsh_multi(df: DataFrame,
 
 def semdedup(df: DataFrame, centroids: list[list[float]],
              threshold: float = 0.95,
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             materialize: str | None = "cache") -> DataFrame:
     """SemDeDup (public method, arXiv 2303.09540): cluster embeddings
     against a coarse codebook, compare cosines ONLY within a cluster, and
     keep the smallest-id member of every near-identical group.  Returns
@@ -396,7 +405,10 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     stage shuffles once on the cluster key and is quadratic only within a
     cluster — the codebook granularity bounds the largest cluster, which
     is the method's point versus corpus-wide all-pairs.  The removal set
-    is ids-only.
+    is ids-only.  The assignment projection is referenced three times
+    (both join sides + the final keep join), so it takes the module's
+    ``materialize=`` lineage break — without it Catalyst re-evaluates the
+    per-row argmin subtree per occurrence.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     d2 = [F.aggregate(
@@ -411,6 +423,7 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         .alias("nrm"),
         cluster.alias("cluster"))
+    base, cached = _lineage_break(base, materialize)
     a = base.select(F.col("vec_id").alias("a_id"), "cluster",
                     F.col("v").alias("a_v"), F.col("nrm").alias("a_n"))
     b = base.select(F.col("vec_id").alias("b_id"), "cluster",
@@ -423,9 +436,10 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
                .filter(cos >= threshold)
                .select(F.col("b_id").alias("vec_id")).distinct()
                .withColumn("rm", F.lit(True)))
-    return (base.join(removed, "vec_id", "left")
-            .select("vec_id", "cluster",
-                    F.col("rm").isNull().alias("kept")))
+    return _attach(
+        base.join(removed, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("rm").isNull().alias("kept")),
+        cached)
 
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:

@@ -84,6 +84,10 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
             while i + 4 <= len(payload):
                 if payload[i] != 0xFF:
                     return None
+                # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # precede a marker — skip them (real encoders emit them)
+                while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
                 if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                     i += 2  # standalone markers, no length field

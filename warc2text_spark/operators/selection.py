@@ -20,9 +20,21 @@ from __future__ import annotations
 
 import math
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 _WS_SPLIT = r"\s+"
+# Python twin of the Spark/DuckDB tokenizer: Java and RE2 \s are the
+# ASCII class [ \t\n\x0b\f\r], so the kernel must split ASCII-only too —
+# Python's default \s would additionally split on U+00A0 etc. (which
+# extracted HTML is full of, via &nbsp;), silently diverging from the
+# model fit and the oracle.
+_PY_WS = re.compile(_WS_SPLIT, re.ASCII)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in _PY_WS.split(text) if t]
 
 
 def _tokens(text_col: str):
@@ -102,7 +114,7 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
         for pdf in batches:
             ids, ns, scores = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.split()
+                toks = _py_tokens(text)
                 if not toks:
                     continue
                 s = 0.0

@@ -408,12 +408,15 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     line from EVERY document): here exactly one copy survives.
 
     Scale: paragraphs explode once with (id, position); the winner per
-    paragraph is one map-side-combined min aggregate over (hash -> id)
-    pairs; the broadcast back joins hashes only; reassembly is one
-    groupBy over kept (id, pos, line) rows — line text crosses the
-    network once, like the extraction shuffle it typically follows.  At
-    extreme scale swap the winner broadcast for a sort-merge join on the
-    paragraph hash."""
+    DUPLICATED paragraph is one map-side-combined min aggregate over
+    (hash -> id) pairs, filtered to count > 1 before the broadcast — the
+    broadcast side is the duplicated subset (it IS the repeated content),
+    not the corpus's full distinct-line set; unique paragraphs never
+    enter the join build side (left join, null keep_id = unique = kept).
+    Reassembly is one groupBy over (id, pos, line) rows — line text
+    crosses the network once, like the extraction shuffle it typically
+    follows.  At extreme scale swap the winner broadcast for a
+    sort-merge join on the paragraph hash."""
     lines = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
@@ -421,9 +424,11 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     keyed = lines.withColumn("h", F.md5("line"))
     winners = (keyed.groupBy("h")
                .agg(F.min("id").alias("keep_id"),
-                    F.count(F.lit(1)).alias("n")))
-    keep = (F.col("n") == 1) | (F.col("id") == F.col("keep_id"))
-    return (keyed.join(F.broadcast(winners), "h")
+                    F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1)
+               .select("h", "keep_id"))
+    keep = F.col("keep_id").isNull() | (F.col("id") == F.col("keep_id"))
+    return (keyed.join(F.broadcast(winners), "h", "left")
             .groupBy("id")
             .agg(F.array_join(
                      F.transform(

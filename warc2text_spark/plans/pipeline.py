@@ -208,15 +208,38 @@ def counters(result: PipelineResult) -> DataFrame:
     # (kept-text totals) the kernel, so total/text aggregates come out of
     # the same single input scan — at 100 TB the old three-action shape
     # cost one extra full scan per metrics call.
+    #
+    # An Observation is one-shot: it keeps the metrics of the FIRST action
+    # that touches the observed frame.  If the caller already ran any
+    # action on result.main — including a PARTIAL scan like limit(1) or
+    # toLocalIterator — the cached metrics describe that scan, not the
+    # full input.  Probe getOrEmpty() (non-blocking) and take the
+    # single-scan path only when OUR aggregate will be the first action;
+    # otherwise recompute directly (correct, two extra actions).
+    def _fresh(obs) -> bool:
+        try:
+            jo = obs._jo
+        except Exception:
+            return False  # cannot probe -> safe (recompute) path
+        try:
+            return jo.getOrEmpty().isEmpty()
+        except Exception:
+            # this runtime's Observation.getOrEmpty NPEs while the
+            # observation is UNSET (row.schema() on the placeholder) and
+            # only returns once an action has filled it — so an exception
+            # here means no action has consumed the observation yet
+            return True
+    use_obs = (result.obs_total is not None and result.obs_text is not None
+               and _fresh(result.obs_total) and _fresh(result.obs_text))
     not_unk = F.col("lang") != "unk"
     langs = explode_by_lang(result.main).agg(
         F.count(F.when(not_unk, 1)).alias("langRecords"),
         F.coalesce(F.sum(F.when(not_unk, F.octet_length("chunk"))),
                    F.lit(0)).alias("langBytes"),
     ).collect()[0]
-    if result.obs_total is not None and result.obs_text is not None:
+    if use_obs:
         total, text = result.obs_total.get, result.obs_text.get
-    else:  # PipelineResult built without observations (hand-assembled)
+    else:  # no observations, or they were consumed by an earlier action
         total = result.prefiltered.agg(
             F.count(F.lit(1)).alias("totalRecords"),
             F.coalesce(F.sum(flt.payload_bytes()), F.lit(0)).alias("totalBytes"),
