@@ -243,7 +243,8 @@ def test_cyrillic_frequency_detection():
     # uchardet-style Cyrillic model (util.cc:68-91): cp1251 vs koi8-r by
     # case statistics (the layouts swap the upper/lower banks) + a
     # common-letter frequency floor
-    for enc, want in (("windows-1251", "windows-1251"), ("koi8_r", "koi8-r")):
+    for enc, want in (("windows-1251", "windows-1251"), ("koi8_r", "koi8-r"),
+                      ("iso8859-5", "iso-8859-5"), ("cp866", "cp866")):
         raw = f"<p>{_RU}</p>".encode(enc)
         # undeclared: recovered, not mislabeled windows-1252
         text, err, charset = clean_payload(raw, "text/html", "", "u")

@@ -146,11 +146,15 @@ def _cjk_multibyte_guess(data: bytes) -> str | None:
     return None
 
 
-# windows-1251 vs koi8-r: both decode nearly every byte, so strictness
-# carries no signal — discriminate by case statistics (the two layouts
-# swap the upper/lower Cyrillic banks, so the WRONG decode of real text
-# is uppercase-dominant) plus a letter-frequency floor, the same evidence
-# uchardet's Cyrillic model uses (util.cc:68-91).
+# Legacy Cyrillic single-byte family (windows-1251 / koi8-r / iso-8859-5
+# / cp866): these decode nearly every byte, so strictness carries no
+# signal — discriminate by case statistics (the layouts place the
+# upper/lower Cyrillic banks differently, so a WRONG decode of real text
+# is uppercase-dominant or falls off the letter area entirely) plus a
+# letter-frequency floor, the same evidence uchardet's Cyrillic model
+# uses (util.cc:68-91).  Measured on running Russian text, exactly one
+# candidate clears all three floors (coherence/lowercase/common-letter)
+# for each true encoding.
 _CYR_MIN_HI_DENSITY = 0.10
 _CYR_MIN_COHERENCE = 0.9    # decoded high bytes that are Cyrillic letters
 _CYR_MIN_LOWER = 0.6        # lowercase share of Cyrillic letters
@@ -167,7 +171,7 @@ def _cyrillic_guess(data: bytes) -> str | None:
     if n_hi < _MB_MIN_HI or n_hi < _CYR_MIN_HI_DENSITY * len(sample):
         return None
     best, best_lower = None, 0.0
-    for enc in ("windows-1251", "koi8-r"):
+    for enc in ("windows-1251", "koi8-r", "iso-8859-5", "cp866"):
         try:
             txt = sample.decode(enc)
         except (UnicodeDecodeError, LookupError):

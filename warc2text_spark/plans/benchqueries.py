@@ -1646,14 +1646,16 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         "extract_cyrillic": f"""
             select cast(doc_id as varchar) as doc_id,
-                   case when doc_id % 3 = 2
+                   case when doc_id % 5 = 2
                         then '{CYR_KO_SENTENCE}' || ' ' || doc_id || {NL}
                         else '{CYR_RU_SENTENCE}' || ' ' || doc_id || {NL}
                    end as plaintext,
-                   case doc_id % 3 when 0 then 'windows-1251'
+                   case doc_id % 5 when 0 then 'windows-1251'
                                    when 1 then 'koi8-r'
-                                   else 'euc_kr' end as charset,
-                   case when doc_id % 3 = 2 then 'ko' else 'ru' end as lang
+                                   when 2 then 'euc_kr'
+                                   when 3 then 'iso-8859-5'
+                                   else 'cp866' end as charset,
+                   case when doc_id % 5 = 2 then 'ko' else 'ru' end as lang
             from documents""",
         "extract_transport": f"""
             select cast(doc_id as varchar) as doc_id,

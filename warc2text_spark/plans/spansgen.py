@@ -295,13 +295,16 @@ CYR_KO_SENTENCE = "ì´ê²ƒì€ í•œêµ­ì–´ íŽ˜ì´ì§€ìž…ë‹ˆë‹¤ ì˜¤ëŠ˜ì€ ì¢‹ì€ ë‚ ìž
 
 def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
     """Legacy Cyrillic/Korean corpus for the uchardet-style frequency
-    models (util.cc:68-91), per ``doc_id % 3``:
+    models (util.cc:68-91), per ``doc_id % 5``:
 
       0  windows-1251 bytes DECLARING iso-8859-1 â€” the implausible-Latin
          override (dense high bytes can't be cp1252 text);
       1  koi8-r bytes with NO declared charset â€” weak-path recovery that
          must pick koi8-r over cp1251 by case statistics;
-      2  euc-kr bytes declaring iso-8859-1 â€” hangul-dominance override.
+      2  euc-kr bytes declaring iso-8859-1 â€” hangul-dominance override;
+      3  iso-8859-5 bytes, undeclared â€” case statistics pick it over the
+         three sibling layouts;
+      4  cp866 (DOS Cyrillic) bytes declaring iso-8859-1.
 
     Encoding is a pure per-row function (executor-side mapInPandas); the
     expected plaintext is closed-form: <sentence> + ' ' + doc_id + '\\n'.
@@ -319,19 +322,17 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
                                     "http_status", "http_ct", "content_enc",
                                     "transfer_enc", "warc_date", "spans")}
             for doc_id in pdf["doc_id"]:
-                v = int(doc_id) % 3
-                if v == 0:
-                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>" \
-                        .encode("windows-1251")
-                    ct = "text/html; charset=iso-8859-1"
-                elif v == 1:
-                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>" \
-                        .encode("koi8_r")
-                    ct = "text/html"
-                else:
+                v = int(doc_id) % 5
+                if v == 2:
                     body = f"<p>{CYR_KO_SENTENCE} {doc_id}</p>" \
                         .encode("euc_kr")
                     ct = "text/html; charset=iso-8859-1"
+                else:
+                    enc = {0: "windows-1251", 1: "koi8_r",
+                           3: "iso8859-5", 4: "cp866"}[v]
+                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>".encode(enc)
+                    ct = ("text/html" if v in (1, 3)
+                          else "text/html; charset=iso-8859-1")
                 rows["doc_id"].append(str(doc_id))
                 rows["url"].append(f"https://cy.example/{doc_id}.html")
                 rows["warc_type"].append("response")
