@@ -292,3 +292,35 @@ def test_accented_latin_not_misread_as_cjk():
                                        "iso-8859-1", "u")
     assert (err, charset) == (SUCCESS, "iso-8859-1")
     assert "été" in text
+
+
+def test_single_byte_family_matrix():
+    """Greek/Hebrew/Arabic/Thai legacy single-byte recovery (the full
+    uchardet family scope): undeclared pages recover; declared-latin
+    pages are overridden; the common-letter ARGMAX picks Hebrew over the
+    also-coherent Greek decode (cross-family discrimination)."""
+    cases = [
+        ("αυτή είναι μια καλή μέρα και πηγαίνουμε έξω στην πόλη με τους "
+         "φίλους μας σήμερα", "iso8859-7", "iso-8859-7"),
+        ("זה יום חדש ואנחנו שוב כאן היום בעיר עם חברים שלנו והשמש זורחת "
+         "בשמיים מעל הבית", "windows-1255", "windows-1255"),
+        ("هذا يوم جديد ونحن نذهب الى الخارج في المدينة مع اصدقائنا اليوم "
+         "والشمس مشرقة", "windows-1256", "windows-1256"),
+        ("วันนี้เป็นวันใหม่และเราอยู่ที่นี่อีกครั้งในเมืองกับเพื่อนของเรา",
+         "tis-620", "tis-620"),
+    ]
+    for text, enc, want in cases:
+        raw = f"<p>{text}</p>".encode(enc)
+        _, err, charset = clean_payload(raw, "text/html", "", "u")
+        assert (err, charset) == (SUCCESS, want), (enc, err, charset)
+        _, err, charset = clean_payload(raw, "text/html", "iso-8859-1", "u")
+        assert (err, charset) == (SUCCESS, want), (enc, "declared", charset)
+    # same-layout aliases tie to the first-listed name
+    el = cases[0][0]
+    raw = f"<p>{el}</p>".encode("windows-1253")
+    _, err, charset = clean_payload(raw, "text/html", "", "u")
+    assert (err, charset) == (SUCCESS, "iso-8859-7")
+    # a correctly-declared page of the family keeps its declaration
+    raw = f"<p>{el}</p>".encode("windows-1253")
+    _, err, charset = clean_payload(raw, "text/html", "windows-1253", "u")
+    assert (err, charset) == (SUCCESS, "windows-1253")

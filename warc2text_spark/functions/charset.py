@@ -16,8 +16,9 @@ reference's pluggable ``LanguageDetector`` pattern):
 * strong detections (BOMs, strict ASCII, strict UTF-8) win over the
   declared charset unconditionally, like uchardet does;
 * statistical detections — legacy CJK multibyte (shift_jis / euc_jp /
-  gb2312 / big5 / euc_kr, script-evidence scored) and Cyrillic
-  single-byte (windows-1251 / koi8-r, case + letter-frequency model) —
+  gb2312 / big5 / euc_kr, script-evidence scored) and the single-byte
+  families (Cyrillic cp1251/koi8-r/iso-8859-5/cp866, Greek, Hebrew,
+  Arabic, Thai — coherence + case + letter-frequency argmax) —
   win only when the declared charset is IMPLAUSIBLE on the same sample
   (fails strict decode, or claims a Western-Latin charset for
   high-byte-dense text).  This is uchardet's confidence asymmetry: a
@@ -31,10 +32,11 @@ reference's pluggable ``LanguageDetector`` pattern):
   dropping it — uchardet classifies undeclared legacy Latin pages the
   same way (util.cc:68-91), and old crawls are full of them.
 
-Remaining scope gap vs uchardet: no frequency models for euc-kr-vs-gb2312
+Remaining scope gap vs uchardet: no frequency model for euc-kr-vs-gb2312
 han-only text (deterministic preference order documented at
-_cjk_multibyte_guess) or for rarer single-byte families (iso-8859-5,
-cp866 Cyrillic variants, Thai, Hebrew, Arabic).
+_cjk_multibyte_guess); same-layout single-byte aliases report the
+first-listed name (iso-8859-7 over windows-1253, windows-1255 over
+iso-8859-8, tis-620 for the Thai trio) since the letter banks coincide.
 
 Fixtures pin declared-charset cases so the precedence logic is stable (see
 FIXTURES.md F09).
@@ -146,47 +148,91 @@ def _cjk_multibyte_guess(data: bytes) -> str | None:
     return None
 
 
-# Legacy Cyrillic single-byte family (windows-1251 / koi8-r / iso-8859-5
-# / cp866): these decode nearly every byte, so strictness carries no
-# signal — discriminate by case statistics (the layouts place the
-# upper/lower Cyrillic banks differently, so a WRONG decode of real text
-# is uppercase-dominant or falls off the letter area entirely) plus a
-# letter-frequency floor, the same evidence uchardet's Cyrillic model
-# uses (util.cc:68-91).  Measured on running Russian text, exactly one
-# candidate clears all three floors (coherence/lowercase/common-letter)
-# for each true encoding.
-_CYR_MIN_HI_DENSITY = 0.10
-_CYR_MIN_COHERENCE = 0.9    # decoded high bytes that are Cyrillic letters
-_CYR_MIN_LOWER = 0.6        # lowercase share of Cyrillic letters
-# the ten most frequent Russian letters cover ~55-70% of running Cyrillic
-# text (uk/bg distributions are close enough to pass); Greek or Latin
-# bytes mis-decoded as cp1251 land well under the floor
-_CYR_COMMON = frozenset("оеаинтслвр")
-_CYR_MIN_COMMON = 0.45
+# Legacy single-byte families (uchardet's statistical scope, util.cc:
+# 68-91): these charsets decode nearly every byte, so strictness carries
+# no signal — discriminate by where the decoded high bytes land:
+#
+# * coherence: >= 90% of decoded high bytes must be the family's script;
+# * case statistics (bicameral scripts only): the layouts place the
+#   upper/lower banks differently, so a WRONG same-family decode of real
+#   text is uppercase-dominant;
+# * common-letter share: the ~ten most frequent letters of the
+#   language(s) behind a script cover ~50-70% of running text; a decode
+#   through the WRONG family scatters roughly uniformly and lands far
+#   below.  The WINNER is the argmax of this share (not just any passer:
+#   Hebrew bytes decoded through the Greek layouts stay coherent and
+#   lowercase at ~0.53 common share, while the true Hebrew decode scores
+#   ~0.68 — measured in tests/test_record.py's matrix).
+#
+# Same-layout aliases (iso-8859-7 vs windows-1253 for Greek letters,
+# windows-1255 vs iso-8859-8 for Hebrew letters) tie exactly; strict >
+# keeps the first-listed, more common encoding.
+_SB_MIN_HI_DENSITY = 0.10
+_SB_MIN_COHERENCE = 0.9
+_SB_MIN_LOWER = 0.6
+_SB_MIN_COMMON = 0.45
+_SB_MIN_ADJACENCY = 0.8
+_SB_FAMILIES = (
+    dict(encodings=("windows-1251", "koi8-r", "iso-8859-5", "cp866"),
+         rng=((0x0400, 0x04FF),),
+         lower=((0x0430, 0x045F), (0x0491, 0x0491)),
+         common=frozenset("оеаинтслвр")),
+    dict(encodings=("iso-8859-7", "windows-1253"),
+         rng=((0x0370, 0x03FF),),
+         lower=((0x03B1, 0x03C9), (0x03AC, 0x03AF), (0x03CC, 0x03CE)),
+         common=frozenset("αοειτνησρπ")),
+    dict(encodings=("windows-1255", "iso-8859-8"),
+         rng=((0x0590, 0x05FF),), lower=None,
+         common=frozenset("אוהילרמשתב")),
+    dict(encodings=("windows-1256",),
+         rng=((0x0600, 0x06FF),), lower=None,
+         common=frozenset("اليمونهرتب")),
+    dict(encodings=("tis-620",),   # cp874/iso-8859-11 share the letters
+         rng=((0x0E00, 0x0E7F),), lower=None,
+         common=frozenset("านรอเกงมยว่ัี้")),
+)
 
 
-def _cyrillic_guess(data: bytes) -> str | None:
+def _single_byte_guess(data: bytes) -> str | None:
     sample = data[:_MB_SAMPLE]
     n_hi = sum(1 for b in sample if b >= 0x80)
-    if n_hi < _MB_MIN_HI or n_hi < _CYR_MIN_HI_DENSITY * len(sample):
+    if n_hi < _MB_MIN_HI or n_hi < _SB_MIN_HI_DENSITY * len(sample):
         return None
-    best, best_lower = None, 0.0
-    for enc in ("windows-1251", "koi8-r", "iso-8859-5", "cp866"):
-        try:
-            txt = sample.decode(enc)
-        except (UnicodeDecodeError, LookupError):
-            continue
-        cyr = [ch for ch in txt if 0x400 <= ord(ch) <= 0x4FF]
-        if len(cyr) < _CYR_MIN_COHERENCE * n_hi:
-            continue
-        lower = sum(1 for ch in cyr
-                    if 0x430 <= ord(ch) <= 0x45F or ord(ch) in (0x491,))
-        common = sum(1 for ch in cyr if ch in _CYR_COMMON)
-        if (lower < _CYR_MIN_LOWER * len(cyr)
-                or common < _CYR_MIN_COMMON * len(cyr)):
-            continue
-        if lower > best_lower:
-            best, best_lower = enc, lower
+    # run-structure gate: in a genuine non-Latin single-byte page, words
+    # are CONSECUTIVE high bytes, so nearly every high byte neighbors
+    # another (measured ~1.0 for he/ar/th/ru text); accent-dense Latin
+    # has isolated high bytes inside ASCII words (French 0.0, Portuguese
+    # with its -ção runs 0.47).  This is what protects the CASELESS
+    # families, which have no upper/lower-bank evidence to reject an
+    # accents-as-letters decode.
+    adjacent = sum(
+        1 for i, b in enumerate(sample)
+        if b >= 0x80 and ((i > 0 and sample[i - 1] >= 0x80)
+                          or (i + 1 < len(sample) and sample[i + 1] >= 0x80)))
+    if adjacent < _SB_MIN_ADJACENCY * n_hi:
+        return None
+    best, best_common = None, 0.0
+    for fam in _SB_FAMILIES:
+        rngs, lows = fam["rng"], fam["lower"]
+        for enc in fam["encodings"]:
+            try:
+                txt = sample.decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                continue
+            scr = [ch for ch in txt
+                   if any(a <= ord(ch) <= b for a, b in rngs)]
+            if len(scr) < _SB_MIN_COHERENCE * n_hi:
+                continue
+            if lows is not None:
+                n_low = sum(1 for ch in scr
+                            if any(a <= ord(ch) <= b for a, b in lows))
+                if n_low < _SB_MIN_LOWER * len(scr):
+                    continue
+            common = sum(1 for ch in scr if ch in fam["common"]) / len(scr)
+            if common < _SB_MIN_COMMON:
+                continue
+            if common > best_common:
+                best, best_common = enc, common
     return best
 
 
@@ -224,7 +270,7 @@ def default_detect(data: bytes) -> str | None:
         return "utf-8"
     except UnicodeDecodeError:
         pass
-    return _cjk_multibyte_guess(data) or _cyrillic_guess(data)
+    return _cjk_multibyte_guess(data) or _single_byte_guess(data)
 
 
 import re as _re

@@ -291,11 +291,19 @@ def build_sjis_spans(spark, sf_dir: str) -> DataFrame:
 CYR_RU_SENTENCE = ("это новый день и мы снова здесь на этой странице "
                    "есть обычные слова и предложения")
 CYR_KO_SENTENCE = "이것은 한국어 페이지입니다 오늘은 좋은 날입니다"
+SB_EL_SENTENCE = ("αυτή είναι μια καλή μέρα και πηγαίνουμε έξω στην "
+                  "πόλη με τους φίλους μας σήμερα")
+SB_HE_SENTENCE = ("זה יום חדש ואנחנו שוב כאן היום בעיר עם חברים שלנו "
+                  "והשמש זורחת בשמיים מעל הבית")
+SB_AR_SENTENCE = ("هذا يوم جديد ونحن نذهب الى الخارج في المدينة مع "
+                  "اصدقائنا اليوم والشمس مشرقة")
+SB_TH_SENTENCE = ("วันนี้เป็นวันใหม่และเราอยู่ที่นี่อีกครั้งในเมือง"
+                  "กับเพื่อนของเรา")
 
 
 def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
-    """Legacy Cyrillic/Korean corpus for the uchardet-style frequency
-    models (util.cc:68-91), per ``doc_id % 5``:
+    """Legacy-charset corpus for the uchardet-style single-byte/CJK
+    frequency models (util.cc:68-91), per ``doc_id % 9``:
 
       0  windows-1251 bytes DECLARING iso-8859-1 — the implausible-Latin
          override (dense high bytes can't be cp1252 text);
@@ -304,7 +312,12 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
       2  euc-kr bytes declaring iso-8859-1 — hangul-dominance override;
       3  iso-8859-5 bytes, undeclared — case statistics pick it over the
          three sibling layouts;
-      4  cp866 (DOS Cyrillic) bytes declaring iso-8859-1.
+      4  cp866 (DOS Cyrillic) bytes declaring iso-8859-1;
+      5  iso-8859-7 Greek declaring iso-8859-1;
+      6  windows-1255 Hebrew, undeclared (caseless: coherence + common
+         letter share, argmax across families);
+      7  windows-1256 Arabic declaring iso-8859-1;
+      8  tis-620 Thai, undeclared.
 
     Encoding is a pure per-row function (executor-side mapInPandas); the
     expected plaintext is closed-form: <sentence> + ' ' + doc_id + '\\n'.
@@ -321,18 +334,22 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
                                     "http_status", "http_ct", "content_enc",
                                     "transfer_enc", "warc_date", "spans")}
+            variants = {
+                0: (CYR_RU_SENTENCE, "windows-1251", True),
+                1: (CYR_RU_SENTENCE, "koi8_r", False),
+                2: (CYR_KO_SENTENCE, "euc_kr", True),
+                3: (CYR_RU_SENTENCE, "iso8859-5", False),
+                4: (CYR_RU_SENTENCE, "cp866", True),
+                5: (SB_EL_SENTENCE, "iso8859-7", True),
+                6: (SB_HE_SENTENCE, "windows-1255", False),
+                7: (SB_AR_SENTENCE, "windows-1256", True),
+                8: (SB_TH_SENTENCE, "tis-620", False),
+            }
             for doc_id in pdf["doc_id"]:
-                v = int(doc_id) % 5
-                if v == 2:
-                    body = f"<p>{CYR_KO_SENTENCE} {doc_id}</p>" \
-                        .encode("euc_kr")
-                    ct = "text/html; charset=iso-8859-1"
-                else:
-                    enc = {0: "windows-1251", 1: "koi8_r",
-                           3: "iso8859-5", 4: "cp866"}[v]
-                    body = f"<p>{CYR_RU_SENTENCE} {doc_id}</p>".encode(enc)
-                    ct = ("text/html" if v in (1, 3)
-                          else "text/html; charset=iso-8859-1")
+                sent, enc, declared = variants[int(doc_id) % 9]
+                body = f"<p>{sent} {doc_id}</p>".encode(enc)
+                ct = ("text/html; charset=iso-8859-1" if declared
+                      else "text/html")
                 rows["doc_id"].append(str(doc_id))
                 rows["url"].append(f"https://cy.example/{doc_id}.html")
                 rows["warc_type"].append("response")
