@@ -324,3 +324,34 @@ def test_single_byte_family_matrix():
     raw = f"<p>{el}</p>".encode("windows-1253")
     _, err, charset = clean_payload(raw, "text/html", "windows-1253", "u")
     assert (err, charset) == (SUCCESS, "windows-1253")
+
+
+def test_central_european_stopword_detection():
+    """cp1250/iso-8859-2 are byte-indistinguishable from cp1252; the
+    accented-stopword evidence (už/że/és decode to real CE function words
+    only under the CE layouts) recovers undeclared pages while French and
+    Catalan stay windows-1252."""
+    cs = ("je to už dávno a podle mého názoru však ještě není pozdě že "
+          "ano příliš žluťoučký kůň úpěl ďábelské ódy u řeky ") * 3
+    cs_iso = ("je to už dávno a však ještě není pozdě že ano žena šla "
+              "že už říkáš že žije stále tady ") * 3
+    pl = ("wszystko się zmienia już od dawna więc jeszcze raz że tak "
+          "powiem właściwą drogę przez las oraz pole ") * 3
+    fr = ("le café était très agréable près de la fenêtre à côté de "
+          "l'école élémentaire où les élèves étudiaient ") * 3
+    ca = ("això és una cosa més que també és molt bona després de tot "
+          "això és clar i què més es pot dir també avui ") * 3
+    for name, text, enc, want in [
+        ("cs", cs, "cp1250", "cp1250"),
+        ("cs-iso", cs_iso, "iso8859-2", "iso-8859-2"),
+        ("pl", pl, "cp1250", "cp1250"),
+        ("fr", fr, "cp1252", "windows-1252"),
+        ("ca", ca, "cp1252", "windows-1252"),
+    ]:
+        raw = f"<p>{text}</p>".encode(enc)
+        _, err, charset = clean_payload(raw, "text/html", "", "u")
+        assert (err, charset) == (SUCCESS, want), (name, err, charset)
+    # a declared Western charset on Western text is never stomped
+    raw = f"<p>{fr}</p>".encode("cp1252")
+    _, err, charset = clean_payload(raw, "text/html", "windows-1252", "u")
+    assert (err, charset) == (SUCCESS, "windows-1252")

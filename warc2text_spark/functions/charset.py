@@ -270,7 +270,8 @@ def default_detect(data: bytes) -> str | None:
         return "utf-8"
     except UnicodeDecodeError:
         pass
-    return _cjk_multibyte_guess(data) or _single_byte_guess(data)
+    return (_cjk_multibyte_guess(data) or _single_byte_guess(data)
+            or _central_european_guess(data))
 
 
 import re as _re
@@ -284,6 +285,53 @@ _BINARY_CTRL = bytes(c for c in range(0x20) if c not in (9, 10, 11, 12, 13)) \
     + b"\x7f"
 _SAMPLE = 65536
 _MAX_CTRL_RATIO = 0.02
+
+
+# Central-European legacy Latin (cp1250 / iso-8859-2): byte-level
+# statistics cannot separate these from cp1252 (all are accented-Latin
+# layouts), so the evidence is LINGUISTIC — the accented stopwords of the
+# CE languages (už, że, się, és, však, după, …) decode to real function
+# words only under the CE layouts.  Lazily derived from the langid
+# stopword tables so language breadth feeds charset detection.
+_CE_LANGS = ("cs", "sk", "pl", "hu", "sl", "hr", "ro", "lt", "lv", "et")
+_WEST_LANGS = ("fr", "es", "pt", "de", "it", "sv", "da", "no", "ca",
+               "fi", "is")
+_CE_ACC: frozenset | None = None
+_WEST_ACC: frozenset | None = None
+
+
+def _accented_stopwords():
+    global _CE_ACC, _WEST_ACC
+    if _CE_ACC is None:
+        from .langid import _STOPWORDS
+        acc = lambda langs: frozenset(  # noqa: E731
+            w for l in langs for w in _STOPWORDS[l]
+            if any(ord(c) > 127 for c in w))
+        _CE_ACC = acc(_CE_LANGS)
+        _WEST_ACC = acc(_WEST_LANGS)
+    return _CE_ACC, _WEST_ACC
+
+
+def _central_european_guess(data: bytes) -> str | None:
+    """cp1250/iso-8859-2 detection by accented-stopword evidence: the CE
+    decode must produce >= 2 distinct accented CE function words AND
+    strictly more than the cp1252 decode produces Western ones (a French
+    or Catalan page stays windows-1252).  Candidates argmax over both CE
+    layouts (they differ at š/ž and a few vowels)."""
+    sample = data[:_MB_SAMPLE]
+    n_hi = sum(1 for b in sample if b >= 0x80)
+    if n_hi < _MB_MIN_HI:
+        return None
+    ce_acc, west_acc = _accented_stopwords()
+    west = len(set(sample.decode("cp1252", errors="replace")
+                   .lower().split()) & west_acc)
+    best, best_hits = None, max(west, 1)
+    for enc in ("cp1250", "iso-8859-2"):
+        toks = set(sample.decode(enc, errors="replace").lower().split())
+        hits = len(toks & ce_acc)
+        if hits >= 2 and hits > best_hits:
+            best, best_hits = enc, hits
+    return best
 
 
 def legacy_guess(data: bytes) -> str | None:

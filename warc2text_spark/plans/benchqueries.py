@@ -18,7 +18,7 @@ from ..operators import dedup, similarity, textops
 from ..operators.filters import split_stream
 from ..operators.multimodal import media_metadata
 from .pipeline import PipelineOptions, counters, demux_by_lang, run_pipeline
-from .spansgen import (CYR_KO_SENTENCE, CYR_RU_SENTENCE, SB_AR_SENTENCE,
+from .spansgen import (CYR_KO_SENTENCE, CYR_RU_SENTENCE, SB_AR_SENTENCE, SB_CS_SENTENCE,
                        SB_EL_SENTENCE, SB_HE_SENTENCE, SB_TH_SENTENCE,
                        SJIS_SENTENCE, build_spans)
 
@@ -1647,29 +1647,32 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         "extract_cyrillic": f"""
             select cast(doc_id as varchar) as doc_id,
-                   case doc_id % 9
+                   case doc_id % 10
                      when 2 then '{CYR_KO_SENTENCE}'
                      when 5 then '{SB_EL_SENTENCE}'
                      when 6 then '{SB_HE_SENTENCE}'
                      when 7 then '{SB_AR_SENTENCE}'
                      when 8 then '{SB_TH_SENTENCE}'
+                     when 9 then '{SB_CS_SENTENCE}'
                      else '{CYR_RU_SENTENCE}'
                    end || ' ' || doc_id || {NL} as plaintext,
-                   case doc_id % 9 when 0 then 'windows-1251'
-                                   when 1 then 'koi8-r'
-                                   when 2 then 'euc_kr'
-                                   when 3 then 'iso-8859-5'
-                                   when 4 then 'cp866'
-                                   when 5 then 'iso-8859-7'
-                                   when 6 then 'windows-1255'
-                                   when 7 then 'windows-1256'
-                                   else 'tis-620' end as charset,
-                   case doc_id % 9 when 2 then 'ko'
-                                   when 5 then 'el'
-                                   when 6 then 'he'
-                                   when 7 then 'ar'
-                                   when 8 then 'th'
-                                   else 'ru' end as lang
+                   case doc_id % 10 when 0 then 'windows-1251'
+                                    when 1 then 'koi8-r'
+                                    when 2 then 'euc_kr'
+                                    when 3 then 'iso-8859-5'
+                                    when 4 then 'cp866'
+                                    when 5 then 'iso-8859-7'
+                                    when 6 then 'windows-1255'
+                                    when 7 then 'windows-1256'
+                                    when 8 then 'tis-620'
+                                    else 'cp1250' end as charset,
+                   case doc_id % 10 when 2 then 'ko'
+                                    when 5 then 'el'
+                                    when 6 then 'he'
+                                    when 7 then 'ar'
+                                    when 8 then 'th'
+                                    when 9 then 'cs'
+                                    else 'ru' end as lang
             from documents""",
         "extract_transport": f"""
             select cast(doc_id as varchar) as doc_id,

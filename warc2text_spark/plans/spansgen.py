@@ -299,11 +299,13 @@ SB_AR_SENTENCE = ("هذا يوم جديد ونحن نذهب الى الخارج 
                   "اصدقائنا اليوم والشمس مشرقة")
 SB_TH_SENTENCE = ("วันนี้เป็นวันใหม่และเราอยู่ที่นี่อีกครั้งในเมือง"
                   "กับเพื่อนของเรา")
+SB_CS_SENTENCE = ("je to už dávno a podle mého názoru však ještě není "
+                  "pozdě že ano příliš žluťoučký kůň úpěl ďábelské ódy")
 
 
 def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
     """Legacy-charset corpus for the uchardet-style single-byte/CJK
-    frequency models (util.cc:68-91), per ``doc_id % 9``:
+    frequency models (util.cc:68-91), per ``doc_id % 10``:
 
       0  windows-1251 bytes DECLARING iso-8859-1 — the implausible-Latin
          override (dense high bytes can't be cp1252 text);
@@ -317,7 +319,11 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
       6  windows-1255 Hebrew, undeclared (caseless: coherence + common
          letter share, argmax across families);
       7  windows-1256 Arabic declaring iso-8859-1;
-      8  tis-620 Thai, undeclared.
+      8  tis-620 Thai, undeclared;
+      9  cp1250 Czech, undeclared — byte statistics cannot separate the
+         Central-European Latin layouts from cp1252, so the detector's
+         accented-stopword evidence (už/však/že decode to real function
+         words only under cp1250) must fire.
 
     Encoding is a pure per-row function (executor-side mapInPandas); the
     expected plaintext is closed-form: <sentence> + ' ' + doc_id + '\\n'.
@@ -344,9 +350,10 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
                 6: (SB_HE_SENTENCE, "windows-1255", False),
                 7: (SB_AR_SENTENCE, "windows-1256", True),
                 8: (SB_TH_SENTENCE, "tis-620", False),
+                9: (SB_CS_SENTENCE, "cp1250", False),
             }
             for doc_id in pdf["doc_id"]:
-                sent, enc, declared = variants[int(doc_id) % 9]
+                sent, enc, declared = variants[int(doc_id) % 10]
                 body = f"<p>{sent} {doc_id}</p>".encode(enc)
                 ct = ("text/html; charset=iso-8859-1" if declared
                       else "text/html")
