@@ -71,7 +71,10 @@ def test_semdedup_removes_clones_keeps_min_id(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
-    out = {r["vec_id"]: r for r in semdedup(df, cents, 0.95).collect()}
+    res = semdedup(df, cents, 0.95)
+    out = {r["vec_id"]: r for r in res.collect()}
+    from warc2text_spark.operators.dedup import release_intermediates
+    release_intermediates(res)  # default materialize="cache" must release
     assert out[1]["kept"] and not out[101]["kept"]      # min id wins
     assert out[1]["cluster"] == out[101]["cluster"] == 0
     assert out[2]["kept"] and out[102]["kept"]          # no near-dup

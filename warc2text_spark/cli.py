@@ -120,9 +120,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if unknown:
         print(f"unknown output files: {sorted(unknown)}", file=sys.stderr)
         return 1
-    if args.compat_output and args.compress not in ("gzip", "zstd"):
+    if (args.compat_output and not args.jsonl
+            and args.compress not in ("gzip", "zstd")):
         # validated before any Spark work or side outputs, like the other
-        # argument errors (bilangwriter.cc:47-51 supports gzip/zstd only)
+        # argument errors (bilangwriter.cc:47-51 supports gzip/zstd only).
+        # --jsonl takes the jsonl branch and ignores --compat-output, so
+        # that (contradictory but previously accepted) combination keeps
+        # working.
         print(f"--compat-output supports gzip or zstd, not {args.compress}",
               file=sys.stderr)
         return 1

@@ -172,6 +172,10 @@ _SB_MIN_COHERENCE = 0.9
 _SB_MIN_LOWER = 0.6
 _SB_MIN_COMMON = 0.45
 _SB_MIN_ADJACENCY = 0.8
+_SB_HI_BYTES = bytes(range(0x80, 0x100))
+import re as _sb_re
+_SB_ISOLATED_RE = _sb_re.compile(
+    rb"(?<![\x80-\xff])[\x80-\xff](?![\x80-\xff])")
 _SB_FAMILIES = (
     dict(encodings=("windows-1251", "koi8-r", "iso-8859-5", "cp866"),
          rng=((0x0400, 0x04FF),),
@@ -195,7 +199,7 @@ _SB_FAMILIES = (
 
 def _single_byte_guess(data: bytes) -> str | None:
     sample = data[:_MB_SAMPLE]
-    n_hi = sum(1 for b in sample if b >= 0x80)
+    n_hi = len(sample) - len(sample.translate(None, _SB_HI_BYTES))
     if n_hi < _MB_MIN_HI or n_hi < _SB_MIN_HI_DENSITY * len(sample):
         return None
     # run-structure gate: in a genuine non-Latin single-byte page, words
@@ -204,12 +208,10 @@ def _single_byte_guess(data: bytes) -> str | None:
     # has isolated high bytes inside ASCII words (French 0.0, Portuguese
     # with its -ção runs 0.47).  This is what protects the CASELESS
     # families, which have no upper/lower-bank evidence to reject an
-    # accents-as-letters decode.
-    adjacent = sum(
-        1 for i, b in enumerate(sample)
-        if b >= 0x80 and ((i > 0 and sample[i - 1] >= 0x80)
-                          or (i + 1 < len(sample) and sample[i + 1] >= 0x80)))
-    if adjacent < _SB_MIN_ADJACENCY * n_hi:
+    # accents-as-letters decode.  One C regex pass: adjacent = total
+    # minus isolated high bytes.
+    isolated = len(_SB_ISOLATED_RE.findall(sample))
+    if (n_hi - isolated) < _SB_MIN_ADJACENCY * n_hi:
         return None
     best, best_common = None, 0.0
     for fam in _SB_FAMILIES:
@@ -312,17 +314,32 @@ def _accented_stopwords():
     return _CE_ACC, _WEST_ACC
 
 
+_CE_PROBE = 8192
+_HI_BYTES = bytes(range(0x80, 0x100))
+
+
 def _central_european_guess(data: bytes) -> str | None:
     """cp1250/iso-8859-2 detection by accented-stopword evidence: the CE
     decode must produce >= 2 distinct accented CE function words AND
     strictly more than the cp1252 decode produces Western ones (a French
     or Catalan page stays windows-1252).  Candidates argmax over both CE
-    layouts (they differ at š/ž and a few vowels)."""
-    sample = data[:_MB_SAMPLE]
-    n_hi = sum(1 for b in sample if b >= 0x80)
+    layouts (they differ at š/ž and a few vowels).
+
+    Hot-path cost control: this runs for every legacy page that reaches
+    the end of the detector chain, so an 8 KB single-decode probe gates
+    the full evaluation — function words are frequent, so a CE page finds
+    its >= 2 evidence types inside the first 8 KB; an ordinary Western
+    page pays one short decode and bails."""
+    probe = data[:_CE_PROBE]
+    n_hi = len(probe) - len(probe.translate(None, _HI_BYTES))
     if n_hi < _MB_MIN_HI:
         return None
     ce_acc, west_acc = _accented_stopwords()
+    if all(len(set(probe.decode(enc, errors="replace")
+                   .lower().split()) & ce_acc) < 2
+           for enc in ("cp1250", "iso-8859-2")):
+        return None
+    sample = data[:_MB_SAMPLE]
     west = len(set(sample.decode("cp1252", errors="replace")
                    .lower().split()) & west_acc)
     best, best_hits = None, max(west, 1)

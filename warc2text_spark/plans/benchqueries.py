@@ -230,10 +230,14 @@ def q_extract_sjis(spark, sf_dir) -> DataFrame:
 
 
 def q_extract_cyrillic(spark, sf_dir) -> DataFrame:
-    """Cyrillic/Korean legacy-charset recovery (uchardet frequency-model
-    parity, util.cc:68-91): declared-latin-but-cp1251 pages are overridden,
-    undeclared koi8-r is picked over cp1251 by case statistics, euc-kr by
-    hangul dominance; langid labels the recovered text (ru/ko)."""
+    """Legacy-charset recovery across the full uchardet statistical scope
+    (util.cc:68-91), 10 variants (spansgen.build_cyrillic_spans): the
+    Cyrillic single-byte family (cp1251/koi8-r/iso-8859-5/cp866, case
+    statistics + common-letter floors), euc-kr (hangul dominance),
+    Greek/Hebrew/Arabic/Thai (coherence + common-letter argmax + run
+    structure), and cp1250 Czech (accented-stopword evidence) — both
+    declared-latin overrides and undeclared recovery; langid labels the
+    recovered text (ru/ko/el/he/ar/th/cs)."""
     from .spansgen import build_cyrillic_spans
     res = run_pipeline(build_cyrillic_spans(spark, sf_dir),
                        PipelineOptions(classifier="heuristic",
@@ -948,7 +952,9 @@ def q_semdedup(spark, sf_dir) -> DataFrame:
     cents = [[float(x) for x in r.embedding] for r in
              _emb(spark, sf_dir).filter(F.col("vec_id").between(1, 8))
              .orderBy("vec_id").collect()]
-    return dedup.semdedup(emb, cents, threshold=0.95)
+    # single-use driver row: no lineage-break cache to leak (library
+    # callers keep the "cache" default + release_intermediates)
+    return dedup.semdedup(emb, cents, threshold=0.95, materialize=None)
 
 
 def q_media_pipeline(spark, sf_dir) -> DataFrame:

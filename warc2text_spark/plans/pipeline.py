@@ -223,12 +223,15 @@ def counters(result: PipelineResult) -> DataFrame:
             return False  # cannot probe -> safe (recompute) path
         try:
             return jo.getOrEmpty().isEmpty()
-        except Exception:
+        except Exception as ex:
             # this runtime's Observation.getOrEmpty NPEs while the
             # observation is UNSET (row.schema() on the placeholder) and
-            # only returns once an action has filled it — so an exception
-            # here means no action has consumed the observation yet
-            return True
+            # only returns once an action has filled it — so THAT error
+            # means no action has consumed the observation yet.  Any
+            # other probe failure takes the safe recompute path: guessing
+            # "fresh" on an unknown error could resurface the
+            # stale-partial-scan metrics this probe exists to prevent.
+            return "NullPointerException" in str(ex)
     use_obs = (result.obs_total is not None and result.obs_text is not None
                and _fresh(result.obs_total) and _fresh(result.obs_text))
     not_unk = F.col("lang") != "unk"
