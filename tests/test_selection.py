@@ -171,3 +171,27 @@ def test_counters_fresh_after_partial_scan(spark):
     res.main.limit(1).collect()  # partial scan consumes the observations
     got = counters(res).collect()[0]
     assert got.asDict() == baseline.asDict()
+
+
+def test_decontaminate_composes_with_structured_streaming(spark, tmp_path):
+    """decontaminate_stream: the batch form's contaminated-id set is
+    stream-derived (an unsupported stream-stream anti join), so the
+    streaming form ships the static benchmark n-gram set in the task
+    closure and filters each micro-batch statelessly."""
+    rows = [("1", "alpha beta gamma delta epsilon zeta eta theta iota"),
+            ("2", "one two three four five six seven eight nine"),
+            ("3", "alpha beta gamma delta epsilon zeta eta theta other")]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(inp)
+    bench = spark.createDataFrame([rows[0]], "doc_id string, text string")
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .parquet(inp))
+    from warc2text_spark.operators.selection import decontaminate_stream
+    out = decontaminate_stream(stream, bench, n=8)
+    q = (out.writeStream.format("memory").queryName("decontam_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = {r["doc_id"]
+            for r in spark.sql("select * from decontam_stream").collect()}
+    assert kept == {"2"}

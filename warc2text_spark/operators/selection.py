@@ -75,6 +75,40 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def decontaminate_stream(stream: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 8) -> DataFrame:
+    """Streaming form of :func:`decontaminate`.  The batch form derives
+    the contaminated-id set FROM the document side, which on a stream
+    becomes an unsupported stream-stream anti join; here the (static,
+    eval-set-sized) benchmark n-gram set is collected once and shipped in
+    the task closure, and each micro-batch row is filtered by a
+    vectorized n-gram membership test — stateless, so it composes with
+    any output mode and no watermark is needed."""
+    import pandas as pd
+
+    bench_rows = (benchmark.select(
+        F.explode(ngram_col(_tokens(text_col), n)).alias("ng"))
+        .distinct().collect())
+    bench_ng = {r["ng"] for r in bench_rows}
+    schema = stream.schema
+
+    def keep(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            mask = []
+            for text in pdf[text_col]:
+                toks = _py_tokens(text)
+                hit = any(" ".join(toks[i:i + n]) in bench_ng
+                          for i in range(len(toks) - n + 1))
+                mask.append(not hit)
+            yield pdf[pd.Series(mask, index=pdf.index)]
+
+    return stream.mapInPandas(keep, schema)
+
+
 def unigram_frequencies(docs: DataFrame, text_col: str = "text",
                         vocab_cap: int = 100_000) -> DataFrame:
     """(w, c) head-of-vocabulary term frequencies over the corpus —
