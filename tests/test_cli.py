@@ -140,3 +140,40 @@ def test_cli_reference_flag_parity(spark, tmp_path):
                str(tmp_path / "o4"), "--strict-exit", "--silent"],
               spark=spark)
     assert rc == 2
+
+
+def test_cli_warc_ingest_to_zstd_compat(spark, tmp_path):
+    """One CLI invocation crossing three surfaces: real .warc.gz file
+    ingestion (--format warc), the compat directory layout, and zstd
+    output (--compress zstd -> the reference's .zst files)."""
+    import glob
+    import os
+
+    import pytest
+
+    from warc2text_spark.functions.zstd_io import available, decompress
+    from warc2text_spark.plans.spansgen import build_spans
+    from warc2text_spark.sinks.warc_writer import write_warc_gz
+    if not available():
+        pytest.skip("libzstd not present")
+    warc_dir = str(tmp_path / "warcs")
+    write_warc_gz(build_spans(spark, "/root/testdata/sf0.001").limit(40)
+                  .repartition(2), warc_dir)
+    out = str(tmp_path / "compat")
+    rc = main(["--format", "warc", "-i", f"{warc_dir}/*.warc.gz",
+               "-o", out, "-f", "url,text", "--compat-output",
+               "--compress", "zstd", "--classifier", "heuristic"],
+              spark=spark)
+    assert rc == 0
+    zsts = glob.glob(os.path.join(out, "*", "url.zst"))
+    assert zsts, os.listdir(out)
+    n_urls = 0
+    for z in zsts:
+        lines = decompress(open(z, "rb").read()).decode().splitlines()
+        n_urls += len(lines)
+        assert all(u.startswith("https://") for u in lines)
+        # positional contract: text.zst aligns line-for-line
+        t = decompress(open(z.replace("url.zst", "text.zst"),
+                            "rb").read()).decode().splitlines()
+        assert len(t) == len(lines)
+    assert n_urls > 0
