@@ -547,6 +547,33 @@ def host_cap(df: DataFrame, cap: int = 100, url_col: str = "url",
             .filter(F.col("rank") <= cap))
 
 
+def host_cap_salted(df: DataFrame, cap: int = 100, url_col: str = "url",
+                    text_col: str = "text",
+                    salt_buckets: int = 16) -> DataFrame:
+    """host_cap's mega-host scale path: top-N is associative under
+    union, so phase 1 ranks within (host, salt) shards — no single task
+    ever sorts more than 1/salt_buckets of a viral host — and keeps
+    ``cap`` rows per shard; phase 2 re-ranks the <= salt_buckets * cap
+    survivors per host (a tiny window) for the exact global top-``cap``
+    with ranks identical to the single-window form (driver-verified as
+    the 'salted' variant of the host_cap row)."""
+    from pyspark.sql import Window
+    base = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+               F.lit(salt_buckets)).alias("salt"))
+    w1 = Window.partitionBy("host", "salt").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    pre = (base.withColumn("r1", F.row_number().over(w1))
+           .filter(F.col("r1") <= cap).drop("r1", "salt"))
+    w2 = Window.partitionBy("host").orderBy(F.col("n_chars").desc(),
+                                            F.col("doc_id"))
+    return (pre.withColumn("rank", F.row_number().over(w2).cast("int"))
+            .filter(F.col("rank") <= cap))
+
+
 def boilerplate_lines(df: DataFrame, text_col: str = "text",
                       min_docs: int = 2) -> DataFrame:
     """Lines (newline-delimited) appearing in >= ``min_docs`` distinct

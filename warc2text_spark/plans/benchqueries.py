@@ -697,12 +697,21 @@ def q_curate(spark, sf_dir) -> DataFrame:
 
 def q_host_cap(spark, sf_dir) -> DataFrame:
     """Per-domain cap over a closed-form url column (20 hosts; cap=5 so
-    ranking and the cutoff both bite)."""
+    ranking and the cutoff both bite): the single-window form and the
+    salted two-phase mega-host scale path, which must agree exactly
+    (top-N is associative under union) — (variant, doc_id, host,
+    n_chars, rank)."""
     docs = _docs(spark, sf_dir).selectExpr(
         "doc_id",
         "concat('https://s', doc_id % 20, '.example/p', doc_id, '.html') as url",
         "text")
-    return textops.host_cap(docs, cap=5)
+    a = textops.host_cap(docs, cap=5).select(
+        F.lit("window").alias("variant"), "doc_id", "host", "n_chars",
+        "rank")
+    b = textops.host_cap_salted(docs, cap=5, salt_buckets=4).select(
+        F.lit("salted").alias("variant"), "doc_id", "host", "n_chars",
+        "rank")
+    return a.unionByName(b)
 
 
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
@@ -1881,7 +1890,11 @@ def oracle_sql() -> dict[str, str]:
                            partition by regexp_extract(url, '{textops.HOST_RE}', 1)
                            order by n_chars desc, doc_id)::int as rank
                   from t)
-            select doc_id, host, n_chars, rank from r where rank <= 5""",
+            select 'window' as variant, doc_id, host, n_chars, rank
+            from r where rank <= 5
+            union all
+            select 'salted', doc_id, host, n_chars, rank
+            from r where rank <= 5""",
         "embedding_neardup": f"""
             with c as ({_EMB_CLONES_SQL}),
             {_EMB_M.format(src='c')}
