@@ -131,10 +131,12 @@ _SCRIPT_RANGES = (
     (0x0590, 0x05FF, "he"),   # Hebrew
     (0x0600, 0x06FF, "arab"),  # Arabic script (ar/fa/ur resolved below)
     (0x0750, 0x077F, "arab"),  # Arabic Supplement
+    (0x0780, 0x07BF, "dv"),   # Thaana (Divehi)
     (0x0900, 0x097F, "dev"),  # Devanagari (hi/mr resolved below)
     (0x0980, 0x09FF, "bn"),   # Bengali
     (0x0A00, 0x0A7F, "pa"),   # Gurmukhi
     (0x0A80, 0x0AFF, "gu"),   # Gujarati
+    (0x0B00, 0x0B7F, "or"),   # Odia
     (0x0B80, 0x0BFF, "ta"),   # Tamil
     (0x0C00, 0x0C7F, "te"),   # Telugu
     (0x0C80, 0x0CFF, "kn"),   # Kannada
@@ -142,6 +144,7 @@ _SCRIPT_RANGES = (
     (0x0D80, 0x0DFF, "si"),   # Sinhala
     (0x0E00, 0x0E7F, "th"),   # Thai
     (0x0E80, 0x0EFF, "lo"),   # Lao
+    (0x0F00, 0x0FFF, "bo"),   # Tibetan
     (0x1000, 0x109F, "my"),   # Myanmar
     (0x10A0, 0x10FF, "ka"),   # Georgian
     (0x1100, 0x11FF, "ko"),   # Hangul Jamo

@@ -280,10 +280,12 @@ def _langid_script_oracle() -> str:
         "hy": r"\x{0530}-\x{058F}",
         "he": r"\x{0590}-\x{05FF}",
         "arab": r"\x{0600}-\x{06FF}\x{0750}-\x{077F}",
+        "dv": r"\x{0780}-\x{07BF}",
         "dev": r"\x{0900}-\x{097F}",
         "bn": r"\x{0980}-\x{09FF}",
         "pa": r"\x{0A00}-\x{0A7F}",
         "gu": r"\x{0A80}-\x{0AFF}",
+        "or": r"\x{0B00}-\x{0B7F}",
         "ta": r"\x{0B80}-\x{0BFF}",
         "te": r"\x{0C00}-\x{0C7F}",
         "kn": r"\x{0C80}-\x{0CFF}",
@@ -291,6 +293,7 @@ def _langid_script_oracle() -> str:
         "si": r"\x{0D80}-\x{0DFF}",
         "th": r"\x{0E00}-\x{0E7F}",
         "lo": r"\x{0E80}-\x{0EFF}",
+        "bo": r"\x{0F00}-\x{0FFF}",
         "my": r"\x{1000}-\x{109F}",
         "ka": r"\x{10A0}-\x{10FF}",
         "ko": r"\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}",

@@ -172,6 +172,10 @@ SCRIPT_SENTENCES = (
     # Uyghur vowel letters outrank the shared Persian پ/چ/ژ/گ
     "دا یوه نوې ورځ ده او موږ بیا دلته یو ښځه ګل څه",                     # 32: ps
     "بۇ يېڭى بىر كۈن ۋە بىز يەنە مۇشۇ يەردە تۇرىمىز",                     # 33: ug
+    # 34-36: Odia / Tibetan / Divehi (single-script blocks)
+    "ଏହା ଏକ ନୂଆ ଦିନ ଏବଂ ଆମେ ପୁଣି ଏଠାରେ ଅଛୁ",                              # 34: or
+    "འདི་ནི་ཉིན་གསར་པ་ཞིག་ཡིན་ལ་ང་ཚོ་ཡང་འདིར་ཡོད",                          # 35: bo
+    "މިއީ އާ ދުވަހެކެވެ އަދި އަހަރެމެން އަނެއްކާ މިތަނުގައި",                          # 36: dv
 )
 
 SCRIPT_TEXT_CASE = (f"case nid % {len(SCRIPT_SENTENCES)} " + " ".join(
