@@ -9,10 +9,11 @@ contract, far beyond the per-commit budgets of the pytest suite:
   2. scanner window fast path vs byte loop token streams;
   3. charset detector total-function contract (never raises) + declared
      plausibility asymmetry on random bytes;
-  4. trim_lines_copy vs reference-shaped loop twin;
-  5. winnow numpy kernel vs Catalyst expression twin (sampled);
-  6. selection: decontaminate/surprisal vs pure-Python twins (sampled
-     corpora, via the pytest property test's logic).
+  4. trim_lines_copy vs reference-shaped loop twin.
+
+(The winnow numpy-kernel-vs-Catalyst-expression twin and the selection
+ops' Spark-vs-oracle parity need a SparkSession and live in the pytest
+suite — test_property_operators / test_oracle_parity — not here.)
 
 Usage: python tools/audit_differential.py [n_cases]
 Prints one JSON line with per-section counts; exits non-zero on any

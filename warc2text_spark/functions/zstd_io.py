@@ -75,9 +75,17 @@ class ZstdWriter:
         self._cctx = lib.ZSTD_createCCtx()
         if not self._cctx:
             raise OSError("ZSTD_createCCtx failed")
-        lib.ZSTD_CCtx_setParameter(
-            self._cctx, _ZSTD_c_compressionLevel, int(level))
-        self._f = open(path, "wb")
+        try:
+            rc = lib.ZSTD_CCtx_setParameter(
+                self._cctx, _ZSTD_c_compressionLevel, int(level))
+            if lib.ZSTD_isError(rc):
+                raise OSError(
+                    f"ZSTD_CCtx_setParameter rejected level {level}")
+            self._f = open(path, "wb")
+        except BaseException:
+            lib.ZSTD_freeCCtx(self._cctx)
+            self._cctx = None
+            raise
         self._cap = lib.ZSTD_CStreamOutSize()
         self._out = ctypes.create_string_buffer(self._cap)
 
@@ -135,6 +143,7 @@ def decompress(data: bytes) -> bytes:
         src = ctypes.create_string_buffer(data, len(data))
         inb = _Buf(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
         chunks = []
+        rc = 0
         while inb.pos < inb.size:
             outb = _Buf(ctypes.cast(out, ctypes.c_void_p), cap, 0)
             rc = lib.ZSTD_decompressStream(
@@ -145,6 +154,14 @@ def decompress(data: bytes) -> bytes:
                 chunks.append(out.raw[:outb.pos])
             if outb.pos == 0 and inb.pos >= inb.size:
                 break
+        # ZSTD_decompressStream returns 0 exactly at a frame boundary; a
+        # nonzero rc with the input exhausted means the frame is
+        # unfinished — fail loudly instead of returning silently truncated
+        # output (same contract as the gzip-split no-progress check).
+        if rc != 0:
+            raise OSError(
+                "zstd frame incomplete: input ended mid-frame "
+                f"(decoder still expects ~{rc} bytes)")
         return b"".join(chunks)
     finally:
         lib.ZSTD_freeDCtx(dctx)

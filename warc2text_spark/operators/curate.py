@@ -18,14 +18,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import gopher_rules, host_cap
+from .textops import gopher_rules, host_cap, host_cap_salted
 
 
-def curate(docs: DataFrame, cap: int = 5, **gopher_kwargs) -> DataFrame:
+def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
+           **gopher_kwargs) -> DataFrame:
     """Quality-gate -> dedup-keep-first -> per-host cap over
     (doc_id, url, text) rows; returns host_cap's (doc_id, host, n_chars,
     rank).  Keep-first uses STRING doc_id order (engine-portable, same
-    rule as the pair operators)."""
+    rule as the pair operators).
+
+    ``salted_hosts`` (default) routes the cap through the two-phase
+    :func:`host_cap_salted` — exact same output (top-N is associative
+    under union; driver-verified on the host_cap row), but no single
+    task ever sorts more than 1/salt_buckets of a viral mega-host, so
+    the composed sweep inherits the skew-proof path at crawl scale.
+    ``salted_hosts=False`` keeps the single-window form for tiny inputs
+    where two window stages cost more than the skew they prevent."""
     passing = gopher_rules(docs, **gopher_kwargs) \
         .filter(F.col("pass")).select("doc_id")
     base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
@@ -34,4 +43,5 @@ def curate(docs: DataFrame, cap: int = 5, **gopher_kwargs) -> DataFrame:
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first = (kept.withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") == 1).drop("rn"))
-    return host_cap(first, cap)
+    capper = host_cap_salted if salted_hosts else host_cap
+    return capper(first, cap)

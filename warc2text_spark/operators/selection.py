@@ -53,26 +53,31 @@ def ngram_col(tokens, n: int):
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 8) -> DataFrame:
+                  n: int = 8, build_hint: str = "auto") -> DataFrame:
     """Drop documents that share any word ``n``-gram with ``benchmark``
     (the GPT-3 appendix-C / Pile decontamination rule: an n-gram hit on a
     held-out eval set disqualifies the training document).
 
     Scale: the benchmark n-gram set is distinct-ed (a shuffle over the
-    *benchmark* only — eval sets are tiny relative to the corpus) and
-    broadcast; the document side streams through two broadcast joins
-    (semi to find hits, anti to drop) without ever shuffling document
-    payloads.  The contaminated-id set is ids-only and bounded by the hit
-    rate.  For benchmark suites too big to broadcast, swap the semi join
-    for a bucketed join on a precomputed n-gram-hash column.
+    *benchmark* only) and joined semi against the document n-grams; the
+    contaminated-id set is ids-only and bounded by the hit rate, and the
+    final anti join never shuffles document payloads when the id set
+    broadcasts.  ``build_hint`` (see :func:`~..operators.textops.hinted`)
+    gates both build sides: ``"auto"`` lets AQE broadcast exactly when
+    the benchmark/id sets are genuinely small (the common case — eval
+    sets are tiny relative to the corpus); ``"merge"``/``"shuffle_hash"``
+    is the bucketed-join fallback for benchmark suites too large to
+    broadcast — identical output, n-grams shuffle on their hash instead.
     """
+    from .textops import hinted
     bench_ng = (benchmark.select(
         F.explode(ngram_col(_tokens(text_col), n)).alias("ng")).distinct())
     doc_ng = docs.select(id_col, F.explode(
         ngram_col(_tokens(text_col), n)).alias("ng"))
-    contaminated = (doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")
+    contaminated = (doc_ng.join(hinted(bench_ng, build_hint),
+                                "ng", "left_semi")
                     .select(id_col).distinct())
-    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+    return docs.join(hinted(contaminated, build_hint), id_col, "left_anti")
 
 
 def decontaminate_stream(stream: DataFrame, benchmark: DataFrame,

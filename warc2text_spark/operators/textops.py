@@ -16,6 +16,30 @@ from pyspark.sql import functions as F
 QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is")
 
 
+def hinted(df: DataFrame, how: str) -> DataFrame:
+    """Join-strategy hint gate for the cleaning-layer build sides.
+
+    The duplicated-content sets these operators join back (repeated
+    paragraphs/lines/fingerprints, contaminated ids) are small on a test
+    fixture but grow WITH corpus duplication — on a 100 TB crawl the
+    boilerplate set is tens of GB, and a hardcoded ``F.broadcast`` hint
+    would OOM every executor.  So the hint is a parameter:
+
+    * ``"auto"`` (default): no hint — AQE measures the build side at
+      runtime and broadcasts exactly when it is genuinely under
+      ``spark.sql.autoBroadcastJoinThreshold``, else plans a shuffle join.
+    * ``"broadcast"``: force broadcast (caller knows the set is small,
+      e.g. a bounded benchmark suite).
+    * ``"merge"`` / ``"shuffle_hash"``: force the shuffle-side strategy —
+      the explicit 100 TB path (sort-merge scales to any build size).
+    """
+    if how == "auto":
+        return df
+    if how == "broadcast":
+        return F.broadcast(df)
+    return df.hint(how)
+
+
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -397,7 +421,8 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
 
 
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    build_hint: str = "auto") -> DataFrame:
     """CCNet-style paragraph-level deduplication with keep-first
     semantics (public method, CCNet paper: dedup at paragraph granularity
     across the corpus): a paragraph (newline-delimited line) duplicated
@@ -407,28 +432,35 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     Differs from :func:`remove_boilerplate` (which drops a >= min_docs
     line from EVERY document): here exactly one copy survives.
 
+    Empty/whitespace-only lines are structure, not content: they are
+    always kept (CCNet dedups nonempty paragraphs — without the
+    exemption every blank separator line would hash identically
+    corpus-wide and vanish from all but one global winner document).
+
     Scale: paragraphs explode once with (id, position); the winner per
     DUPLICATED paragraph is one map-side-combined min aggregate over
-    (hash -> id) pairs, filtered to count > 1 before the broadcast — the
-    broadcast side is the duplicated subset (it IS the repeated content),
+    (hash -> id) pairs, filtered to count > 1 before the join — the
+    build side is the duplicated subset (it IS the repeated content),
     not the corpus's full distinct-line set; unique paragraphs never
     enter the join build side (left join, null keep_id = unique = kept).
     Reassembly is one groupBy over (id, pos, line) rows — line text
     crosses the network once, like the extraction shuffle it typically
-    follows.  At extreme scale swap the winner broadcast for a
-    sort-merge join on the paragraph hash."""
+    follows.  ``build_hint`` (see :func:`hinted`) gates the join
+    strategy: default AQE-decided, ``"merge"`` for the guaranteed-scale
+    sort-merge path."""
     lines = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
     keyed = lines.withColumn("h", F.md5("line"))
-    winners = (keyed.groupBy("h")
+    winners = (keyed.filter(F.trim(F.col("line")) != "")
+               .groupBy("h")
                .agg(F.min("id").alias("keep_id"),
                     F.count(F.lit(1)).alias("n"))
                .filter(F.col("n") > 1)
                .select("h", "keep_id"))
     keep = F.col("keep_id").isNull() | (F.col("id") == F.col("keep_id"))
-    return (keyed.join(F.broadcast(winners), "h", "left")
+    return (keyed.join(hinted(winners, build_hint), "h", "left")
             .groupBy("id")
             .agg(F.array_join(
                      F.transform(
@@ -443,7 +475,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 def substring_dedup(df: DataFrame, text_col: str = "text",
                     k: int = 20, w: int = 16,
-                    min_docs: int = 2) -> DataFrame:
+                    min_docs: int = 2,
+                    build_hint: str = "auto") -> DataFrame:
     """Cross-document repeated-substring detection (the public direction
     of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): winnowing fingerprints over long k-grams shared by
@@ -453,15 +486,16 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     (doc_id, n_fp, n_shared, dup_ratio).
 
     Scale: fingerprints shuffle as (id, hash) pairs only; the duplicated-
-    hash set is orders smaller than the corpus (it IS the repeated
-    content) and broadcasts; the per-doc aggregate is map-side-combined.
-    Payloads never move.  At extreme scale swap the broadcast for a bloom
-    filter of duplicated hashes (same pattern as remove_boilerplate)."""
+    hash set is orders smaller than the corpus but still grows with the
+    repeated content, so the join strategy is gated by ``build_hint``
+    (see :func:`hinted` — AQE-decided by default, ``"merge"`` for the
+    guaranteed sort-merge scale path); the per-doc aggregate is
+    map-side-combined.  Payloads never move."""
     fps = winnow_fingerprints(df, text_col, k=k, w=w)
     dup = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
            .filter(F.col("nd") >= min_docs)
            .select("fp", F.lit(1).alias("is_dup")))
-    per = (fps.join(F.broadcast(dup), "fp", "left")
+    per = (fps.join(hinted(dup, build_hint), "fp", "left")
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_fp"),
                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
@@ -589,20 +623,23 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
 
 
 def remove_boilerplate(df: DataFrame, text_col: str = "text",
-                       min_docs: int = 2) -> DataFrame:
+                       min_docs: int = 2,
+                       build_hint: str = "auto") -> DataFrame:
     """Drop cross-document duplicate lines from each document, preserving
     line order — the CCNet paragraph-dedup shape.  Plan: posexplode ->
-    distinct-count per line -> left join the (small) duplicate-line set
-    back -> re-assemble per doc with an ordered in-array filter.  Every
-    document survives (a fully-boilerplate doc becomes the empty string).
-    At crawl scale the duplicate-line table is the join's build side —
-    tiny relative to the corpus, broadcast-able."""
+    distinct-count per line -> left join the duplicate-line set back ->
+    re-assemble per doc with an ordered in-array filter.  Every document
+    survives (a fully-boilerplate doc becomes the empty string).  The
+    duplicate-line table is the join's build side; it IS the corpus's
+    boilerplate, so its size scales with the crawl — ``build_hint``
+    gates the strategy (see :func:`hinted`)."""
     lines = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
     dup = boilerplate_lines(df, text_col, min_docs).select("line")
-    marked = lines.join(F.broadcast(dup.withColumn("is_dup", F.lit(True))),
-                        "line", "left")
+    marked = lines.join(
+        hinted(dup.withColumn("is_dup", F.lit(True)), build_hint),
+        "line", "left")
     assembled = F.array_join(
         F.transform(
             F.filter(F.array_sort(F.collect_list(F.struct("pos", "line",

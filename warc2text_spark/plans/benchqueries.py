@@ -1046,14 +1046,35 @@ def q_compat_layout(spark, sf_dir) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
+_DECONTAM_SQL = r"""
+    with toks as (select doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> x <> '') as t from documents),
+    ng as (select doc_id,
+            unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                i -> array_to_string(t[i:i+7], ' '))) as ng
+           from toks),
+    bench as (select distinct ng from ng where doc_id % 50 = 0),
+    bad as (select distinct g.doc_id from ng g join bench using (ng))
+    select d.doc_id from documents d
+    anti join bad b on d.doc_id = b.doc_id"""
+
+
 def q_decontam(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination: docs sharing an 8-gram with the held-out
-    set (doc_id % 50 == 0 plays the benchmark) are dropped; the document
-    side never shuffles (two broadcast joins)."""
+    set (doc_id % 50 == 0 plays the benchmark) are dropped.  Both join
+    routes ride this row: 'auto' (AQE-decided — broadcasts when the
+    benchmark set is genuinely small) and 'bucketed' (forced sort-merge,
+    the fallback for benchmark suites too large to broadcast) must
+    produce identical survivor sets."""
     from ..operators.selection import decontaminate
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    return decontaminate(docs, bench).select("doc_id")
+    auto = decontaminate(docs, bench).select(
+        F.lit("auto").alias("variant"), "doc_id")
+    bucketed = decontaminate(docs, bench, build_hint="merge").select(
+        F.lit("bucketed").alias("variant"), "doc_id")
+    return auto.unionByName(bucketed)
 
 
 def q_surprisal(spark, sf_dir) -> DataFrame:
@@ -1180,7 +1201,9 @@ def q_clean_text(spark, sf_dir) -> DataFrame:
         F.col("bytes_removed").cast("long").alias("n_removed"))
     docs = _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(F.lit("SHARED HEADER"), F.lit("\n"),
+        # the blank separator line pins the empty-line exemption: it is
+        # duplicated corpus-wide yet must survive in EVERY document
+        F.concat(F.lit("SHARED HEADER"), F.lit("\n"), F.lit("\n"),
                  F.col("doc_id").cast("string"), F.lit(" "), F.col("text"),
                  F.lit("\n"), F.lit("FOOTER "),
                  (F.col("doc_id") % 3).cast("string")).alias("text"))
@@ -1309,9 +1332,12 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"from ({d['langid_demux']})\nunion all\n"
         f"select 'multi', lang, n_chunks "
         f"from ({d.pop('multilang_demux')})")
+    # empty/whitespace-only lines never enter the winners table (CCNet
+    # dedups nonempty paragraphs) — left join, NULL n = always kept
     para_sql = f"""
         with t as (select cast(doc_id as varchar) as doc_id,
-                          'SHARED HEADER' || {NL} || doc_id || ' ' || text
+                          'SHARED HEADER' || {NL} || {NL} || doc_id
+                          || ' ' || text
                           || {NL} || 'FOOTER ' || (doc_id % 3) as s
                    from documents),
         l as (select doc_id,
@@ -1319,14 +1345,15 @@ def _merge_registry_oracles(d: dict) -> dict:
                      generate_subscripts(string_split(s, {NL}), 1) as pos
               from t),
         w as (select line, min(doc_id) as keep_id, count(*) as n
-              from l group by line)
+              from l where trim(line) <> '' group by line)
         select l.doc_id,
                coalesce(string_agg(
-                 case when w.n = 1 or l.doc_id = w.keep_id then l.line end,
+                 case when w.n is null or w.n = 1 or l.doc_id = w.keep_id
+                      then l.line end,
                  {NL} order by l.pos), '') as clean_text,
                sum(case when w.n > 1 and l.doc_id <> w.keep_id
                         then 1 else 0 end)::bigint as n_removed
-        from l join w using (line)
+        from l left join w using (line)
         group by l.doc_id"""
     d["clean_text"] = (
         f"select 'boilerplate' as op, doc_id, clean_text, "
@@ -1621,18 +1648,10 @@ def oracle_sql() -> dict[str, str]:
                 else strlen({PAY_STD}) end as bigint) as payload_octets
             from documents""",
         "compat_layout": _compat_layout_oracle(),
-        "decontam": r"""
-            with toks as (select doc_id,
-                    list_filter(string_split_regex(text, '\s+'),
-                                x -> x <> '') as t from documents),
-            ng as (select doc_id,
-                    unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
-                        i -> array_to_string(t[i:i+7], ' '))) as ng
-                   from toks),
-            bench as (select distinct ng from ng where doc_id % 50 = 0),
-            bad as (select distinct g.doc_id from ng g join bench using (ng))
-            select d.doc_id from documents d
-            anti join bad b on d.doc_id = b.doc_id""",
+        "decontam": (
+            f"select 'auto' as variant, doc_id from ({_DECONTAM_SQL})\n"
+            f"union all\n"
+            f"select 'bucketed', doc_id from ({_DECONTAM_SQL})"),
         "surprisal": r"""
             with toks as (select doc_id,
                     list_filter(string_split_regex(text, '\s+'),

@@ -227,11 +227,19 @@ def counters(result: PipelineResult) -> DataFrame:
             # this runtime's Observation.getOrEmpty NPEs while the
             # observation is UNSET (row.schema() on the placeholder) and
             # only returns once an action has filled it — so THAT error
-            # means no action has consumed the observation yet.  Any
-            # other probe failure takes the safe recompute path: guessing
-            # "fresh" on an unknown error could resurface the
-            # stale-partial-scan metrics this probe exists to prevent.
-            return "NullPointerException" in str(ex)
+            # means no action has consumed the observation yet.  Probe
+            # STRUCTURALLY: only a py4j-carried java.lang.NullPointerException
+            # (the unset-placeholder signature, checked by JVM class name —
+            # not by message wording) counts as fresh; any other probe
+            # failure takes the safe recompute path, since guessing "fresh"
+            # on an unknown error could resurface the stale-partial-scan
+            # metrics this probe exists to prevent.
+            jex = getattr(ex, "java_exception", None)
+            try:
+                return (jex is not None and jex.getClass().getName()
+                        == "java.lang.NullPointerException")
+            except Exception:
+                return False
     use_obs = (result.obs_total is not None and result.obs_text is not None
                and _fresh(result.obs_total) and _fresh(result.obs_text))
     not_unk = F.col("lang") != "unk"
