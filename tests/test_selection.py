@@ -195,3 +195,54 @@ def test_decontaminate_composes_with_structured_streaming(spark, tmp_path):
     kept = {r["doc_id"]
             for r in spark.sql("select * from decontam_stream").collect()}
     assert kept == {"2"}
+
+
+def test_surprisal_vectorized_matches_loop_twin(spark):
+    """The vectorized scorer (flat split + C-level table lookup) must
+    reproduce the per-token loop twin bit-for-bit after the round(x, 6)
+    contract — including OOV tokens, non-ASCII whitespace inside tokens,
+    runs of separators, and token-free documents (excluded by both)."""
+    import random
+    rng = random.Random(11)
+    words = ["the", "fox", "zyzzyva", "foo\xa0bar", "a", "", "é1"]
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        if i % 17 == 0:
+            text = "   \t " if i % 2 else ""
+        rows.append((str(i), text))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    native = sorted(map(tuple, unigram_surprisal(df).collect()))
+    fast = sorted(map(tuple,
+                      unigram_surprisal(df, kernel="vectorized").collect()))
+    slow = sorted(map(tuple,
+                      unigram_surprisal(df, kernel="loop").collect()))
+    assert native == fast == slow and len(native) > 50
+    # the default kernel stays entirely JVM-side: no Python crossing
+    plan = unigram_surprisal(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decontaminate_stream_batch_parity(spark, tmp_path):
+    """The streaming filter (native ngram_col + vectorized membership)
+    must keep exactly the surviving ids of the batch anti-join on the
+    same input."""
+    rows = [(str(i), " ".join(f"w{i % 7}t{j}" for j in range(10)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = df.filter("doc_id = '3'")
+    from warc2text_spark.operators.selection import decontaminate_stream
+    batch_kept = {r["doc_id"] for r in decontaminate(df, bench).collect()}
+    inp = str(tmp_path / "in_parity")
+    df.write.parquet(inp)
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .parquet(inp))
+    out = decontaminate_stream(stream, bench, n=8)
+    q = (out.writeStream.format("memory").queryName("decontam_parity")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_kept = {r["doc_id"]
+                   for r in spark.sql("select * from decontam_parity")
+                   .collect()}
+    assert stream_kept == batch_kept and len(stream_kept) > 0

@@ -87,31 +87,33 @@ def decontaminate_stream(stream: DataFrame, benchmark: DataFrame,
     the contaminated-id set FROM the document side, which on a stream
     becomes an unsupported stream-stream anti join; here the (static,
     eval-set-sized) benchmark n-gram set is collected once and shipped in
-    the task closure, and each micro-batch row is filtered by a
-    vectorized n-gram membership test — stateless, so it composes with
-    any output mode and no watermark is needed."""
-    import pandas as pd
+    the task closure, and each micro-batch row is filtered by an n-gram
+    membership test — stateless, so it composes with any output mode and
+    no watermark is needed.
 
+    The document n-grams are built NATIVELY (the same ``ngram_col``
+    expression as the batch form — JVM-side, whole-stage codegen); the
+    Python crossing does only the vectorized set-membership
+    (``Series.explode().isin(...)`` — one C-level hash probe per n-gram,
+    no interpreted per-token loop)."""
     bench_rows = (benchmark.select(
         F.explode(ngram_col(_tokens(text_col), n)).alias("ng"))
         .distinct().collect())
     bench_ng = {r["ng"] for r in bench_rows}
     schema = stream.schema
+    with_ng = stream.withColumn("_ngs", ngram_col(_tokens(text_col), n))
 
     def keep(batches):
         for pdf in batches:
             if not len(pdf):
-                yield pdf
+                yield pdf.drop(columns=["_ngs"])
                 continue
-            mask = []
-            for text in pdf[text_col]:
-                toks = _py_tokens(text)
-                hit = any(" ".join(toks[i:i + n]) in bench_ng
-                          for i in range(len(toks) - n + 1))
-                mask.append(not hit)
-            yield pdf[pd.Series(mask, index=pdf.index)]
+            ngs = pdf["_ngs"].explode()
+            hit_rows = ngs[ngs.notna() & ngs.isin(bench_ng)].index.unique()
+            yield (pdf.loc[~pdf.index.isin(hit_rows)]
+                   .drop(columns=["_ngs"]))
 
-    return stream.mapInPandas(keep, schema)
+    return with_ng.mapInPandas(keep, schema)
 
 
 def unigram_frequencies(docs: DataFrame, text_col: str = "text",
@@ -124,9 +126,59 @@ def unigram_frequencies(docs: DataFrame, text_col: str = "text",
             .orderBy(F.desc("c"), "w").limit(vocab_cap))
 
 
+def _surprisal_loop_kernel(pdf, freq: dict, denom_ln: float,
+                           id_col: str, text_col: str):
+    """Reference-shaped per-token twin of :func:`_surprisal_fast_kernel`
+    (kept for differential tests — never delete the slow path)."""
+    import pandas as pd
+
+    log1p_cache = {w: math.log(c + 1) for w, c in freq.items()}
+    ids, ns, scores = [], [], []
+    for did, text in zip(pdf[id_col], pdf[text_col]):
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        s = 0.0
+        for w in toks:
+            s += log1p_cache.get(w, 0.0)
+        ids.append(str(did))
+        ns.append(len(toks))
+        scores.append(round(denom_ln - s / len(toks), 6))
+    return pd.DataFrame({id_col: ids, "n_tokens": ns, "surprisal": scores})
+
+
+def _surprisal_fast_kernel(pdf, log1p, denom_ln: float,
+                           id_col: str, text_col: str):
+    """Vectorized scorer (the winnow-kernel house style): split the whole
+    batch once at the pandas layer, explode to one flat token Series,
+    score with a single C-level hash lookup (``Series.map`` on the
+    frequency table), and reduce per document by batch row index — no
+    interpreted per-token loop.  ``log1p`` is a float64 Series indexed by
+    word, values ``math.log(c + 1)`` (same table the loop twin builds,
+    so the two paths share every per-token float)."""
+    import pandas as pd
+
+    toks = pdf[text_col].str.split(_PY_WS).explode()
+    toks = toks[toks.notna() & (toks != "")]
+    if not len(toks):
+        return pd.DataFrame({id_col: pd.Series(dtype="str"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "surprisal": pd.Series(dtype="float64")})
+    sums = toks.map(log1p).fillna(0.0).groupby(level=0).sum()
+    n_tok = toks.groupby(level=0).size()
+    # per-doc (not per-token) Python round keeps bit-parity with the
+    # loop twin and the engine-portable round(x, 6) contract
+    scores = [round(v, 6) for v in denom_ln - sums / n_tok]
+    return pd.DataFrame({
+        id_col: pdf[id_col].loc[n_tok.index].astype(str).to_numpy(),
+        "n_tokens": n_tok.to_numpy("int64"),
+        "surprisal": scores})
+
+
 def unigram_surprisal(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      vocab_cap: int = 100_000) -> DataFrame:
+                      vocab_cap: int = 100_000,
+                      kernel: str = "native") -> DataFrame:
     """Per-document mean token surprisal (nats) under a Laplace-smoothed
     unigram model fit on the corpus itself: p(w) = (c_w + 1) / (T + V + 1)
     with T, V the head-vocabulary token/type totals; out-of-head tokens
@@ -136,9 +188,25 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     The per-token term factors as ln(T+V+1) - ln(c_w + 1), so the score
     needs only sum(ln(c_w+1)) per document.  Scale: pass 1 is one counts
     shuffle truncated to ``vocab_cap`` rows (collected — bounded, ~MBs at
-    the default cap; use a bigger cluster-side join only past ~1M types);
-    pass 2 is a zero-shuffle vectorized Arrow kernel over the documents
-    with the frequency table shipped in the task closure.
+    the default cap; use a bigger cluster-side join only past ~1M types).
+
+    Pass 2 — the per-token bill at 100 TB — is kernel-selectable:
+
+    * ``"native"`` (default): NO Python crossing at all.  Tokens explode
+      JVM-side inside whole-stage codegen, a broadcast hash join against
+      the (word -> ln(c+1)) local relation scores each token, and a
+      map-side-combined aggregate reduces to one (id, n, sum) row per
+      document before any exchange — docs never split across partitions,
+      so the only shuffled bytes are one tiny row per document.
+      Measured ~10x the throughput of either Python kernel (BENCH.md
+      r5): per-token work runs as generated JVM code, and the Arrow
+      serialize/deserialize of every document body is gone.
+    * ``"vectorized"``: Arrow-batched pandas kernel — one flat
+      ``.str.split`` + ``Series.map`` table lookup per batch (no
+      interpreted per-token loop, but token materialization in Python
+      caps it at parity with the loop — see BENCH.md).
+    * ``"loop"``: the reference-shaped per-token twin, kept for
+      differential tests.
     """
     import pandas as pd
 
@@ -146,24 +214,36 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     freq = {r["w"]: r["c"] for r in freq_rows}
     denom_ln = math.log(sum(freq.values()) + len(freq) + 1)
 
+    if kernel == "native":
+        spark = docs.sparkSession
+        lnc = [(w, math.log(c + 1)) for w, c in freq.items()]
+        freq_local = spark.createDataFrame(lnc, "w string, lnc double") \
+            if lnc else spark.createDataFrame([], "w string, lnc double")
+        tok = docs.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.explode(_tokens(text_col)).alias("w"))
+        scored = tok.join(F.broadcast(freq_local), "w", "left")
+        return (scored.groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                     F.sum(F.coalesce(F.col("lnc"), F.lit(0.0))).alias("s"))
+                .select(id_col, "n_tokens",
+                        F.round(F.lit(denom_ln)
+                                - F.col("s") / F.col("n_tokens"), 6)
+                        .alias("surprisal")))
+
     out_schema = f"{id_col} string, n_tokens long, surprisal double"
 
     def score(batches):
-        log1p_cache = {w: math.log(c + 1) for w, c in freq.items()}
-        for pdf in batches:
-            ids, ns, scores = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = _py_tokens(text)
-                if not toks:
-                    continue
-                s = 0.0
-                for w in toks:
-                    s += log1p_cache.get(w, 0.0)
-                ids.append(str(did))
-                ns.append(len(toks))
-                scores.append(round(denom_ln - s / len(toks), 6))
-            yield pd.DataFrame(
-                {id_col: ids, "n_tokens": ns, "surprisal": scores})
+        if kernel == "vectorized":
+            log1p = pd.Series({w: math.log(c + 1) for w, c in freq.items()},
+                              dtype="float64")
+            for pdf in batches:
+                yield _surprisal_fast_kernel(pdf, log1p, denom_ln,
+                                             id_col, text_col)
+        else:
+            for pdf in batches:
+                yield _surprisal_loop_kernel(pdf, freq, denom_ln,
+                                             id_col, text_col)
 
     return docs.select(id_col, text_col).mapInPandas(score, out_schema)
 

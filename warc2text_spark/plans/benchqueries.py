@@ -1079,8 +1079,9 @@ def q_decontam(spark, sf_dir) -> DataFrame:
 
 def q_surprisal(spark, sf_dir) -> DataFrame:
     """Unigram-LM quality score: mean token surprisal under the corpus's
-    own Laplace-smoothed head-vocabulary model (pass 1 counts shuffle,
-    pass 2 zero-shuffle Arrow kernel)."""
+    own Laplace-smoothed head-vocabulary model (pass 1 counts shuffle;
+    pass 2 fully JVM-side — explode + broadcast-join the ln-table +
+    map-side-combined per-doc aggregate, no Python crossing)."""
     from ..operators.selection import unigram_surprisal
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_surprisal(docs)
