@@ -82,27 +82,123 @@ def force(df) -> int:
     return 0
 
 
+def host_state() -> dict:
+    """Auditable idleness stamp for the bench JSON (VERDICT r4: the
+    driver-recorded artifact must be self-evidently trustworthy, not
+    need out-of-band BENCH.md rebuttals).  Records the loadavg triple,
+    how many FOREIGN processes (outside this bench's own process tree —
+    Spark's JVM and python workers are ours) are burning > 25% of a
+    core right now, and the cumulative hypervisor-steal jiffies from
+    /proc/stat — diff host_end - host_start to see how many cycles the
+    HOST (not this VM) took during the run; steal is the one
+    interference source loadavg and ps cannot see, and this sandbox
+    accumulates it."""
+    import subprocess
+    la = [round(x, 2) for x in os.getloadavg()]
+    steal = total = -1
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        steal = vals[7] if len(vals) > 7 else -1
+    except Exception:
+        pass
+    busy_foreign = -1  # sentinel: probe unavailable
+    try:
+        out = subprocess.run(["ps", "-eo", "pid,ppid,pcpu,comm"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.splitlines()[1:]
+        children: dict[int, list[int]] = {}
+        cpu: dict[int, float] = {}
+        for line in out:
+            parts = line.split(None, 3)
+            if len(parts) < 4:
+                continue
+            pid, ppid, pcpu = int(parts[0]), int(parts[1]), float(parts[2])
+            children.setdefault(ppid, []).append(pid)
+            cpu[pid] = pcpu
+        mine, stack = set(), [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in mine:
+                continue
+            mine.add(p)
+            stack.extend(children.get(p, []))
+        busy_foreign = sum(1 for p, c in cpu.items()
+                           if c > 25.0 and p not in mine)
+    except Exception:
+        pass
+    return {"loadavg": la, "busy_foreign_procs": busy_foreign,
+            "cpu_steal_jiffies": steal, "cpu_total_jiffies": total}
+
+
+def warm_page_cache(*paths: str) -> None:
+    """Read every corpus byte once so timed queries measure the engine,
+    not first-touch disk IO.  After a container restart the parquet
+    blocks are cold; on this sandbox's virtio disk a cold 390 MB first
+    read costs ~8 s and poisoned the round-4/5 driver captures (suite
+    39.9 s cold vs 10.9 s steady-state, identical code — see BENCH.md
+    round-5 note)."""
+    for root in paths:
+        for p in Path(root).rglob("*"):
+            if p.is_file():
+                with open(p, "rb") as f:
+                    while f.read(1 << 22):
+                        pass
+
+
 def main() -> None:
+    host_start = host_state()  # before the Spark JVM exists
     spark = get_spark("warc2text-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     path = ensure_corpus(spark)
+    bigdoc_path = ensure_bigdoc_corpus(spark)
+    warm_page_cache(path, bigdoc_path, SF_DIR)
     spans = spark.read.parquet(path)
     n_docs = spans.count()
 
-    # warmup: spin up python workers + JIT before timing (steady-state measure)
+    # warmup: spin up python workers + JIT before timing (steady-state
+    # measure) — the small-doc pipeline for the extraction kernels, one
+    # untimed banded pair query for the join/shuffle/codegen paths
     warm = run_pipeline(spans.limit(4000).repartition(CPUS),
                         PipelineOptions(classifier="heuristic"))
     force(warm.main)
+    from warc2text_spark.operators.dedup import release_intermediates
+    warm_pairs = q_minhash_pairs(spark, SF_DIR)
+    force(warm_pairs)
+    release_intermediates(warm_pairs)
 
     timings: dict[str, float] = {}
 
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return vals[7] if len(vals) > 7 else -1
+        except Exception:
+            return -1
+
     def timed(name, fn, repeat=1):
+        # steal-aware sampling: a sample during which the hypervisor
+        # stole > 3 core-seconds (300 jiffies) from this VM is tainted —
+        # it does not consume the sample budget and earns one extra
+        # attempt (bounded at repeat + 2 total), so a steal burst cannot
+        # masquerade as an engine regression in the recorded JSON.
         best = float("inf")
-        for _ in range(repeat):
+        samples = attempts = 0
+        while samples < repeat and attempts < repeat + 2:
+            attempts += 1
+            s0 = _steal_jiffies()
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            s1 = _steal_jiffies()
+            best = min(best, dt)
+            if s0 >= 0 and s1 >= 0 and s1 - s0 > 300:
+                continue
+            samples += 1
         timings[name] = round(best, 3)
 
     # headline: end-to-end extraction (filters -> kernels -> demux).
@@ -125,7 +221,6 @@ def main() -> None:
     # naive repeat would hit CacheManager's semantically-equal cached plan
     # and time a warm cache.  release_intermediates between runs unpersists
     # it, so best-of-2 times the cold query both times.
-    from warc2text_spark.operators.dedup import release_intermediates
     from warc2text_spark.plans.benchqueries import q_simhash_pairs
 
     def run_released(q):
@@ -147,7 +242,7 @@ def main() -> None:
     # 10-100 KB, not the 300 B small-doc bodies above) — reported as
     # MB/s of span payload through the full pipeline
     import pyspark.sql.functions as F
-    big = spark.read.parquet(ensure_bigdoc_corpus(spark))
+    big = spark.read.parquet(bigdoc_path)
     big_bytes = big.select(F.expr(
         "aggregate(transform(spans, s -> octet_length(s.text) + "
         "octet_length(s.media_ref)), 0L, (a, x) -> a + x)").alias("b")) \
@@ -172,6 +267,8 @@ def main() -> None:
         "cpus": CPUS,
         "extract_docs_per_sec": docs_per_sec,
         "bigdoc_mb_per_sec": bigdoc_mb_per_sec,
+        "host_start": host_start,
+        "host_end": host_state(),
     }))
     spark.stop()
 
