@@ -192,3 +192,66 @@ def test_streaming_exact_dedup(spark, tmp_path):
     batch = dedup_batch(spark.createDataFrame(rows, DOCS_SCHEMA))
     ids = sorted(r.doc_id for r in batch.collect())
     assert ids == ["a-1", "a-2", "a-4"]
+
+
+def test_gif_frame_walker_block_structure():
+    """gif_frames walks real GIF block structure: extensions skipped,
+    one slice per image descriptor (0x2C..sub-block terminator, local
+    color table included), stops at the trailer, returns [] / partial on
+    malformed bytes, never raises."""
+    import struct
+
+    from warc2text_spark.operators.multimodal import gif_frames
+    from warc2text_spark.plans.spansgen import _gif_animated, _gif_header
+
+    assert gif_frames(_gif_header(10, 10)) == []        # bare header
+    for nf, sb in ((1, 1), (3, 7), (5, 4)):
+        g = _gif_animated(20, 10, nf, sb)
+        frames = gif_frames(g)
+        assert len(frames) == nf
+        assert all(len(f) == 13 + sb and f[0] == 0x2C for f in frames)
+    # global + local color tables are skipped, not misread as blocks
+    lsd = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+    gct = b"\x01\x02\x03" * 2          # size bits 000 -> 3*2^1 = 6 bytes
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0x80])
+    lct = b"\x04\x05\x06" * 2
+    img = desc + lct + b"\x02" + b"\x02ab" + b"\x00"
+    frames = gif_frames(lsd + gct + img + b"\x3b")
+    assert len(frames) == 1 and frames[0] == img
+    # truncations return what was fully parsed, never raise
+    g = _gif_animated(4, 4, 2, 3)
+    for cut in range(len(g)):
+        out = gif_frames(g[:cut])
+        assert isinstance(out, list) and len(out) <= 2
+    assert gif_frames(b"") == [] and gif_frames(b"GIF89a\x00") == []
+
+
+def test_sample_frames_real_gif_and_synthetic_twin(spark):
+    """sample_frames routes GIFs through the real walker (n_frames
+    sampled evenly across real frame slices) and everything else through
+    the deterministic byte-slice twin."""
+    import base64
+
+    from warc2text_spark.operators.multimodal import sample_frames
+    from warc2text_spark.plans.spansgen import _gif_animated
+
+    def _m(payload, off):
+        return dict(kind="media", text="",
+                    media_ref=base64.b64encode(payload).decode(), offset=off)
+    gif7 = _gif_animated(8, 8, 7, 2)   # 7 real frames, slice 15 B
+    fake = b"IMG1234"
+    rows = [("g", "u", "response", "", "200 OK", "text/html", "", "",
+             "2024-01-01T00:00:00Z", [_m(gif7, 0)]),
+            ("f", "u", "response", "", "200 OK", "text/html", "", "",
+             "2024-01-01T00:00:00Z", [_m(fake, 0)])]
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    out = {}
+    for r in sample_frames(df, n_frames=3).collect():
+        out.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
+    gf = sorted(out["g"])
+    assert [i for i, _ in gf] == [0, 1, 2]
+    # even sampling across 7 frames: real frames 0, 2, 4 (i*7//3)
+    assert all(len(f) == 15 and f[0] == 0x2C for _, f in gf)
+    ff = sorted(out["f"])
+    assert len(ff) == 3 and ff[0][1] == b"IM"  # synthetic twin slices

@@ -198,13 +198,84 @@ def resize_media(spans_df: DataFrame, max_dim: int = 256) -> DataFrame:
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def gif_frames(payload: bytes) -> list[bytes]:
+    """Dependency-free animated-GIF frame walker: parse the GIF89a/87a
+    block structure (GIF spec §§17-23 — logical screen descriptor +
+    optional global color table, then a stream of extension blocks
+    (0x21, sub-block chains), image descriptors (0x2C) and the trailer
+    0x3B) and return one raw byte slice per frame — the image-descriptor
+    block from its 0x2C introducer through its sub-block terminator,
+    local color table and LZW data included, undecoded.
+
+    Frames are returned as found up to the first malformed byte (never
+    raises — kernel contract); a still image yields one frame, a bare
+    header yields [].
+    """
+    try:
+        if not payload.startswith((b"GIF87a", b"GIF89a")) or len(payload) < 13:
+            return []
+        i = 6 + 7  # header + logical screen descriptor
+        flags = payload[10]
+        if flags & 0x80:  # global color table: 3 * 2^(size+1) bytes
+            i += 3 * (1 << ((flags & 0x07) + 1))
+        frames: list[bytes] = []
+
+        def skip_subblocks(j: int) -> int:
+            while True:
+                if j >= len(payload):
+                    return -1
+                n = payload[j]
+                j += 1 + n
+                if n == 0:
+                    return j
+                if j > len(payload):
+                    return -1
+
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label byte + sub-block chain
+                if i + 2 > len(payload):
+                    break
+                j = skip_subblocks(i + 2)
+                if j < 0:
+                    break
+                i = j
+            elif b == 0x2C:  # image descriptor
+                start = i
+                if i + 10 > len(payload):
+                    break
+                dflags = payload[i + 9]
+                j = i + 10
+                if dflags & 0x80:  # local color table
+                    j += 3 * (1 << ((dflags & 0x07) + 1))
+                j += 1  # LZW minimum code size
+                if j > len(payload):
+                    break
+                j = skip_subblocks(j)
+                if j < 0:
+                    break
+                frames.append(payload[start:j])
+                i = j
+            else:  # unknown block type: stop (corrupt stream)
+                break
+        return frames
+    except Exception:
+        return []
+
+
 FRAME_SCHEMA = ("doc_id string, offset int, frame_idx int, frame binary")
 
 
 def sample_frames(spans_df: DataFrame, n_frames: int = 3) -> DataFrame:
     """Frame sampling for video-like payloads: one output row per sampled
-    frame (deterministic byte-slice fake in place of an ffmpeg decode; the
-    1->N row expansion and schema are the real contract)."""
+    frame.  Animated (or still) GIFs go through the REAL dependency-free
+    frame walker (:func:`gif_frames`) — up to ``n_frames`` frames sampled
+    evenly across the real frame blocks, raw undecoded bytes.  Every
+    other payload keeps the deterministic byte-slice synthetic twin (the
+    ffmpeg stand-in), so the 1->N row expansion and schema stay exercised
+    for all media types."""
     media = (
         spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
                         F.explode("spans").alias("s"))
@@ -219,12 +290,19 @@ def sample_frames(spans_df: DataFrame, n_frames: int = 3) -> DataFrame:
             for doc_id, offset, payload in zip(pdf["doc_id"], pdf["offset"],
                                                pdf["payload"]):
                 data = bytes(payload or b"")
-                step = max(len(data) // max(n_frames, 1), 1)
-                for i in range(n_frames):
+                real = gif_frames(data)
+                if real:
+                    k = min(n_frames, len(real))
+                    picks = [real[i * len(real) // k] for i in range(k)]
+                else:  # synthetic twin: even byte slices
+                    step = max(len(data) // max(n_frames, 1), 1)
+                    picks = [data[i * step:(i + 1) * step] or b"\0"
+                             for i in range(n_frames)]
+                for i, fr in enumerate(picks):
                     rows["doc_id"].append(doc_id)
                     rows["offset"].append(offset)
                     rows["frame_idx"].append(i)
-                    rows["frame"].append(data[i * step:(i + 1) * step] or b"\0")
+                    rows["frame"].append(fr)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAME_SCHEMA)

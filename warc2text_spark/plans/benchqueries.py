@@ -1430,15 +1430,22 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"        from wf)\n"
         f"  select pair, sum(wc)::bigint as n from p\n"
         f"  group by pair order by n desc, pair limit 50)")
+    # GIF (v=1) is a real animated stream: nf = 1 + id%3 frames of
+    # sub-block size sb = 1 + id%7; the frames leg emits one row per
+    # REAL frame (slice = 13 + sb bytes), other variants keep the
+    # 3-slice synthetic twin
     d["media_pipeline"] = """
         with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                           doc_id % 4 as v,
-                          case doc_id % 4 when 0 then 33 when 1 then 13
+                          1 + doc_id % 3 as nf, 1 + doc_id % 7 as sb,
+                          case doc_id % 4 when 0 then 33
+                               when 1 then 14 + (1 + doc_id % 3)
+                                             * (22 + doc_id % 7)
                                when 2 then 15
                                else 3 + strlen(cast(doc_id as varchar))
                           end as n
                    from documents),
-        m as (select doc_id, 1 as "offset",
+        m as (select doc_id, 1 as "offset", v, nf, sb,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
                             when 2 then 'image/jpeg'
                             else 'x-test/fake' end as media_type,
@@ -1451,8 +1458,10 @@ def _merge_registry_oracles(d: dict) -> dict:
               from s)
         select doc_id, "offset", media_type, width, height, n_bytes,
                resized_bytes, i::int as frame_idx,
-               least(step, n - i * step)::bigint as frame_bytes
-        from m, generate_series(0, 2) t(i)"""
+               case when v = 1 then 13 + sb
+                    else least(step, n - i * step) end::bigint as frame_bytes
+        from m, generate_series(0, 2) t(i)
+        where v <> 1 or i < nf"""
     return d
 
 

@@ -399,6 +399,26 @@ def _gif_header(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
 
 
+def _gif_animated(w: int, h: int, n_frames: int, sub_size: int) -> bytes:
+    """Real animated GIF: header + per frame a graphic-control extension
+    (8 B), an image descriptor (10 B incl. the 0x2C introducer), the LZW
+    min-code byte and one data sub-block of ``sub_size`` bytes + the 0x00
+    terminator, then the 0x3B trailer.  Closed-form sizes the oracle
+    mirrors: frame slice = 13 + sub_size, total = 14 +
+    n_frames * (21 + sub_size)."""
+    import struct
+    out = [_gif_header(w, h)]
+    for f in range(n_frames):
+        out.append(b"\x21\xf9\x04" + bytes([0, 10, 0, 0]) + b"\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        out.append(b"\x02")
+        out.append(bytes([sub_size])
+                   + bytes((f + k) % 251 for k in range(sub_size))
+                   + b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
 def _jpeg_header(w: int, h: int) -> bytes:
     import struct
     sof0 = struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) \
@@ -408,7 +428,9 @@ def _jpeg_header(w: int, h: int) -> bytes:
 
 def build_media_spans(spark, sf_dir: str) -> DataFrame:
     """Media corpus for the real-header codec path, per ``doc_id % 4``:
-    PNG / GIF / JPEG minimal headers with width = 1 + doc_id % 640 and
+    PNG minimal header / ANIMATED GIF (real frame blocks: 1 + doc_id % 3
+    frames, sub-block size 1 + doc_id % 7 — exercises the gif_frames
+    walker) / JPEG minimal header, all with width = 1 + doc_id % 640 and
     height = 1 + doc_id % 480 (closed-form for the oracle), and the
     deterministic 'IMG'||doc_id fake as the stub-twin case."""
     import base64
@@ -430,7 +452,7 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                 if v == 0:
                     body = _png_header(w, h)
                 elif v == 1:
-                    body = _gif_header(w, h)
+                    body = _gif_animated(w, h, 1 + n % 3, 1 + n % 7)
                 elif v == 2:
                     body = _jpeg_header(w, h)
                 else:
