@@ -43,6 +43,11 @@ PIECES = [
     "\n", "\t", "\x0b", "&", "<", ">", "'", '"', "=", "/", "x" * 1023,
     "y" * 1024, "&" + "z" * 1022, "w " * 600, "é", " ", "tail",
     "<br>", "<img src=a>", "<a href='q'>t</a>", "<b", "b>", "\r\n",
+    # r5 fused simple-tag dispatch shapes: trailing ws, odd name chars,
+    # script/style prefixes, >127-byte names, tail-with-space fallback
+    "<p >", "</p\t>", "<text:s>", "<w:p>", "<scriptx>", "</scriptx>",
+    "<stylea>x</stylea>", "<" + "q" * 130 + ">", "</ p>", "<p/>", "<P>",
+    "</sPaN>", "<a.b-c>", "<style >.s{}</style>",
 ]
 
 

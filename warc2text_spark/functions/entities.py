@@ -119,7 +119,46 @@ _FAST_ENT = re.compile(
 
 
 def decode_entities(source: str) -> str:
-    """Decode HTML entities in ``source`` (entities.cc:51-101)."""
+    """Decode HTML entities in ``source`` (entities.cc:51-101).
+
+    Fast path: ONE ``_FAST_ENT.split`` pass over the whole document when
+    every ``&`` begins a well-formed fast entity (the overwhelmingly
+    common case on real pages — checked by scanning the split's text
+    chunks for residual ``&``); the per-entity work is then just the
+    table lookup / numeric decode.  Any irregular entity falls back to
+    the reference-shaped per-entity loop (:func:`_decode_entities_loop`,
+    the differential twin) for the whole string.
+    """
+    if "&" not in source:
+        return source
+    parts = _FAST_ENT.split(source)
+    if len(parts) == 1 or any("&" in parts[i]
+                              for i in range(0, len(parts), 4)):
+        return _decode_entities_loop(source)
+    out = [parts[0]]
+    append = out.append
+    named = NAMED_ENTITIES.get
+    for i in range(1, len(parts), 4):
+        name = parts[i]
+        if name is not None:
+            value = named(name)
+            if value is not None:
+                append(value)
+        else:
+            dec = parts[i + 1]
+            code = int(dec) if dec is not None else int(parts[i + 2], 16)
+            if code > _ULONG_MAX:
+                raise EntityOverflowError(dec or parts[i + 2])
+            if code <= _UNICODE_MAX:
+                append(codepoint_to_text(code))
+        append(parts[i + 3])
+    return "".join(out)
+
+
+def _decode_entities_loop(source: str) -> str:
+    """Per-entity loop (entities.cc:51-101 shape) — the exact-grammar
+    path for irregular entities and the differential twin of the split
+    fast path."""
     pos = source.find("&")
     if pos < 0:
         return source

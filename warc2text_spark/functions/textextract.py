@@ -114,6 +114,14 @@ _OVER_CAP = _re.compile(rb"[^<& \t\n\r\f]{%d}" % _CAP)
 # the common case for real body text; one allocation-free C scan decides
 _NEEDS_COLLAPSE = _re.compile(rb"[\t\n\r\f]|  ")
 
+# fused tag dispatch: an attribute-less `<name>` / `</name>` (optional
+# trailing ws, conservative name charset — anything else falls back to
+# the exact scanner).  The overwhelmingly common tag shape on real pages
+# (`</p>`, `<br>`, `<li>`, `</div>`, ...) takes ONE regex match + one
+# dict hit instead of _scan_tag + _scan_head + two set probes + lower()
+_SIMPLE_TAG = _re.compile(rb"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)[ \t\n\r\f]*>")
+_TAG_EFFECT_CAP = 4096
+
 
 def _fused_body(s: sc.Scanner, out: bytearray, suppress: bool) -> None:
     """Apply a whole body segment (up to the next '<' or EOF) to ``out``
@@ -170,6 +178,9 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
     t = sc.TT_SPACE
     body_func = sc.Scanner._scan_body
     head_func = sc.Scanner._scan_head
+    tag_effects: dict[bytes, tuple] = {}
+    name_cap = sc.MAX_NAME_SIZE - 1
+    tb = s._tag_buf
     while t != sc.TT_EOF and t != sc.TT_ERROR:
         # NB: compare the underlying function — bound methods are re-created
         # on each attribute access, so `s._scan is s._scan_body` is never true
@@ -179,6 +190,37 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
                 _fused_body(s, out, tag in NOTEXT_TAGS)
                 if s.pos >= s.end:
                     break
+                m = _SIMPLE_TAG.match(s.buf, s.pos)
+                if m is not None:
+                    # fused simple-tag dispatch: apply the exact
+                    # TAG_START/TAG_END effects and leave the scanner
+                    # state (tag buffer + NUL, position, special-mode
+                    # entry) byte-identical to _scan_tag + _scan_head
+                    name = m.group(2)
+                    eff = tag_effects.get(name)
+                    if eff is None:
+                        name_t = name[:name_cap]
+                        low = name_t.lower()
+                        eff = (name_t, low, low in BLOCK_TAGS,
+                               low in VOID_TAGS,
+                               name_t[:6] == b"script"
+                               or name_t[:5] == b"style")
+                        if len(tag_effects) < _TAG_EFFECT_CAP:
+                            tag_effects[name] = eff
+                    name_t, tag, is_block, is_void, is_special = eff
+                    nl = len(name_t)
+                    tb[:nl] = name_t
+                    s.tag_name_length = nl
+                    tb[nl] = 0  # _terminate_name (stale-byte contract)
+                    s.tag_name = name_t
+                    s.pos = m.end()
+                    if is_block:
+                        _add_newline(out)
+                    if is_void:
+                        _add_space(out)
+                    if is_special and not m.group(1):
+                        s._scan = s._scan_special
+                    continue
                 t, value = s.next_token()
             elif f is head_func and tag not in tag_filters:
                 # no filter can fire for this tag: ATTR values are inert,
