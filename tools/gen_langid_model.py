@@ -1,0 +1,357 @@
+"""Generate warc2text_spark/functions/_langid_model.py — a compact
+table-driven character-trigram language model for the Latin-script
+languages (VERDICT r4 item 4: back the heuristic labels with real
+discriminative evidence and CLD2-style reliability, with no wheels).
+
+Training data is public knowledge only: per language, a short seed
+paragraph (UDHR article-1 phrasing plus everyday sentences, authored
+here) concatenated with the language's stopword table (the
+highest-frequency function words — tripled, to anchor the orthographic
+head of the distribution).  The model is add-half-smoothed trigram
+log-odds against the unseen-trigram floor, truncated to the top
+TOP_K trigrams per language.
+
+The held-out set (sentences NOT in the seeds) is written alongside the
+model with the model's own label per sentence, computed at generation
+time: the driver-oracle CASE pins those labels (regression pin), and
+tests/test_langid_model.py documents precision against the TRUE labels.
+
+Usage: python tools/gen_langid_model.py   (rewrites _langid_model.py)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TOP_K = 400
+
+# seed paragraphs: UDHR article-1 phrasing + two everyday sentences,
+# authored per language (public knowledge)
+SEEDS = {
+    "en": "All human beings are born free and equal in dignity and rights. "
+          "They are endowed with reason and conscience and should act "
+          "towards one another in a spirit of brotherhood. The quick brown "
+          "fox jumps over the lazy dog while the children read their books.",
+    "es": "Todos los seres humanos nacen libres e iguales en dignidad y "
+          "derechos. Dotados como están de razón y conciencia, deben "
+          "comportarse fraternalmente los unos con los otros. La vida es "
+          "bella y el tiempo pasa rápido en la ciudad.",
+    "fr": "Tous les êtres humains naissent libres et égaux en dignité et "
+          "en droits. Ils sont doués de raison et de conscience et doivent "
+          "agir les uns envers les autres dans un esprit de fraternité. La "
+          "vie est belle et le temps passe vite dans la ville.",
+    "de": "Alle Menschen sind frei und gleich an Würde und Rechten "
+          "geboren. Sie sind mit Vernunft und Gewissen begabt und sollen "
+          "einander im Geist der Brüderlichkeit begegnen. Das Leben ist "
+          "schön und die Zeit vergeht schnell in der Stadt.",
+    "pt": "Todos os seres humanos nascem livres e iguais em dignidade e em "
+          "direitos. Dotados de razão e de consciência, devem agir uns "
+          "para com os outros em espírito de fraternidade. A vida é bela e "
+          "o tempo passa depressa na cidade.",
+    "it": "Tutti gli esseri umani nascono liberi ed eguali in dignità e "
+          "diritti. Essi sono dotati di ragione e di coscienza e devono "
+          "agire gli uni verso gli altri in spirito di fratellanza. La "
+          "vita è bella e il tempo passa veloce nella città.",
+    "nl": "Alle mensen worden vrij en gelijk in waardigheid en rechten "
+          "geboren. Zij zijn begiftigd met verstand en geweten en behoren "
+          "zich jegens elkander in een geest van broederschap te gedragen. "
+          "Het leven is mooi en de tijd gaat snel voorbij in de stad.",
+    "pl": "Wszyscy ludzie rodzą się wolni i równi pod względem swej "
+          "godności i swych praw. Są oni obdarzeni rozumem i sumieniem i "
+          "powinni postępować wobec innych w duchu braterstwa. Życie jest "
+          "piękne a czas szybko płynie w mieście.",
+    "cs": "Všichni lidé rodí se svobodní a sobě rovní co do důstojnosti a "
+          "práv. Jsou nadáni rozumem a svědomím a mají spolu jednat v "
+          "duchu bratrství. Život je krásný a čas rychle běží ve městě.",
+    "sv": "Alla människor är födda fria och lika i värde och rättigheter. "
+          "De har utrustats med förnuft och samvete och bör handla "
+          "gentemot varandra i en anda av gemenskap. Livet är vackert och "
+          "tiden går fort i staden.",
+    "ro": "Toate ființele umane se nasc libere și egale în demnitate și "
+          "în drepturi. Ele sunt înzestrate cu rațiune și conștiință și "
+          "trebuie să se comporte unele față de altele în spiritul "
+          "fraternității. Viața este frumoasă și timpul trece repede.",
+    "tr": "Bütün insanlar hür, haysiyet ve haklar bakımından eşit "
+          "doğarlar. Akıl ve vicdana sahiptirler ve birbirlerine karşı "
+          "kardeşlik zihniyeti ile hareket etmelidirler. Hayat güzeldir ve "
+          "zaman şehirde hızlı geçer.",
+    "fi": "Kaikki ihmiset syntyvät vapaina ja tasavertaisina arvoltaan ja "
+          "oikeuksiltaan. Heille on annettu järki ja omatunto, ja heidän "
+          "on toimittava toisiaan kohtaan veljeyden hengessä. Elämä on "
+          "kaunista ja aika kuluu nopeasti kaupungissa.",
+    "id": "Semua orang dilahirkan merdeka dan mempunyai martabat dan hak "
+          "yang sama. Mereka dikaruniai akal dan hati nurani dan hendaknya "
+          "bergaul satu sama lain dalam semangat persaudaraan. Hidup ini "
+          "indah dan waktu berlalu cepat di kota.",
+    "vi": "Tất cả mọi người sinh ra đều được tự do và bình đẳng về nhân "
+          "phẩm và quyền lợi. Mọi con người đều được tạo hóa ban cho lý "
+          "trí và lương tâm và cần phải đối xử với nhau trong tình anh em. "
+          "Cuộc sống tươi đẹp và thời gian trôi nhanh trong thành phố.",
+    "da": "Alle mennesker er født frie og lige i værdighed og rettigheder. "
+          "De er udstyret med fornuft og samvittighed, og de bør handle "
+          "mod hverandre i en broderskabets ånd. Livet er smukt og tiden "
+          "går hurtigt i byen.",
+    "no": "Alle mennesker er født frie og med samme menneskeverd og "
+          "menneskerettigheter. De er utstyrt med fornuft og samvittighet "
+          "og bør handle mot hverandre i brorskapets ånd. Livet er vakkert "
+          "og tiden går fort i byen.",
+    "is": "Allir menn eru bornir frjálsir og jafnir öðrum að virðingu og "
+          "réttindum. Þeir eru gæddir vitsmunum og samvisku og ber að "
+          "breyta bróðurlega hver við annan. Lífið er fallegt og tíminn "
+          "líður hratt í borginni.",
+    "hu": "Minden emberi lény szabadon születik és egyenlő méltósága és "
+          "joga van. Az emberek ésszel és lelkiismerettel bírván, "
+          "egymással szemben testvéri szellemben kell hogy viseltessenek. "
+          "Az élet szép és az idő gyorsan telik a városban.",
+    "ca": "Tots els éssers humans neixen lliures i iguals en dignitat i "
+          "en drets. Són dotats de raó i de consciència i han de "
+          "comportar-se fraternalment els uns amb els altres. La vida és "
+          "bella i el temps passa de pressa a la ciutat.",
+    "hr": "Sva ljudska bića rađaju se slobodna i jednaka u dostojanstvu i "
+          "pravima. Ona su obdarena razumom i sviješću i trebaju jedna "
+          "prema drugima postupati u duhu bratstva. Život je lijep i "
+          "vrijeme brzo prolazi u gradu.",
+    "sl": "Vsi ljudje se rodijo svobodni in imajo enako dostojanstvo in "
+          "enake pravice. Obdarjeni so z razumom in vestjo in bi morali "
+          "ravnati drug z drugim kakor bratje. Življenje je lepo in čas "
+          "hitro teče v mestu.",
+    "sk": "Všetci ľudia sa rodia slobodní a sebe rovní, čo sa týka ich "
+          "dôstojnosti a práv. Sú obdarení rozumom a majú navzájom jednať "
+          "v bratskom duchu. Život je krásny a čas rýchlo beží v meste.",
+    "et": "Kõik inimesed sünnivad vabadena ja võrdsetena oma väärikuselt "
+          "ja õigustelt. Neile on antud mõistus ja südametunnistus ja "
+          "nende suhtumist üksteisesse peab kandma vendluse vaim. Elu on "
+          "ilus ja aeg läheb linnas kiiresti.",
+    "lt": "Visi žmonės gimsta laisvi ir lygūs savo orumu ir teisėmis. "
+          "Jiems suteiktas protas ir sąžinė ir jie turi elgtis vienas "
+          "kito atžvilgiu kaip broliai. Gyvenimas gražus ir laikas mieste "
+          "greitai bėga.",
+    "lv": "Visi cilvēki piedzimst brīvi un vienlīdzīgi savā pašcieņā un "
+          "tiesībās. Viņi ir apveltīti ar saprātu un sirdsapziņu, un "
+          "viņiem citam pret citu jāizturas brālības garā. Dzīve ir "
+          "skaista un laiks pilsētā iet ātri.",
+    "af": "Alle menslike wesens word vry, met gelyke waardigheid en regte, "
+          "gebore. Hulle het rede en gewete en behoort in die gees van "
+          "broederskap teenoor mekaar op te tree. Die lewe is mooi en die "
+          "tyd gaan vinnig verby in die stad.",
+    "sq": "Të gjithë njerëzit lindin të lirë dhe të barabartë në dinjitet "
+          "dhe në të drejta. Ata kanë arsye dhe ndërgjegje dhe duhet të "
+          "sillen ndaj njëri tjetrit me frymë vëllazërimi. Jeta është e "
+          "bukur dhe koha kalon shpejt në qytet.",
+    "sw": "Watu wote wamezaliwa huru, hadhi na haki zao ni sawa. Wote "
+          "wamejaliwa akili na dhamiri, hivyo yapasa watendeane kindugu. "
+          "Maisha ni mazuri na wakati unapita haraka mjini.",
+    "tl": "Ang lahat ng tao ay isinilang na malaya at pantay-pantay sa "
+          "karangalan at mga karapatan. Sila ay pinagkalooban ng katwiran "
+          "at budhi at dapat magpalagayan ang isa't isa sa diwa ng "
+          "pagkakapatiran. Maganda ang buhay sa lungsod.",
+    "cy": "Genir pawb yn rhydd ac yn gydradd â'i gilydd mewn urddas a "
+          "hawliau. Fe'u cynysgaeddir â rheswm a chydwybod, a dylai pawb "
+          "ymddwyn y naill at y llall mewn ysbryd cymodlon. Mae bywyd yn "
+          "hardd ac mae amser yn mynd heibio'n gyflym yn y ddinas.",
+    "ga": "Saolaítear gach duine den chine daonna saor agus comhionann i "
+          "ndínit agus i gcearta. Tá bua an réasúin agus an choinsiasa acu "
+          "agus ba cheart dóibh gníomhú i dtreo a chéile i spiorad an "
+          "bhráithreachais. Tá an saol go hálainn sa chathair.",
+    "eu": "Gizon-emakume guztiak aske jaiotzen dira, duintasun eta "
+          "eskubide berberak dituztela. Adimena eta kontzientzia dituzte "
+          "eta elkarren artean senide legez jokatu behar dute. Bizitza "
+          "ederra da eta denbora azkar doa hirian.",
+    "gl": "Todos os seres humanos nacen libres e iguais en dignidade e "
+          "dereitos. Están dotados de razón e consciencia e deben "
+          "comportarse fraternalmente uns cos outros. A vida é fermosa e "
+          "o tempo pasa axiña na cidade.",
+    "mt": "Il-bnedmin kollha jitwieldu ħielsa u ugwali fid-dinjità u "
+          "d-drittijiet. Huma mogħnija bir-raġuni u bil-kuxjenza u "
+          "għandhom iġibu ruħhom ma' xulxin bi spirtu ta' aħwa. Il-ħajja "
+          "sabiħa u ż-żmien jgħaddi malajr fil-belt.",
+    "az": "Bütün insanlar ləyaqət və hüquqlarına görə azad və bərabər "
+          "doğulurlar. Onların şüurları və vicdanları var və bir-birlərinə "
+          "münasibətdə qardaşlıq ruhunda davranmalıdırlar. Həyat gözəldir "
+          "və vaxt şəhərdə sürətlə keçir.",
+    "uz": "Barcha odamlar erkin, qadr-qimmat va huquqlarda teng bo'lib "
+          "tug'iladilar. Ular aql va vijdon sohibidirlar va bir-birlariga "
+          "birodarlarcha muomala qilishlari zarur. Hayot go'zal va vaqt "
+          "shaharda tez o'tadi.",
+    "so": "Aadanaha dhammaantiis wuxuu dhashaa isagoo xor ah kana siman "
+          "xagga sharafta iyo xuquuqada. Waxaa Alle siiyay aqoon iyo "
+          "wacyi, waana inay ula dhaqmaan sida walaalo. Noloshu waa qurux "
+          "badan tahay waqtiguna si dhakhso ah ayuu u dhaafaa.",
+    "lb": "All Mënsch kënnt fräi a mat deer selwechter Dignitéit an dene "
+          "selwechte Rechter op d'Welt. Jiddereen huet säi Verstand a säi "
+          "Gewësse krut an soll an engem Geescht vu Bridderlechkeet denen "
+          "anere géintiwwer handelen. D'Liewen ass schéin an der Stad.",
+    "eo": "Ĉiuj homoj estas denaske liberaj kaj egalaj laŭ digno kaj "
+          "rajtoj. Ili posedas racion kaj konsciencon, kaj devus konduti "
+          "unu al alia en spirito de frateco. La vivo estas bela kaj la "
+          "tempo pasas rapide en la urbo.",
+}
+
+# held-out sentences (same content across languages, absent from SEEDS)
+HELDOUT_TRUE = {
+    "en": "Yesterday the children walked to school together and talked "
+          "about their favourite books.",
+    "es": "Ayer los niños caminaron juntos a la escuela y hablaron de sus "
+          "libros favoritos.",
+    "fr": "Hier les enfants ont marché ensemble vers l'école et ont parlé "
+          "de leurs livres préférés.",
+    "de": "Gestern gingen die Kinder zusammen zur Schule und sprachen "
+          "über ihre Lieblingsbücher.",
+    "pt": "Ontem as crianças caminharam juntas para a escola e falaram "
+          "sobre os seus livros preferidos.",
+    "it": "Ieri i bambini hanno camminato insieme verso la scuola e hanno "
+          "parlato dei loro libri preferiti.",
+    "nl": "Gisteren liepen de kinderen samen naar school en praatten over "
+          "hun lievelingsboeken.",
+    "pl": "Wczoraj dzieci szły razem do szkoły i rozmawiały o swoich "
+          "ulubionych książkach.",
+    "cs": "Včera šly děti společně do školy a povídaly si o svých "
+          "oblíbených knihách.",
+    "sv": "Igår gick barnen tillsammans till skolan och pratade om sina "
+          "favoritböcker.",
+    "ro": "Ieri copiii au mers împreună la școală și au vorbit despre "
+          "cărțile lor preferate.",
+    "tr": "Dün çocuklar birlikte okula yürüdüler ve en sevdikleri "
+          "kitaplar hakkında konuştular.",
+    "fi": "Eilen lapset kävelivät yhdessä kouluun ja puhuivat "
+          "lempikirjoistaan.",
+    "id": "Kemarin anak-anak berjalan bersama ke sekolah dan berbicara "
+          "tentang buku kesukaan mereka.",
+    "vi": "Hôm qua các em nhỏ cùng nhau đi bộ đến trường và nói chuyện "
+          "về những cuốn sách yêu thích.",
+    "da": "I går gik børnene sammen i skole og talte om deres "
+          "yndlingsbøger.",
+    "no": "I går gikk barna sammen til skolen og snakket om "
+          "favorittbøkene sine.",
+    "is": "Í gær gengu börnin saman í skólann og töluðu um "
+          "uppáhaldsbækurnar sínar.",
+    "hu": "Tegnap a gyerekek együtt sétáltak az iskolába és a kedvenc "
+          "könyveikről beszélgettek.",
+    "ca": "Ahir els nens van caminar junts cap a l'escola i van parlar "
+          "dels seus llibres preferits.",
+    "hr": "Jučer su djeca zajedno hodala u školu i razgovarala o svojim "
+          "omiljenim knjigama.",
+    "sl": "Včeraj so otroci skupaj hodili v šolo in se pogovarjali o "
+          "svojih najljubših knjigah.",
+    "sk": "Včera išli deti spolu do školy a rozprávali sa o svojich "
+          "obľúbených knihách.",
+    "et": "Eile kõndisid lapsed koos kooli ja rääkisid oma "
+          "lemmikraamatutest.",
+    "lt": "Vakar vaikai kartu ėjo į mokyklą ir kalbėjosi apie savo "
+          "mėgstamiausias knygas.",
+    "lv": "Vakar bērni kopā gāja uz skolu un runāja par savām mīļākajām "
+          "grāmatām.",
+    "af": "Gister het die kinders saam skool toe gestap en oor hulle "
+          "gunsteling boeke gesels.",
+    "sq": "Dje fëmijët ecën së bashku drejt shkollës dhe folën për "
+          "librat e tyre të preferuar.",
+    "sw": "Jana watoto walitembea pamoja kwenda shuleni na kuzungumza "
+          "kuhusu vitabu wanavyovipenda.",
+    "tl": "Kahapon sabay-sabay na naglakad ang mga bata papunta sa "
+          "paaralan at nag-usap tungkol sa kanilang paboritong mga aklat.",
+    "cy": "Ddoe cerddodd y plant gyda'i gilydd i'r ysgol a siarad am eu "
+          "hoff lyfrau.",
+    "ga": "Inné shiúil na páistí le chéile ar scoil agus labhair siad "
+          "faoina leabhair is fearr leo.",
+    "eu": "Atzo haurrak elkarrekin joan ziren eskolara oinez eta beren "
+          "liburu gogokoenei buruz hitz egin zuten.",
+    "gl": "Onte os nenos camiñaron xuntos á escola e falaron dos seus "
+          "libros favoritos.",
+    "mt": "Ilbieraħ it-tfal mxew flimkien lejn l-iskola u tkellmu dwar "
+          "il-kotba favoriti tagħhom.",
+    "az": "Dünən uşaqlar birlikdə məktəbə getdilər və sevimli kitabları "
+          "haqqında danışdılar.",
+    "uz": "Kecha bolalar birga maktabga borishdi va sevimli kitoblari "
+          "haqida gaplashishdi.",
+    "so": "Shalay carruurtu waxay si wada jir ah ugu socdeen dugsiga "
+          "waxayna ka hadleen buugaagta ay jecel yihiin.",
+    "lb": "Gëschter sinn d'Kanner zesummen an d'Schoul gaangen an hu vun "
+          "hire Lieblingsbicher geschwat.",
+    "eo": "Hieraŭ la infanoj kune marŝis al la lernejo kaj parolis pri "
+          "siaj plej ŝatataj libroj.",
+}
+
+
+def main() -> None:
+    from warc2text_spark.functions.langid import _STOPWORDS, normalize_model
+
+    assert set(SEEDS) == set(_STOPWORDS), (
+        set(SEEDS) ^ set(_STOPWORDS))
+    assert set(HELDOUT_TRUE) == set(SEEDS)
+
+    # trigram counts per language over seed paragraph + tripled stopwords
+    counts: dict[str, Counter] = {}
+    vocab: set[str] = set()
+    for lang in sorted(SEEDS):
+        text = SEEDS[lang] + " " + " ".join(sorted(_STOPWORDS[lang]) * 3)
+        t = normalize_model(text)
+        c = Counter(t[i:i + 3] for i in range(len(t) - 2))
+        counts[lang] = c
+        vocab.update(c)
+    v = len(vocab)
+    model: dict[str, dict[str, float]] = {}
+    for lang, c in counts.items():
+        n = sum(c.values())
+        denom = n + 0.5 * v
+        floor = math.log(0.5 / denom)
+        scored = {tri: round(math.log((cnt + 0.5) / denom) - floor, 2)
+                  for tri, cnt in c.items()}
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        model[lang] = dict(top)
+
+    out_path = (Path(__file__).resolve().parent.parent
+                / "warc2text_spark" / "functions" / "_langid_model.py")
+
+    def write(heldout_rows) -> None:
+        with open(out_path, "w") as f:
+            f.write('"""GENERATED by tools/gen_langid_model.py — do not '
+                    'edit by hand.\n\nCharacter-trigram log-odds tables '
+                    '(top %d/lang) for the Latin-script\nlanguages, plus '
+                    'the held-out sentences with the model\'s own labels\n'
+                    '(pinned by the driver oracle; precision vs TRUE '
+                    'labels documented in\ntests/test_langid_model.py).'
+                    '"""\n\n' % TOP_K)
+            f.write("MODEL = {\n")
+            for lang in sorted(model):
+                f.write(f"    {lang!r}: {model[lang]!r},\n")
+            f.write("}\n\n")
+            f.write("# (true_lang, sentence, model_label, reliable)\n"
+                    "HELDOUT = (\n")
+            for row in heldout_rows:
+                f.write(f"    {row!r},\n")
+            f.write(")\n")
+
+    # phase 1: model only (so inference can import it)
+    write([])
+    import importlib
+
+    import warc2text_spark.functions._langid_model as m
+    importlib.reload(m)
+    import warc2text_spark.functions.langid as L
+    importlib.reload(L)
+    rows = []
+    correct = rel = rel_correct = 0
+    for lang in sorted(HELDOUT_TRUE):
+        sent = HELDOUT_TRUE[lang]
+        got, conf, reliable = L.classify_model(sent)
+        rows.append((lang, sent, got, reliable))
+        ok = got == lang
+        correct += ok
+        rel += reliable
+        rel_correct += ok and reliable
+        print(f"{lang}: model={got} conf={conf:.3f} "
+              f"reliable={reliable} {'OK' if ok else 'MISS'}")
+    write(rows)
+    print(f"held-out precision: {correct}/{len(rows)} "
+          f"= {correct / len(rows):.3f}; reliable {rel}, "
+          f"precision among reliable {rel_correct}/{rel}")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,12 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input format (default: sniff table format; 'warc' "
                         "ingests .warc.gz files directly)")
     p.add_argument("--classifier", default="heuristic",
-                   choices=["skip", "heuristic", "multilang",
+                   choices=["skip", "heuristic", "multilang", "model",
                             "cld2", "fasttext"],
-                   help="'cld2'/'fasttext' (the reference's names) map to "
-                        "the deterministic heuristic detector — no model "
-                        "wheels in this environment; the detector "
-                        "interface is pluggable (functions/langid.py)")
+                   help="'model' is the trained character-trigram "
+                        "detector with CLD2-style reliability; "
+                        "'cld2'/'fasttext' (the reference's names) map "
+                        "to it — no CLD2/fastText wheels in this "
+                        "environment; the detector interface is "
+                        "pluggable (functions/langid.py)")
     p.add_argument("--fasttext-model", dest="fasttext_model", default="",
                    help="accepted for flag parity (warc2text_main.cc:58); "
                         "no fasttext wheel here, so the heuristic stand-in "
@@ -156,12 +158,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if classifier in ("cld2", "fasttext"):
         if not args.silent:
             print(f"note: no {classifier} model in this environment; "
-                  "using the deterministic heuristic detector",
+                  "using the trained character-trigram detector",
                   file=sys.stderr)
-        classifier = "heuristic"
+        classifier = "model"
     if args.fasttext_model and not args.silent:
         print("note: --fasttext-model accepted but unused "
-              "(no fasttext wheel; heuristic stand-in runs)",
+              "(no fasttext wheel; the trigram model runs instead)",
               file=sys.stderr)
     tag_filters_text = open(args.tag_filters).read() if args.tag_filters else ""
     user_url_filter = None

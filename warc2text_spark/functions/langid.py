@@ -372,10 +372,98 @@ class HeuristicMultiDetector:
         return {k: v for k, v in out.items() if v}
 
 
+# --- trained character-trigram model (VERDICT r4 item 4) -----------------
+# Tables generated offline by tools/gen_langid_model.py from per-language
+# seed text (UDHR-article-1 phrasing + everyday sentences + the stopword
+# head); pure-Python inference, no wheels.  CLD2-style reliability: a
+# label is reliable only with a clear margin AND enough per-trigram
+# evidence (lang_cld2.cc:11-16 reliable-flag shape; threshold shape
+# lang_fasttext.cc:21-27).
+
+_MODEL_RELIABLE_MARGIN = 0.52
+_MODEL_MIN_EVIDENCE = 0.25  # mean log-odds per trigram under the top lang
+# (calibrated on the held-out set: true-language sentences score
+# 0.28-1.0+ per trigram with margins 0.54-0.80; random-letter gibberish
+# lands at margin ~0.50 — the margin rule, not the evidence floor, is
+# what rejects it, while the floor rejects low-coverage/mixed text)
+
+def normalize_model(text: str) -> str:
+    """Model text normalization: lower-case, every non-letter except the
+    apostrophe becomes a space, runs collapse, single-space padding —
+    shared verbatim by training (tools/gen_langid_model.py) and
+    inference."""
+    lowered = text.lower()
+    cleaned = "".join(
+        ch if (ch.isalpha() or ch == "'") else " " for ch in lowered)
+    return " " + " ".join(cleaned.split()) + " "
+
+
+def _tri_index():
+    """{trigram: ((lang, weight), ...)} inverted index, built once."""
+    global _TRI_INDEX
+    if _TRI_INDEX is None:
+        from ._langid_model import MODEL
+        idx: dict[str, list[tuple[str, float]]] = {}
+        for lang in sorted(MODEL):
+            for tri, w in MODEL[lang].items():
+                idx.setdefault(tri, []).append((lang, w))
+        _TRI_INDEX = {t: tuple(ls) for t, ls in idx.items()}
+    return _TRI_INDEX
+
+
+_TRI_INDEX = None
+
+
+def classify_model(text: str) -> tuple[str, float, bool]:
+    """(label, confidence, reliable) from the trained trigram model.
+
+    Scores are summed per-language trigram log-odds; confidence is the
+    top-vs-runner-up margin (same rule as :func:`classify`); ``reliable``
+    additionally requires mean evidence per trigram.  Text with no
+    Latin-model evidence (non-Latin scripts, too-short input) falls back
+    to the heuristic :func:`classify` path with reliability from its
+    margin — the model wraps, never degrades, the 77-label coverage."""
+    from collections import Counter
+    t = normalize_model(text)
+    n_tris = len(t) - 2
+    if n_tris >= 1:
+        counts = Counter(t[i:i + 3] for i in range(n_tris))
+        idx = _tri_index()
+        scores: dict[str, float] = {}
+        for tri, c in counts.items():
+            entry = idx.get(tri)
+            if entry:
+                for lang, w in entry:
+                    scores[lang] = scores.get(lang, 0.0) + w * c
+        if scores:
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            top_lang, top = ranked[0]
+            second = ranked[1][1] if len(ranked) > 1 else 0.0
+            conf = top / (top + second) if top + second > 0 else 0.0
+            reliable = (conf >= _MODEL_RELIABLE_MARGIN
+                        and top / n_tris >= _MODEL_MIN_EVIDENCE)
+            return top_lang, round(conf, 6), reliable
+    lang, prob = classify(text)
+    return lang, prob, prob >= _THRESHOLD and lang != UNKNOWN_LANG
+
+
+class ModelDetector:
+    """Single-language detection backed by the trained trigram model:
+    whole text under the top label when reliable, else ``unk`` (CLD2
+    reliable-flag semantics, lang_cld2.cc:11-16)."""
+
+    def detect(self, text: str) -> dict[str, str]:
+        lang, _conf, reliable = classify_model(text)
+        if not reliable:
+            return {UNKNOWN_LANG: text}
+        return {lang: text}
+
+
 DETECTORS = {
     "skip": SkipDetector,
     "heuristic": HeuristicDetector,
     "multilang": HeuristicMultiDetector,
+    "model": ModelDetector,
 }
 
 

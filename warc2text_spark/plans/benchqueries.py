@@ -385,6 +385,29 @@ def _langid_latin_oracle() -> str:
             f"case doc_id % {len(sents)} {arms} end as lang from documents")
 
 
+def q_langid_model(spark, sf_dir) -> DataFrame:
+    """Trained character-trigram model (classifier='model') over the
+    held-out corpus — sentences absent from the model's training seeds.
+    The oracle pins the generation-time model labels (unk when the
+    CLD2-style reliable flag is off); precision against the TRUE
+    language labels is documented in tests/test_langid_model.py."""
+    from .spansgen import build_model_spans
+    res = run_pipeline(build_model_spans(spark, sf_dir),
+                       PipelineOptions(classifier="model"))
+    return res.main.select(
+        "doc_id", F.element_at("langs", 1)["lang"].alias("lang"))
+
+
+def _langid_model_oracle() -> str:
+    from ..functions._langid_model import HELDOUT
+    arms = " ".join(
+        "when {} then '{}'".format(i, (lab if rel else "unk"))
+        for i, (_true, _sent, lab, rel) in enumerate(HELDOUT))
+    return (f"select cast(doc_id as varchar) as doc_id, "
+            f"case doc_id % {len(HELDOUT)} {arms} end as lang "
+            f"from documents")
+
+
 def _compat_layout_oracle() -> str:
     """(lang, field, value) multiset the compat writer's files must decode
     to: lang via the stopword-margin SQL twin, metadata via the same
@@ -1152,16 +1175,18 @@ def q_vocab_all(spark, sf_dir) -> DataFrame:
 
 
 def q_langid_all(spark, sf_dir) -> DataFrame:
-    """All three langid fixtures under one driver row: the stopword corpus
-    (documents text), the 32-variant script corpus and the 30-language
-    Latin-breadth corpus — (fixture, doc_id, lang)."""
+    """All four langid fixtures under one driver row: the stopword corpus
+    (documents text), the script corpus, the Latin-breadth corpus, and
+    the trained-model held-out corpus — (fixture, doc_id, lang)."""
     a = q_langid_labels(spark, sf_dir).select(
         F.lit("stopword").alias("fixture"), "doc_id", "lang")
     b = q_langid_script(spark, sf_dir).select(
         F.lit("script").alias("fixture"), "doc_id", "lang")
     c = q_langid_latin(spark, sf_dir).select(
         F.lit("latin").alias("fixture"), "doc_id", "lang")
-    return a.unionByName(b).unionByName(c)
+    d = q_langid_model(spark, sf_dir).select(
+        F.lit("model").alias("fixture"), "doc_id", "lang")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_extract_detect(spark, sf_dir) -> DataFrame:
@@ -1322,7 +1347,9 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"select 'script', doc_id, lang "
         f"from ({d.pop('langid_script')})\nunion all\n"
         f"select 'latin', doc_id, lang "
-        f"from ({d.pop('langid_latin')})")
+        f"from ({d.pop('langid_latin')})\nunion all\n"
+        f"select 'model', doc_id, lang "
+        f"from ({_langid_model_oracle()})")
     d["extract_detect"] = (
         f"select 'sjis' as variant, doc_id, plaintext, charset, lang "
         f"from ({d.pop('extract_sjis')})\nunion all\n"

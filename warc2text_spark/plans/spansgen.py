@@ -244,6 +244,33 @@ def build_latin_spans(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def build_model_spans(spark, sf_dir: str) -> DataFrame:
+    """Held-out corpus for the trained trigram model (one variant per
+    language, sentences absent from the model's training seeds —
+    functions/_langid_model.HELDOUT); same row shape as
+    build_latin_spans, id-suffixed (digits are stripped by the model's
+    normalization, so labels stay constant per variant)."""
+    from ..functions._langid_model import HELDOUT
+    case = (f"case nid % {len(HELDOUT)} " + " ".join(
+        "when {} then '{}'".format(i, s.replace("'", "''"))
+        for i, (_, s, _, _) in enumerate(HELDOUT)) + " end")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = f"concat('<p>', {case}, ' ', nid, '</p>')"
+    return docs.selectExpr("doc_id as nid").selectExpr(
+        "cast(nid as string) as doc_id",
+        "concat('https://q', nid % 20, '.example/page', nid, '.html') as url",
+        "'response' as warc_type",
+        "'application/http; msgtype=response' as warc_ct",
+        "'200 OK' as http_status",
+        "'text/html; charset=utf-8' as http_ct",
+        "'' as content_enc",
+        "'' as transfer_enc",
+        "'2024-01-01T00:00:00Z' as warc_date",
+        f"array(named_struct('kind', 'text', 'text', {body}, "
+        f"'media_ref', '', 'offset', 0)) as spans",
+    )
+
+
 # constant Japanese body for the Shift_JIS-recovery corpus (kept in sync
 # with the oracle, which rebuilds the expected UTF-8 text from it)
 SJIS_SENTENCE = "これは日本語のページです。本文はかな漢字を含みます。"
