@@ -82,6 +82,18 @@ def force(df) -> int:
     return 0
 
 
+def read_steal_jiffies() -> int:
+    """Cumulative hypervisor-steal jiffies from /proc/stat (-1 when the
+    probe is unavailable) — shared by the host stamp and the per-sample
+    taint gate."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7] if len(vals) > 7 else -1
+    except Exception:
+        return -1
+
+
 def host_state() -> dict:
     """Auditable idleness stamp for the bench JSON (VERDICT r4: the
     driver-recorded artifact must be self-evidently trustworthy, not
@@ -95,13 +107,12 @@ def host_state() -> dict:
     accumulates it."""
     import subprocess
     la = [round(x, 2) for x in os.getloadavg()]
-    steal = total = -1
+    steal = read_steal_jiffies()
+    total = -1
     try:
         with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:]]
+            vals = [int(x) for x in f.readline().split()[1:]]
         total = sum(vals)
-        steal = vals[7] if len(vals) > 7 else -1
     except Exception:
         pass
     busy_foreign = -1  # sentinel: probe unavailable
@@ -172,14 +183,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def _steal_jiffies() -> int:
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return vals[7] if len(vals) > 7 else -1
-        except Exception:
-            return -1
-
     def timed(name, fn, repeat=1):
         # steal-aware sampling: a sample during which the hypervisor
         # stole > 3 core-seconds (300 jiffies) from this VM is tainted —
@@ -190,11 +193,11 @@ def main() -> None:
         samples = attempts = 0
         while samples < repeat and attempts < repeat + 2:
             attempts += 1
-            s0 = _steal_jiffies()
+            s0 = read_steal_jiffies()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            s1 = _steal_jiffies()
+            s1 = read_steal_jiffies()
             best = min(best, dt)
             if s0 >= 0 and s1 >= 0 and s1 - s0 > 300:
                 continue

@@ -131,3 +131,15 @@ def test_curate_inherits_two_phase_host_cap(spark):
     rows = sorted(map(tuple, salted.collect()))
     assert rows  # gopher gate must not empty the fixture
     assert rows == sorted(map(tuple, single.collect()))
+
+
+def test_paragraph_dedup_exempts_tab_only_lines(spark):
+    # code-review r5 regression: F.trim strips only spaces — tab/formfeed
+    # separator lines must also be exempt from corpus-wide dedup
+    docs = spark.createDataFrame([
+        (1, "HDR\n\t\nbody one"),
+        (2, "HDR\n\t\nbody two"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textops.paragraph_dedup(docs).collect()}
+    assert rows["2"].clean_text == "\t\nbody two"
+    assert rows["2"].n_removed == 1  # only HDR

@@ -88,3 +88,20 @@ def test_model_beats_heuristic_on_heldout():
     assert heur_ok < model_ok, (heur_ok, model_ok)
     # and by a wide margin on this fixture
     assert model_ok - heur_ok >= 8, (heur_ok, model_ok)
+
+
+def test_mixed_script_pages_keep_script_labels():
+    """Code-review r5 regression: a predominantly non-Latin page with
+    stray Latin brand/URL tokens must NOT collect a spurious Latin label
+    from those tokens — the Latin-dominance gate routes it to the script
+    classifier, same answer the heuristic gives."""
+    ru = ("все люди рождаются свободными и равными в своем достоинстве "
+          "и правах купить iphone android windows online")
+    lang, _c, rel = classify_model(ru)
+    assert lang == "ru" and rel
+    ja = "これは日本語のページです本文はかな漢字を含みます iphone price online shop"
+    lang, _c, rel = classify_model(ja)
+    assert lang == "ja" and rel
+    # majority-Latin text still goes to the model
+    en = "the children walked to school and read their favourite books — да"
+    assert classify_model(en)[0] == "en"

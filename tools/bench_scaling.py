@@ -20,6 +20,8 @@ import sys
 import time
 from pathlib import Path
 
+PRESERVE_MARKER = ("<!-- PRESERVED: appended sections below survive "
+                   "bench_scaling rewrites -->")
 REPO = Path(__file__).resolve().parent.parent
 
 RUN_SNIPPET = r"""
@@ -119,6 +121,14 @@ def main() -> None:
     rows = "\n".join(
         f"| local[{c}] | {r['n_docs']:,} | {r['seconds']} | {r['docs_per_sec']:,} |"
         for c, r in levels.items())
+    # everything from the PRESERVE marker on (bench_cluster appendix,
+    # per-round notes) survives the rewrite; only the scaling template
+    # above it is regenerated
+    old = (REPO / "BENCH.md").read_text() \
+        if (REPO / "BENCH.md").exists() else ""
+    keep = ""
+    if PRESERVE_MARKER in old:
+        keep = old[old.index(PRESERVE_MARKER):]
     (REPO / "BENCH.md").write_text(f"""# BENCH — measured performance
 
 End-to-end extraction (full pipeline: native F1-F9 filters -> fused
@@ -165,7 +175,8 @@ worker spin-up, scheduling) amortize and the pipeline approaches its
 kernel-bound rate.  There is no super-linear cost anywhere in the default
 path (no shuffle, no driver-side state), which is the size-scalability
 property the 10^12-doc deployment relies on (SCALE_DESIGN.md).
-""")
+
+{keep}""")
     print("wrote BENCH.md")
 
 

@@ -419,14 +419,28 @@ def classify_model(text: str) -> tuple[str, float, bool]:
 
     Scores are summed per-language trigram log-odds; confidence is the
     top-vs-runner-up margin (same rule as :func:`classify`); ``reliable``
-    additionally requires mean evidence per trigram.  Text with no
-    Latin-model evidence (non-Latin scripts, too-short input) falls back
-    to the heuristic :func:`classify` path with reliability from its
-    margin — the model wraps, never degrades, the 77-label coverage."""
+    additionally requires mean evidence per trigram.  The model scores
+    only text whose letters are predominantly Latin-script (cp < 0x370,
+    the same boundary as the script classifier's fast path): a mostly
+    Cyrillic/CJK/Arabic page containing stray Latin brand/URL tokens
+    must NOT collect a spurious Latin label from those tokens — it (and
+    any text with no model evidence at all) falls back to the heuristic
+    :func:`classify` path with reliability from its margin, so the model
+    wraps, never degrades, the 77-label coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2
-    if n_tris >= 1:
+    alpha = latin = 0
+    for ch in t:
+        if ch != " " and ch != "'":
+            alpha += 1
+            cp = ord(ch)
+            # below Greek (same boundary as _script_scores' fast path)
+            # plus Latin Extended Additional (Vietnamese tone+vowel
+            # diacritics live at 0x1E00-0x1EFF)
+            if cp < 0x0370 or 0x1E00 <= cp <= 0x1EFF:
+                latin += 1
+    if n_tris >= 1 and alpha and latin * 2 >= alpha:
         counts = Counter(t[i:i + 3] for i in range(n_tris))
         idx = _tri_index()
         scores: dict[str, float] = {}

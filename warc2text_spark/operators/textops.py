@@ -453,7 +453,12 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
     keyed = lines.withColumn("h", F.md5("line"))
-    winners = (keyed.filter(F.trim(F.col("line")) != "")
+    # whitespace-only = nothing left after stripping the ASCII C-isspace
+    # set (minus \n, which the split consumed) — F.trim strips ONLY
+    # spaces, which would leave tab/formfeed separator lines dedupable
+    not_blank = F.regexp_replace(
+        F.col("line"), "[ \\t\\f\\r\\x0B]", "") != ""
+    winners = (keyed.filter(not_blank)
                .groupBy("h")
                .agg(F.min("id").alias("keep_id"),
                     F.count(F.lit(1)).alias("n"))

@@ -1373,7 +1373,9 @@ def _merge_registry_oracles(d: dict) -> dict:
                      generate_subscripts(string_split(s, {NL}), 1) as pos
               from t),
         w as (select line, min(doc_id) as keep_id, count(*) as n
-              from l where trim(line) <> '' group by line)
+              from l
+              where regexp_replace(line, '[ \t\f\r\x0b]', '', 'g') <> ''
+              group by line)
         select l.doc_id,
                coalesce(string_agg(
                  case when w.n is null or w.n = 1 or l.doc_id = w.keep_id
