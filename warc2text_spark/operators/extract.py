@@ -117,20 +117,26 @@ class ExtractOptions:
 
 def _clean_one_doc(row: dict, tag_filters, opts: ExtractOptions):
     """Dict-based wrapper (tests/fuzz); the kernel calls _clean_doc."""
+    spans = [(s.get("kind"), s.get("text"), s.get("media_ref"),
+              s.get("offset")) for s in (row.get("spans") or [])]
     return _clean_doc(row.get("url"), row.get("http_ct"),
                       row.get("content_enc"), row.get("transfer_enc"),
-                      row.get("spans"), tag_filters, opts)[:4]
+                      spans, tag_filters, opts)[:4]
 
 
 def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                tag_filters, opts: ExtractOptions):
     """Returns (charset, err, plaintext, spans_out, payload_bytes) for one
-    document (payload_bytes is b'' unless opts.keep_payload)."""
+    document (payload_bytes is b'' unless opts.keep_payload).
+
+    ``spans_in`` is a sequence of (kind, text, media_ref, offset) tuples —
+    the kernel feeds flat Arrow child arrays directly (no per-span dict
+    materialization); dict-shaped callers go through _clean_one_doc."""
     url = url or ""
     clean_ct, declared = rec.clean_content_type(http_ct or "")
     transfer_enc = transfer_enc or ""
     content_enc = content_enc or ""
-    spans = sorted(spans_in or [], key=lambda s: s.get("offset") or 0)
+    spans = sorted(spans_in or [], key=lambda s: s[3] or 0)
 
     from ..functions import ziputil
     zip_ct = ziputil.zip_content_type(clean_ct, url)
@@ -144,11 +150,11 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
     err = rec.SUCCESS
     charset = ""
     filtered = False
-    for s in spans:
-        kind = s.get("kind") or "text"
-        offset = s.get("offset") or 0
+    for skind, stext, smedia, soff in spans:
+        kind = skind or "text"
+        offset = soff or 0
         if kind == "media":
-            media_ref = s.get("media_ref") or ""
+            media_ref = smedia or ""
             if zip_ct or opts.media_text_mode == "extract":
                 try:
                     payload = base64.b64decode(media_ref) if media_ref else b""
@@ -175,10 +181,10 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                 out_spans.append(("media", text, media_ref, offset))
             else:
                 # passthrough: interleaving preserved (F17)
-                out_spans.append(("media", s.get("text") or "", media_ref, offset))
+                out_spans.append(("media", stext or "", media_ref, offset))
             continue
 
-        payload = (s.get("text") or "").encode("utf-8")
+        payload = (stext or "").encode("utf-8")
         payload = transport.transport_decode(payload, transfer_enc, content_enc)
         if opts.keep_payload:
             raw_parts.append(payload)
@@ -196,7 +202,7 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
             break
         if text:
             texts.append(text)
-            out_spans.append(("text", text, s.get("media_ref") or "", offset))
+            out_spans.append(("text", text, smedia or "", offset))
         # empty extraction: text span removed
 
     if err == rec.SUCCESS and filtered:
@@ -235,12 +241,35 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
             # so the input arrays are reused directly (zero-copy)
             urls = plist("url")
             http_cts = plist("http_ct")
+            # spans cross as FLAT child arrays + per-row lengths (no
+            # per-span Python dicts in either direction — the nested
+            # list<struct> <-> list-of-dict conversion was the measured
+            # Arrow-crossing bill at bigdoc scale, BENCH.md r5)
+            spans_col = acols.get("spans")
+            if spans_col is not None and n_rows:
+                sp_len = pc.list_value_length(spans_col).to_pylist()
+                flat = pc.list_flatten(spans_col)
+                in_k = flat.field("kind").to_pylist()
+                in_t = flat.field("text").to_pylist()
+                in_m = flat.field("media_ref").to_pylist()
+                in_o = flat.field("offset").to_pylist()
+            else:
+                sp_len = [0] * n_rows
+                in_k = in_t = in_m = in_o = []
             out = {f.name: [] for f in schema
-                   if f.name not in ("doc_id", "url", "http_ct", "warc_date")}
+                   if f.name not in ("doc_id", "url", "http_ct",
+                                     "warc_date", "spans", "langs")}
+            sk, st, sm, so, s_counts = [], [], [], [], []
+            ll, lc, l_counts = [], [], []
             enc_urls = [] if opts.encode_urls else None
-            for url0, http_ct, content_enc, transfer_enc, sp in zip(
-                    urls, http_cts, plist("content_enc"),
-                    plist("transfer_enc"), plist("spans")):
+            pos = 0
+            for row_i, (url0, http_ct, content_enc, transfer_enc) in \
+                    enumerate(zip(urls, http_cts, plist("content_enc"),
+                                  plist("transfer_enc"))):
+                ln = sp_len[row_i] or 0
+                sp = list(zip(in_k[pos:pos + ln], in_t[pos:pos + ln],
+                              in_m[pos:pos + ln], in_o[pos:pos + ln]))
+                pos += ln
                 charset, err, plaintext, spans, raw = _clean_doc(
                     url0, http_ct, content_enc, transfer_enc, sp,
                     tag_filters, opts)
@@ -249,28 +278,44 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                 out["charset"].append(charset)
                 out["err"].append(err)
                 out["plaintext"].append(plaintext)
-                out["spans"].append([
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for (k, t, m, o) in spans
-                ])
+                for k, t, m, o in spans:
+                    sk.append(k)
+                    st.append(t)
+                    sm.append(m)
+                    so.append(o)
+                s_counts.append(len(spans))
                 if keep_payload:
                     out["payload_b64"].append(
                         base64.b64encode(raw).decode("ascii"))
                 if detector is not None:
                     # only surviving docs need language labels
                     if err == rec.SUCCESS and plaintext:
-                        chunks = detector.detect(plaintext)
-                        out["langs"].append(sorted(
-                            ({"lang": k, "chunk": v} for k, v in chunks.items()),
-                            key=lambda d: d["lang"]))
+                        items = sorted(detector.detect(plaintext).items())
+                        for lang, chunk in items:
+                            ll.append(lang)
+                            lc.append(chunk)
+                        l_counts.append(len(items))
                     else:
-                        out["langs"].append([])
+                        l_counts.append(0)
 
             def native(name):
                 c = acols.get(name)
                 if c is None:
                     return pa.array([""] * n_rows, type=pa.string())
                 return pc.fill_null(c, "")
+
+            def list_of_structs(counts, children, struct_type):
+                offsets = [0]
+                acc = 0
+                for c in counts:
+                    acc += c
+                    offsets.append(acc)
+                values = pa.StructArray.from_arrays(
+                    [pa.array(col, type=f.type)
+                     for col, f in zip(children, struct_type)],
+                    fields=list(struct_type))
+                return pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), values)
 
             arrays = []
             for f in schema:
@@ -283,6 +328,12 @@ def make_extract_kernel(opts: ExtractOptions | None = None):
                                   if enc_urls is not None else native("url"))
                 elif f.name in ("http_ct", "warc_date"):
                     arrays.append(native(f.name))
+                elif f.name == "spans":
+                    arrays.append(list_of_structs(
+                        s_counts, (sk, st, sm, so), SPAN_TYPE))
+                elif f.name == "langs":
+                    arrays.append(list_of_structs(
+                        l_counts, (ll, lc), LANG_TYPE.value_type))
                 else:
                     arrays.append(pa.array(out[f.name], type=f.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
