@@ -105,3 +105,19 @@ def test_mixed_script_pages_keep_script_labels():
     # majority-Latin text still goes to the model
     en = "the children walked to school and read their favourite books — да"
     assert classify_model(en)[0] == "en"
+
+
+def test_sibling_markers_resolve_close_pairs():
+    """Decisive orthographic markers settle the sibling pairs the raw
+    trigram margin cannot: Czech ř/ě/ů vs Slovak ľ/ĺ/ŕ/ô, Estonian õ
+    (absent from Finnish), Danish af/gik vs Norwegian av/gikk."""
+    cases = [
+        ("cs", "včera jsme byli ve městě a viděli jsme řeku přes most"),
+        ("sk", "včera prišli priatelia a hovorili o svojich knihách ľahko"),
+        ("et", "lapsed kõndisid kooli ja rääkisid oma raamatutest"),
+        ("da", "børnene gik i skole og talte om deres bøger af papir"),
+        ("no", "barna gikk på skolen og snakket om bøkene sine av papir"),
+    ]
+    for true, sent in cases:
+        lang, _c, rel = classify_model(sent)
+        assert lang == true, (true, lang, sent)

@@ -382,6 +382,22 @@ class HeuristicMultiDetector:
 
 _MODEL_RELIABLE_MARGIN = 0.52
 _MODEL_MIN_EVIDENCE = 0.25  # mean log-odds per trigram under the top lang
+
+# sibling-pair discriminators (CLD2's same-script refinement direction):
+# when the model's top two languages are a known close pair, decisive
+# orthographic markers — letters one sibling's inventory has and the
+# other lacks, or standard orthographic splits (da 'af'/'gik' vs no
+# 'av'/'gikk'; Estonian õ, absent from Finnish; Czech ř/ě/ů vs Slovak
+# ľ/ĺ/ŕ/ô) — override the raw trigram margin.  Chosen from letter
+# inventories, not tuned on any fixture.
+_MODEL_SIBLINGS = {
+    frozenset({"cs", "sk"}): {"cs": (set("řěů"), set()),
+                              "sk": (set("ľĺŕô"), set())},
+    frozenset({"da", "no"}): {"da": (set(), {"af", "gik", "ud", "nogle"}),
+                              "no": (set(), {"av", "gikk", "ut", "noen"})},
+    frozenset({"et", "fi"}): {"et": (set("õ"), set()),
+                              "fi": (set(), {"ei", "hän", "myös"})},
+}
 # (calibrated on the held-out set: true-language sentences score
 # 0.28-1.0+ per trigram with margins 0.54-0.80; random-letter gibberish
 # lands at margin ~0.50 — the margin rule, not the evidence floor, is
@@ -456,6 +472,25 @@ def classify_model(text: str) -> tuple[str, float, bool]:
             conf = top / (top + second) if top + second > 0 else 0.0
             reliable = (conf >= _MODEL_RELIABLE_MARGIN
                         and top / n_tris >= _MODEL_MIN_EVIDENCE)
+            # sibling refinement: a decisive orthographic marker settles
+            # a close same-script pair the trigram margin cannot
+            if len(ranked) > 1:
+                sib = _MODEL_SIBLINGS.get(
+                    frozenset((top_lang, ranked[1][0])))
+                if sib is not None:
+                    toks = set(t.split())
+                    hits = {
+                        lang: sum(t.count(ch) for ch in chars)
+                        + sum(1 for w in words if w in toks)
+                        for lang, (chars, words) in sib.items()}
+                    a, b = sorted(hits)
+                    if hits[a] != hits[b]:
+                        winner = a if hits[a] > hits[b] else b
+                        top_lang = winner
+                        # decisive marker = reliable, provided the winner
+                        # still carries real trigram evidence
+                        reliable = (scores[winner] / n_tris
+                                    >= _MODEL_MIN_EVIDENCE)
             return top_lang, round(conf, 6), reliable
     lang, prob = classify(text)
     return lang, prob, prob >= _THRESHOLD and lang != UNKNOWN_LANG
