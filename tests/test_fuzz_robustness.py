@@ -88,3 +88,50 @@ def test_fused_equals_unfused_on_soup(pieces):
     # token loop on arbitrary tag/entity/binary soup
     data = b"".join(pieces)
     assert process_html(data, fused=True) == process_html(data, fused=False)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_gif_frames_never_raises(data):
+    """gif_frames is total on arbitrary bytes (kernel contract) and only
+    ever returns image-descriptor slices."""
+    from warc2text_spark.operators.multimodal import gif_frames
+    out = gif_frames(b"GIF89a" + data)
+    assert isinstance(out, list)
+    assert all(f[0] == 0x2C for f in out)
+    assert gif_frames(data) == [] or data[:6] in (b"GIF87a", b"GIF89a")
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_classify_model_never_raises(text):
+    """classify_model is total on arbitrary unicode (kernel contract):
+    returns a (label, confidence, reliable) triple with confidence in
+    [0, 1], and an unreliable result from the model side never escapes
+    as a reliable label via the detector."""
+    from warc2text_spark.functions.langid import ModelDetector, classify_model
+    lang, conf, rel = classify_model(text)
+    assert isinstance(lang, str) and 0.0 <= conf <= 1.0001
+    assert isinstance(rel, bool)
+    out = ModelDetector().detect(text)
+    assert list(out.values()) == [text]
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=600),
+               max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_entities_split_equals_loop(text):
+    """The split-pass entity fast path and the reference-shaped loop twin
+    agree on arbitrary text (incl. raising the same overflow)."""
+    from warc2text_spark.functions.entities import (EntityOverflowError,
+                                                    _decode_entities_loop,
+                                                    decode_entities)
+    try:
+        a, aerr = decode_entities(text), None
+    except EntityOverflowError:
+        a, aerr = None, "ovf"
+    try:
+        b, berr = _decode_entities_loop(text), None
+    except EntityOverflowError:
+        b, berr = None, "ovf"
+    assert (a, aerr) == (b, berr)

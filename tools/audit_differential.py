@@ -9,7 +9,9 @@ contract, far beyond the per-commit budgets of the pytest suite:
   2. scanner window fast path vs byte loop token streams;
   3. charset detector total-function contract (never raises) + declared
      plausibility asymmetry on random bytes;
-  4. trim_lines_copy vs reference-shaped loop twin.
+  4. trim_lines_copy vs reference-shaped loop twin;
+  5. entity decode: split-pass fast path vs reference-shaped loop twin
+     (r5 — overflow raising included).
 
 (The winnow numpy-kernel-vs-Catalyst-expression twin and the selection
 ops' Spark-vs-oracle parity need a SparkSession and live in the pytest
@@ -117,6 +119,34 @@ for i in range(N // 2):
 counts["trim_twin"] = {"cases": N // 2, "divergences": div4}
 
 total_div = div + div2 + boom + div4
-print(json.dumps({"audit": "r4_extended_differential", "n_base": N,
+
+# 5. entity decode: split-pass fast path vs reference-shaped loop twin
+from warc2text_spark.functions.entities import (  # noqa: E402
+    EntityOverflowError, _decode_entities_loop, decode_entities)
+
+ENT_PIECES = [
+    "&amp;", "&bogus;", "&#65;", "&#x41;", "&eacute;", "&", "&&", "&#;",
+    "&#x;", "&xi;", "&Xi;", "&xab;", "&#xg;", "&# 5;", "text", "&#160;",
+    "&#173;", "&#x10FFFF;", "&#1114112;", "&#xD800;", "&amp", "&a", ";",
+    "&#18446744073709551616;", "#", "x", " ", "&#x0;", "&#31;", "é",
+    "&quot;&quot;", "&lt;b&gt;", "&AMP;", "&semi;", "&nbsp;word&nbsp;",
+]
+div5 = 0
+for i in range(N):
+    s = "".join(rng.choice(ENT_PIECES) for _ in range(rng.randint(0, 10)))
+    try:
+        a, aerr = decode_entities(s), None
+    except EntityOverflowError:
+        a, aerr = None, "ovf"
+    try:
+        b, berr = _decode_entities_loop(s), None
+    except EntityOverflowError:
+        b, berr = None, "ovf"
+    if (a, aerr) != (b, berr):
+        div5 += 1
+        print("ENTITY DIVERGENCE:", repr(s)[:120], file=sys.stderr)
+counts["entity_split_twin"] = {"cases": N, "divergences": div5}
+total_div += div5
+print(json.dumps({"audit": "r5_extended_differential", "n_base": N,
                   "sections": counts, "total_divergences": total_div}))
 sys.exit(1 if total_div else 0)
