@@ -395,9 +395,18 @@ _MODEL_SIBLINGS = {
                               "sk": (set("ľĺŕô"), set())},
     frozenset({"da", "no"}): {"da": (set(), {"af", "gik", "ud", "nogle"}),
                               "no": (set(), {"av", "gikk", "ut", "noen"})},
-    frozenset({"et", "fi"}): {"et": (set("õ"), set()),
-                              "fi": (set(), {"ei", "hän", "myös"})},
+    # NB every word marker must be EXCLUSIVE to its side: 'ei' (negation)
+    # is core vocabulary in BOTH Estonian and Finnish and must not appear
+    # here (code-review r5 finding); fi side uses words whose Estonian
+    # equivalents differ (hän/tema, myös/ka, mutta/aga, että/et)
+    frozenset({"et", "fi"}): {"et": (set("õ"), {"ning", "aga"}),
+                              "fi": (set(), {"hän", "myös", "mutta",
+                                             "että"})},
 }
+# refinement fires only on genuinely close calls: a decisive trigram
+# margin must not be overridden by one stray foreign token (a quoted
+# 'gikk' in a Danish page, an Estonian place name in Finnish text)
+_MODEL_SIBLING_MAX_CONF = 0.60
 # (calibrated on the held-out set: true-language sentences score
 # 0.28-1.0+ per trigram with margins 0.54-0.80; random-letter gibberish
 # lands at margin ~0.50 — the margin rule, not the evidence floor, is
@@ -473,10 +482,13 @@ def classify_model(text: str) -> tuple[str, float, bool]:
             reliable = (conf >= _MODEL_RELIABLE_MARGIN
                         and top / n_tris >= _MODEL_MIN_EVIDENCE)
             # sibling refinement: a decisive orthographic marker settles
-            # a close same-script pair the trigram margin cannot
-            if len(ranked) > 1:
+            # a close same-script pair the trigram margin cannot — but
+            # only on close calls (guard), and the reported confidence is
+            # recomputed from the flipped winner's perspective
+            if len(ranked) > 1 and conf < _MODEL_SIBLING_MAX_CONF:
+                other_lang = ranked[1][0]
                 sib = _MODEL_SIBLINGS.get(
-                    frozenset((top_lang, ranked[1][0])))
+                    frozenset((top_lang, other_lang)))
                 if sib is not None:
                     toks = set(t.split())
                     hits = {
@@ -486,7 +498,10 @@ def classify_model(text: str) -> tuple[str, float, bool]:
                     a, b = sorted(hits)
                     if hits[a] != hits[b]:
                         winner = a if hits[a] > hits[b] else b
-                        top_lang = winner
+                        if winner != top_lang:
+                            other_lang, top_lang = top_lang, winner
+                            conf = scores[winner] / (
+                                scores[winner] + scores[other_lang])
                         # decisive marker = reliable, provided the winner
                         # still carries real trigram evidence
                         reliable = (scores[winner] / n_tris
