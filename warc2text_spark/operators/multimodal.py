@@ -129,12 +129,15 @@ def _decode_image_stub(payload: bytes) -> dict:
 
 
 MEDIA_FEATURES_SCHEMA = ("doc_id string, offset int, media_type string, "
-                         "width int, height int, n_bytes long")
+                         "width int, height int, n_bytes long, text string")
 
 
 def extract_media_features(spans_df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over media spans: Arrow-batched,
-    one Python crossing, vectorized pandas ops around the decode hook."""
+    one Python crossing, vectorized pandas ops around the decode hook.
+    PDF payloads additionally carry their extracted text (the
+    dependency-free ISO-32000 text-showing subset,
+    functions/pdftext.py); other media types get ''."""
     media = (
         spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
                         F.explode("spans").alias("s"))
@@ -144,11 +147,11 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdftext import extract_pdf_text
         for pdf in batches:
-            feats = [
-                _decode_image_stub(base64.b64decode(ref) if ref else b"")
-                for ref in pdf["media_ref"]
-            ]
+            payloads = [base64.b64decode(ref) if ref else b""
+                        for ref in pdf["media_ref"]]
+            feats = [_decode_image_stub(p) for p in payloads]
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "offset": pdf["offset"],
@@ -156,6 +159,9 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
                 "width": [f["width"] for f in feats],
                 "height": [f["height"] for f in feats],
                 "n_bytes": [f["n_bytes"] for f in feats],
+                "text": [extract_pdf_text(p)
+                         if f["media_type"] == "application/pdf" else ""
+                         for p, f in zip(payloads, feats)],
             })
             yield out
 

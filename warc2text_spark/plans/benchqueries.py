@@ -995,7 +995,9 @@ def q_semdedup(spark, sf_dir) -> DataFrame:
 def q_media_pipeline(spark, sf_dir) -> DataFrame:
     """Media features + resize + frame sampling over a corpus of REAL
     minimal PNG/GIF/JPEG headers (dims parsed by parse_image_header,
-    closed-form in doc_id) plus the deterministic fake as the stub-twin
+    closed-form in doc_id), a real animated GIF (frame walker), a real
+    single-page PDF (extract_pdf_text leg — the 'text' column carries
+    the recovered content), and the deterministic fake as the stub-twin
     case; three mapInPandas stages joined on (doc_id, offset)."""
     from ..operators.multimodal import (extract_media_features, resize_media,
                                         sample_frames)
@@ -1462,31 +1464,40 @@ def _merge_registry_oracles(d: dict) -> dict:
     # GIF (v=1) is a real animated stream: nf = 1 + id%3 frames of
     # sub-block size sb = 1 + id%7; the frames leg emits one row per
     # REAL frame (slice = 13 + sb bytes), other variants keep the
-    # 3-slice synthetic twin
+    # 3-slice synthetic twin.  PDF (v=4) is a real single-page document:
+    # uncompressed content stream, byte length 308 + digits(id), text
+    # recovered by the ISO-32000 text-showing subset; fake-twin dims
+    # ('%' = 37 -> w 38; trailing 'F' = 70 -> h 7).
     d["media_pipeline"] = """
         with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
-                          doc_id % 4 as v,
+                          doc_id % 5 as v,
                           1 + doc_id % 3 as nf, 1 + doc_id % 7 as sb,
-                          case doc_id % 4 when 0 then 33
+                          case doc_id % 5 when 0 then 33
                                when 1 then 14 + (1 + doc_id % 3)
                                              * (22 + doc_id % 7)
                                when 2 then 15
-                               else 3 + strlen(cast(doc_id as varchar))
+                               when 3 then 3 + strlen(cast(doc_id
+                                                           as varchar))
+                               else 308 + strlen(cast(doc_id as varchar))
                           end as n
                    from documents),
-        m as (select doc_id, 1 as "offset", v, nf, sb,
+        m as (select doc_id, id, 1 as "offset", v, nf, sb,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
                             when 2 then 'image/jpeg'
-                            else 'x-test/fake' end as media_type,
-                     case when v = 3 then 10
+                            when 3 then 'x-test/fake'
+                            else 'application/pdf' end as media_type,
+                     case when v = 3 then 10 when v = 4 then 38
                           else (1 + id % 640) end::int as width,
-                     case when v = 3 then (49 + id % 10)
+                     case when v = 3 then (49 + id % 10) when v = 4 then 7
                           else (1 + id % 480) end::int as height,
                      n::bigint as n_bytes, n::bigint as resized_bytes,
                      greatest(n // 3, 1) as step, n
               from s)
         select doc_id, "offset", media_type, width, height, n_bytes,
-               resized_bytes, i::int as frame_idx,
+               resized_bytes,
+               case when v = 4 then 'Hello doc ' || id || chr(10)
+                    else '' end as text,
+               i::int as frame_idx,
                case when v = 1 then 13 + sb
                     else least(step, n - i * step) end::bigint as frame_bytes
         from m, generate_series(0, 2) t(i)

@@ -454,12 +454,15 @@ def _jpeg_header(w: int, h: int) -> bytes:
 
 
 def build_media_spans(spark, sf_dir: str) -> DataFrame:
-    """Media corpus for the real-header codec path, per ``doc_id % 4``:
+    """Media corpus for the real-header codec path, per ``doc_id % 5``:
     PNG minimal header / ANIMATED GIF (real frame blocks: 1 + doc_id % 3
     frames, sub-block size 1 + doc_id % 7 — exercises the gif_frames
     walker) / JPEG minimal header, all with width = 1 + doc_id % 640 and
-    height = 1 + doc_id % 480 (closed-form for the oracle), and the
-    deterministic 'IMG'||doc_id fake as the stub-twin case."""
+    height = 1 + doc_id % 480 (closed-form for the oracle); the
+    deterministic 'IMG'||doc_id fake as the stub-twin case; and a real
+    single-page PDF carrying 'Hello doc <id>' (exercises the
+    dependency-free extract_pdf_text leg — uncompressed stream, so the
+    byte length is closed-form in the id's digit count)."""
     import base64
     from collections.abc import Iterator
 
@@ -472,18 +475,21 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
                                     "http_status", "http_ct", "content_enc",
                                     "transfer_enc", "warc_date", "spans")}
+            from ..functions.pdftext import build_minimal_pdf
             for doc_id in pdf["doc_id"]:
                 n = int(doc_id)
                 w, h = 1 + n % 640, 1 + n % 480
-                v = n % 4
+                v = n % 5
                 if v == 0:
                     body = _png_header(w, h)
                 elif v == 1:
                     body = _gif_animated(w, h, 1 + n % 3, 1 + n % 7)
                 elif v == 2:
                     body = _jpeg_header(w, h)
-                else:
+                elif v == 3:
                     body = f"IMG{doc_id}".encode()
+                else:
+                    body = build_minimal_pdf([f"Hello doc {doc_id}"])
                 rows["doc_id"].append(str(doc_id))
                 rows["url"].append(f"https://m.example/{doc_id}.bin")
                 rows["warc_type"].append("response")
