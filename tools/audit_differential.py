@@ -50,6 +50,10 @@ PIECES = [
     "<p >", "</p\t>", "<text:s>", "<w:p>", "<scriptx>", "</scriptx>",
     "<stylea>x</stylea>", "<" + "q" * 130 + ">", "</ p>", "<p/>", "<P>",
     "</sPaN>", "<a.b-c>", "<style >.s{}</style>",
+    # r5b attr-tag fused dispatch: quoted/unquoted heads, NUL-in-head
+    "<div class='x'>", "<a href=\"q>r\">", "<p a=b c>", "<p a='>'>",
+    "<img src=a alt='t t'>", "<p \x00a>", "<p a='\x00'>", "<b a/b>",
+    "<script src='x'>var q;</script>", "<style a=b>.x{}</style>",
 ]
 
 

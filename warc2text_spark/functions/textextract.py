@@ -120,6 +120,17 @@ _NEEDS_COLLAPSE = _re.compile(rb"[\t\n\r\f]|  ")
 # (`</p>`, `<br>`, `<li>`, `</div>`, ...) takes ONE regex match + one
 # dict hit instead of _scan_tag + _scan_head + two set probes + lower()
 _SIMPLE_TAG = _re.compile(rb"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)[ \t\n\r\f]*>")
+# attribute-carrying start tag (`<div class='x'>`): when no tag filter
+# applies to the tag, ATTR tokens are inert, so the whole head can fuse
+# too.  The head MUST begin with scanner-whitespace (any other byte
+# after the name — quotes included — is consumed INTO the tag name by
+# the reference scanner), and the head body reuses the scanner's proven
+# _HEAD_SKIP grammar VERBATIM (quotes are quotes only after '=',
+# malformed heads fail the match and take the exact token path), so the
+# fused shape is output-equivalent by construction.  Group 1 = name,
+# group 2 = _HEAD_SKIP's self-closing '/' flag.
+_ATTR_TAG = _re.compile(
+    rb"<([a-zA-Z][a-zA-Z0-9:._-]*)(?=[ \t\n\r\f])" + sc._HEAD_SKIP.pattern)
 _TAG_EFFECT_CAP = 4096
 
 
@@ -191,12 +202,22 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
                 if s.pos >= s.end:
                     break
                 m = _SIMPLE_TAG.match(s.buf, s.pos)
+                simple = True
+                if m is None:
+                    # attribute-carrying start tag: the head is inert
+                    # when no tag filter applies to this tag (checked
+                    # below via the effect tuple) — same effects, same
+                    # scanner-state contract
+                    m = _ATTR_TAG.match(s.buf, s.pos)
+                    simple = False
                 if m is not None:
                     # fused simple-tag dispatch: apply the exact
                     # TAG_START/TAG_END effects and leave the scanner
                     # state (tag buffer + NUL, position, special-mode
-                    # entry) byte-identical to _scan_tag + _scan_head
-                    name = m.group(2)
+                    # entry) byte-identical to _scan_tag + _scan_head.
+                    # An attribute-carrying tag fuses only when no tag
+                    # filter applies to it (ATTR values inert).
+                    name = m.group(2) if simple else m.group(1)
                     eff = tag_effects.get(name)
                     if eff is None:
                         name_t = name[:name_cap]
@@ -207,20 +228,27 @@ def process_html(data: bytes, tag_filters=None, fused: bool = True) -> tuple[byt
                                or name_t[:5] == b"style")
                         if len(tag_effects) < _TAG_EFFECT_CAP:
                             tag_effects[name] = eff
-                    name_t, tag, is_block, is_void, is_special = eff
-                    nl = len(name_t)
-                    tb[:nl] = name_t
-                    s.tag_name_length = nl
-                    tb[nl] = 0  # _terminate_name (stale-byte contract)
-                    s.tag_name = name_t
-                    s.pos = m.end()
-                    if is_block:
-                        _add_newline(out)
-                    if is_void:
-                        _add_space(out)
-                    if is_special and not m.group(1):
-                        s._scan = s._scan_special
-                    continue
+                    if simple or eff[1] not in tag_filters:
+                        # end-of-tag flag: '/' of </name> (simple) or of
+                        # a self-closing '/>' head (attr path) — both
+                        # suppress special-mode entry; self-closing
+                        # TAG_START+TAG_END double effects are idempotent
+                        # (_add_newline/_add_space no-op on trailing ws)
+                        ended = m.group(1) if simple else m.group(2)
+                        name_t, tag, is_block, is_void, is_special = eff
+                        nl = len(name_t)
+                        tb[:nl] = name_t
+                        s.tag_name_length = nl
+                        tb[nl] = 0  # _terminate_name (stale-byte contract)
+                        s.tag_name = name_t
+                        s.pos = m.end()
+                        if is_block:
+                            _add_newline(out)
+                        if is_void:
+                            _add_space(out)
+                        if is_special and not ended:
+                            s._scan = s._scan_special
+                        continue
                 t, value = s.next_token()
             elif f is head_func and tag not in tag_filters:
                 # no filter can fire for this tag: ATTR values are inert,
