@@ -75,3 +75,49 @@ def test_extract_pdf_text_never_raises(data):
     out = extract_pdf_text(b"%PDF-" + data)
     assert isinstance(out, str)
     assert extract_pdf_text(data) == "" or data.startswith(b"%PDF")
+
+
+def test_pipeline_pdf_text_routing(spark):
+    """pdf_text=True keeps application/pdf records in the main stream
+    and extracts their text; default routes them to the K3 side WARC
+    (reference behavior)."""
+    import base64
+
+    from warc2text_spark.plans.pipeline import (PipelineOptions,
+                                                run_pipeline)
+    from warc2text_spark.sources.fixtures import INPUT_SCHEMA
+    pdf = build_minimal_pdf(["Hello pdf world", "line two"])
+    rows = [
+        ("p1", "https://x/a.pdf", "response",
+         "application/http; msgtype=response", "200 OK", "application/pdf",
+         "", "", "2024-01-01T00:00:00Z",
+         [dict(kind="media", text="",
+               media_ref=base64.b64encode(pdf).decode(), offset=0)]),
+        ("h1", "https://x/b.html", "response",
+         "application/http; msgtype=response", "200 OK", "text/html",
+         "", "", "2024-01-01T00:00:00Z",
+         [dict(kind="text", text="<p>the cat and the dog</p>",
+               media_ref="", offset=0)]),
+    ]
+    df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    # default: reference K3 side route
+    res = run_pipeline(df, PipelineOptions(classifier="skip"))
+    assert [r.doc_id for r in res.pdf.collect()] == ["p1"]
+    assert {r.doc_id for r in res.main.collect()} == {"h1"}
+    # pdf_text: pdf joins the main stream with extracted text
+    res2 = run_pipeline(df, PipelineOptions(classifier="skip",
+                                            pdf_text=True))
+    assert res2.pdf.count() == 0
+    out = {r.doc_id: r for r in res2.main.collect()}
+    assert set(out) == {"p1", "h1"}
+    assert out["p1"].plaintext == "Hello pdf world\nline two\n"
+    assert out["p1"].charset == "utf-8"
+    assert out["p1"].spans[0].kind == "media"  # span shape preserved
+    # a garbage pdf payload yields no text and is dropped by F14
+    rows_bad = [rows[0][:9] + ([dict(kind="media", text="",
+                media_ref=base64.b64encode(b"%PDF-1.4 junk").decode(),
+                offset=0)],)]
+    bad = spark.createDataFrame(rows_bad, INPUT_SCHEMA)
+    res3 = run_pipeline(bad, PipelineOptions(classifier="skip",
+                                             pdf_text=True))
+    assert res3.main.count() == 0

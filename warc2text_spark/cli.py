@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "payloads (reference warc2text_main.cc:61): ignore "
                         "drops bad bytes, replace substitutes U+FFFD, "
                         "discard drops the record (error 316)")
+    p.add_argument("--pdf-text", dest="pdf_text", action="store_true",
+                   help="extract text from application/pdf records "
+                        "(dependency-free ISO-32000 text-showing subset) "
+                        "instead of routing them to the pdf side WARC "
+                        "(beyond-reference; default keeps the reference's "
+                        "K3 side-route behavior)")
     p.add_argument("--case-insensitive-headers", action="store_true",
                    help="lower-case warc_type/warc_ct before filtering, for "
                         "spans tables that don't store the lower-cased "
@@ -220,6 +226,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # handler is Python's 'strict'
         encoding_errors=("strict" if args.encoding_errors == "discard"
                          else args.encoding_errors),
+        pdf_text=args.pdf_text,
     )
     res = run_pipeline(df, opts)
 

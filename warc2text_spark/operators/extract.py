@@ -112,6 +112,11 @@ class ExtractOptions:
     # 'ignore' | 'replace' (reference --encoding-errors default) | 'strict'
     # (reference CLI value 'discard' — drops the record, error 316)
     encoding_errors: str = "replace"
+    # beyond-reference: extract text from application/pdf payloads via
+    # functions/pdftext.py instead of dropping them as NOT_VALID_RECORD
+    # (pairs with split_stream(pdf_text=True), which keeps PDF records
+    # in the main stream rather than the K3 side route)
+    pdf_text: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -137,6 +142,29 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
     transfer_enc = transfer_enc or ""
     content_enc = content_enc or ""
     spans = sorted(spans_in or [], key=lambda s: s[3] or 0)
+
+    if opts.pdf_text and clean_ct == "application/pdf":
+        from ..functions.pdftext import extract_pdf_text
+        texts = []
+        out_spans = []
+        for skind, stext, smedia, soff in spans:
+            if (skind or "text") == "media":
+                try:
+                    payload = base64.b64decode(smedia) if smedia else b""
+                except Exception:
+                    return "", rec.ZIP_READ_ERROR, "", [], b""
+            else:
+                payload = (stext or "").encode("utf-8")
+            payload = transport.transport_decode(
+                payload, transfer_enc, content_enc)
+            text = extract_pdf_text(payload)
+            if text:
+                texts.append(text)
+                out_spans.append((skind or "text", text,
+                                  smedia or "", soff or 0))
+        # no recoverable text => empty plaintext => F14 drops the doc
+        return ("utf-8" if texts else ""), rec.SUCCESS, \
+            "".join(texts), out_spans, b""
 
     from ..functions import ziputil
     zip_ct = ziputil.zip_content_type(clean_ct, url)

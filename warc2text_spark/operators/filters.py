@@ -152,11 +152,15 @@ def split_stream(
     user_url_filter: str | None = None,
     max_record_size: int = MAX_RECORD_SIZE,
     case_insensitive: bool = False,
+    pdf_text: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply F1-F9 in reference order; returns (main, robots, pdf).
 
     robots/pdf are side-routed records (written out raw by the caller,
     K3 semantics); main is the stream that continues into extraction.
+    ``pdf_text=True`` (beyond-reference) keeps PDF records IN the main
+    stream for text extraction (functions/pdftext.py) instead of the
+    side route — the pdf frame comes back empty.
 
     The two non-trivial derived values (payload byte count — an array
     aggregate — and the cleaned MIME type) are materialized once as helper
@@ -176,11 +180,11 @@ def split_stream(
     after_robots = alive & ~robots_pred
     typed = (after_robots & warc_type_ok(case_insensitive=case_insensitive)
              & http_status_ok() & warc_ct_ok(case_insensitive=case_insensitive))
-    pdf_pred = typed & is_pdf(clean_ct=cct)
+    pdf_pred = typed & is_pdf(clean_ct=cct) & F.lit(not pdf_text)
     pdf_df = staged.filter(pdf_pred).select(*cols)
 
     main = staged.filter(
-        typed & ~is_pdf(clean_ct=cct) & (pb <= F.lit(MAX_PAYLOAD_SIZE))
+        typed & ~pdf_pred & (pb <= F.lit(MAX_PAYLOAD_SIZE))
         & url_ok(user_url_filter)
     ).select(*cols)
     return main, robots_df, pdf_df

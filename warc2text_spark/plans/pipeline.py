@@ -48,6 +48,10 @@ class PipelineOptions:
     # invalid-UTF-8 policy for no-convert payloads (reference
     # --encoding-errors): 'ignore' | 'replace' | 'strict' (CLI 'discard')
     encoding_errors: str = "replace"
+    # beyond-reference: keep application/pdf records in the main stream
+    # and extract their text (functions/pdftext.py) instead of routing
+    # them to the K3 side WARC
+    pdf_text: bool = False
 
 
 @dataclass
@@ -73,6 +77,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
         user_url_filter=opts.user_url_filter,
         max_record_size=opts.max_record_size,
         case_insensitive=opts.case_insensitive_headers,
+        pdf_text=opts.pdf_text,
     )
     # A1 totalRecords/totalBytes ride the plan as a CollectMetrics node —
     # free at execution time, and placed ABOVE the F1-F9 filters so their
@@ -96,6 +101,7 @@ def run_pipeline(df: DataFrame, opts: PipelineOptions | None = None) -> Pipeline
             media_text_mode=opts.media_text_mode,
             keep_payload=opts.keep_payload,
             encoding_errors=opts.encoding_errors,
+            pdf_text=opts.pdf_text,
         ),
         num_partitions=opts.num_partitions,
     )
