@@ -140,8 +140,24 @@ def host_state() -> dict:
                            if c > 25.0 and p not in mine)
     except Exception:
         pass
+    # memory-bandwidth probe: one 64 MB C-level copy.  Neighbor VMs on
+    # the shared host can crush memory bandwidth WITHOUT showing up as
+    # steal or load (observed: 0.2 GB/s during a 3x bench slowdown vs
+    # multi-GB/s idle) — this stamps the one interference mode the other
+    # probes cannot see.
+    mem_gbps = -1.0
+    try:
+        blob = b"\x00" * (64 << 20)
+        t0 = time.perf_counter()
+        # bytearray() forces a real copy (bytes(b) returns b unchanged)
+        bytearray(blob)
+        dt = time.perf_counter() - t0
+        mem_gbps = round(len(blob) / dt / 1e9, 2)
+    except Exception:
+        pass
     return {"loadavg": la, "busy_foreign_procs": busy_foreign,
-            "cpu_steal_jiffies": steal, "cpu_total_jiffies": total}
+            "cpu_steal_jiffies": steal, "cpu_total_jiffies": total,
+            "mem_copy_gbps": mem_gbps}
 
 
 def warm_page_cache(*paths: str) -> None:
