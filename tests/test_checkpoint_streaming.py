@@ -106,3 +106,31 @@ def test_stop_after_waves_summary_counts_only_executed(spark, tmp_path):
     assert summary["waves_run"] == 2
     assert summary["buckets_processed"] == 4  # 2 waves x 2 buckets
     assert summary["buckets_pending"] == 4
+
+
+def test_pure_streaming_extract_matches_batch(spark, tmp_path):
+    """The PURE streaming extraction plan (no foreachBatch shim): the
+    native filters, the mapInArrow kernel with fused langid, the error
+    dispatch and the demux compose directly on the unbounded frame and
+    produce EXACTLY the batch pipeline's (doc_id, lang, chunk) rows."""
+    from warc2text_spark.plans.pipeline import demux_by_lang, run_pipeline
+    from warc2text_spark.streaming.stream_pipeline import streaming_extract
+    inp = str(tmp_path / "pin")
+    docs = make_docs(spark, 30)
+    docs.repartition(3).write.parquet(inp)
+    out = streaming_extract(spark, inp,
+                            PipelineOptions(classifier="heuristic"))
+    assert out.isStreaming
+    q = (out.selectExpr("doc_id", "lang", "chunk")
+         .writeStream.format("memory").queryName("pure_stream_extract")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("select * from pure_stream_extract")
+                     .collect()))
+    res = run_pipeline(spark.read.parquet(inp),
+                       PipelineOptions(classifier="heuristic"))
+    want = sorted(map(tuple,
+                      demux_by_lang(res.main)
+                      .selectExpr("doc_id", "lang", "chunk").collect()))
+    assert got == want and len(got) == 30
