@@ -25,7 +25,8 @@ def test_heldout_precision_documented():
     misses = {(true, got) for true, _s, got, _r in HELDOUT if got != true}
     sibling_pairs = {("cs", "sk"), ("da", "no"), ("no", "da"),
                      ("et", "fi"), ("hr", "sl"), ("sk", "cs"),
-                     ("es", "gl"), ("gl", "pt"), ("az", "tr")}
+                     ("es", "gl"), ("gl", "pt"), ("az", "tr"),
+                     ("ga", "gd"), ("gd", "ga")}
     assert misses <= sibling_pairs, misses
     # reliability: precision among reliable labels is strictly higher
     rel = [(true, got) for true, _s, got, r in HELDOUT if r]

@@ -190,6 +190,31 @@ SEEDS = {
           "rajtoj. Ili posedas racion kaj konsciencon, kaj devus konduti "
           "unu al alia en spirito de frateco. La vivo estas bela kaj la "
           "tempo pasas rapide en la urbo.",
+    "ht": "Tout moun fèt lib, egal ego pou diyite kou wè dwa. Nou gen "
+          "la rezon ak la konsyans epi nou fèt pou nou aji youn ak lòt "
+          "ak yon lespri fwatènite. Lavi a bèl epi tan an pase vit nan "
+          "vil la.",
+    "br": "Dieub ha par en o dellezegezh hag o gwirioù eo ganet an holl "
+          "dud. Poell ha skiant zo dezho ha dleout a reont bevañ an eil "
+          "gant egile en ur spered a genvreudeuriezh. Brav eo ar vuhez "
+          "hag an amzer a dremen buan er gêr.",
+    "mg": "Teraka afaka sy mitovy zo sy fahamendrehana ny olombelona "
+          "rehetra. Samy manana ny saina sy ny fieritreretana ka tokony "
+          "hifampitondra am-pirahalahiana. Tsara ny fiainana ary mandeha "
+          "haingana ny fotoana any an-tanàna.",
+    "jv": "Kabeh manungsa kalairake kanthi mardika lan duweni martabat "
+          "lan hak-hak kang padha. Kabeh padha duwe akal lan kalbu sarta "
+          "prayoga anggone pasrawungan kanthi jiwa paseduluran. Urip iku "
+          "endah lan wektu lumaku cepet ing kutha.",
+    "gd": "Tha gach uile dhuine air a bhreith saor agus co-ionnan ann an "
+          "urram agus ann an còirichean. Tha iad air am breith le reusan "
+          "is le cogais agus mar sin bu chòir dhaibh a bhith beò nam "
+          "measg fhèin ann an spiorad bràthaireil. Tha am beatha brèagha "
+          "anns a' bhaile.",
+    "la": "Omnes homines dignitate et iuribus pares liberique nascuntur. "
+          "Ratione atque conscientia praediti sunt et alii erga alios "
+          "cum fraternitate se gerere debent. Vita pulchra est atque "
+          "tempus in urbe celeriter fugit.",
 }
 
 # held-out sentences (same content across languages, absent from SEEDS)
@@ -274,6 +299,18 @@ HELDOUT_TRUE = {
           "hire Lieblingsbicher geschwat.",
     "eo": "Hieraŭ la infanoj kune marŝis al la lernejo kaj parolis pri "
           "siaj plej ŝatataj libroj.",
+    "ht": "Yè timoun yo te mache ansanm pou ale lekòl epi yo te pale "
+          "sou liv yo pi renmen yo.",
+    "br": "Dec'h e oa aet ar vugale d'ar skol asambles hag o deus "
+          "komzet eus o levrioù karetañ.",
+    "mg": "Omaly ny ankizy dia niara-nandeha nankany an-tsekoly ary "
+          "niresaka momba ny boky tiany indrindra.",
+    "jv": "Wingi bocah-bocah padha mlaku bareng menyang sekolah lan "
+          "ngomongake buku sing paling disenengi.",
+    "gd": "An-dè choisich a' chlann còmhla dhan sgoil agus bhruidhinn "
+          "iad mu na leabhraichean as fheàrr leotha.",
+    "la": "Heri pueri una ad scholam ambulaverunt atque de libris suis "
+          "carissimis locuti sunt.",
 }
 
 

@@ -115,6 +115,21 @@ _STOPWORDS = {
            "ginn", "hunn", "dëst", "iwwer", "nach", "ëmmer"},
     "eo": {"kaj", "la", "estas", "ne", "por", "kun", "sed", "tio",
            "ankaŭ", "pri", "kiu", "estis", "tre", "povas"},
+    # breadth batch 4 (r5): six further Latin-script languages; same
+    # curation rule — distinctive function words, shared forms left out
+    # (gd deliberately omits agus/ach/seo/mar, all Irish too)
+    "ht": {"nan", "yo", "ak", "pou", "te", "ki", "men", "gen", "nou",
+           "kap", "yon", "tout", "epi", "lòt"},
+    "br": {"hag", "gant", "evit", "war", "eus", "ivez", "hini", "deus",
+           "dre", "kalz", "bremañ", "hervez", "etre", "holl"},
+    "mg": {"ny", "sy", "dia", "izay", "ary", "koa", "tsy", "misy",
+           "amin'ny", "anefa", "ihany", "olona", "rehetra", "tokony"},
+    "jv": {"lan", "ing", "sing", "iku", "karo", "saka", "kanggo", "ora",
+           "uga", "wis", "bisa", "amarga", "nanging", "iki"},
+    "gd": {"agus", "tha", "bha", "chan", "eil", "anns", "airson", "aig",
+           "bho", "dhan", "gur", "nuair", "fhèin", "mòran"},
+    "la": {"atque", "enim", "autem", "quoque", "igitur", "tamen", "apud",
+           "ergo", "quibus", "esse", "quidem", "inter", "sine", "erga"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -402,6 +417,10 @@ _MODEL_SIBLINGS = {
     frozenset({"et", "fi"}): {"et": (set("õ"), {"ning", "aga"}),
                               "fi": (set(), {"hän", "myös", "mutta",
                                              "että"})},
+    # Irish marks long vowels with ACUTE accents, Scottish Gaelic with
+    # GRAVE — a clean orthographic split between the two Gaelics
+    frozenset({"ga", "gd"}): {"ga": (set("áéíóú"), set()),
+                              "gd": (set("àèìòù"), set())},
 }
 # refinement fires only on genuinely close calls: a decisive trigram
 # margin must not be overridden by one stray foreign token (a quoted
@@ -451,7 +470,7 @@ def classify_model(text: str) -> tuple[str, float, bool]:
     must NOT collect a spurious Latin label from those tokens — it (and
     any text with no model evidence at all) falls back to the heuristic
     :func:`classify` path with reliability from its margin, so the model
-    wraps, never degrades, the 77-label coverage."""
+    wraps, never degrades, the 83-label coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2
