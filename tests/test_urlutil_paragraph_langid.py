@@ -212,7 +212,7 @@ def test_script_breadth_r4():
     expected = ["ru", "uk", "bg", "hi", "mr", "el", "ar", "fa", "ur",
                 "bn", "pa", "gu", "ta", "te", "kn", "ml", "si", "th",
                 "lo", "my", "ka", "hy", "am", "km", "he", "zh", "ja", "ko",
-                "be", "sr", "mk", "kk", "ps", "ug", "or", "bo", "dv"]
+                "be", "sr", "mk", "kk", "ps", "ug", "or", "bo", "dv", "chr", "iu"]
     assert len(SCRIPT_SENTENCES) == len(expected)
     for sent, lang in zip(SCRIPT_SENTENCES, expected):
         got, conf = classify(sent + " 123")

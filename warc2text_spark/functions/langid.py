@@ -164,6 +164,8 @@ _SCRIPT_RANGES = (
     (0x10A0, 0x10FF, "ka"),   # Georgian
     (0x1100, 0x11FF, "ko"),   # Hangul Jamo
     (0x1200, 0x137F, "am"),   # Ethiopic (Amharic et al.)
+    (0x13A0, 0x13FF, "chr"),  # Cherokee syllabary
+    (0x1400, 0x167F, "iu"),   # Unified Canadian Aboriginal Syllabics
     (0x1780, 0x17FF, "km"),   # Khmer
     (0x3040, 0x309F, "kana"),  # Hiragana
     (0x30A0, 0x30FF, "kana"),  # Katakana
@@ -470,7 +472,7 @@ def classify_model(text: str) -> tuple[str, float, bool]:
     must NOT collect a spurious Latin label from those tokens — it (and
     any text with no model evidence at all) falls back to the heuristic
     :func:`classify` path with reliability from its margin, so the model
-    wraps, never degrades, the 83-label coverage."""
+    wraps, never degrades, the 85-label coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2

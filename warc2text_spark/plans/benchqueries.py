@@ -298,6 +298,8 @@ def _langid_script_oracle() -> str:
         "ka": r"\x{10A0}-\x{10FF}",
         "ko": r"\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}",
         "am": r"\x{1200}-\x{137F}",
+        "chr": r"\x{13A0}-\x{13FF}",
+        "iu": r"\x{1400}-\x{167F}",
         "km": r"\x{1780}-\x{17FF}",
         "kana": r"\x{3040}-\x{309F}\x{30A0}-\x{30FF}",
         "han": r"\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}",

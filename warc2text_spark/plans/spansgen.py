@@ -176,6 +176,9 @@ SCRIPT_SENTENCES = (
     "ଏହା ଏକ ନୂଆ ଦିନ ଏବଂ ଆମେ ପୁଣି ଏଠାରେ ଅଛୁ",                              # 34: or
     "འདི་ནི་ཉིན་གསར་པ་ཞིག་ཡིན་ལ་ང་ཚོ་ཡང་འདིར་ཡོད",                          # 35: bo
     "މިއީ އާ ދުވަހެކެވެ އަދި އަހަރެމެން އަނެއްކާ މިތަނުގައި",                          # 36: dv
+    # 37-38: Cherokee / Inuktitut syllabics (r5 batch, single blocks)
+    "ᎣᏏᏲ ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎤᎵᎮᎵᏍᏗ ᏩᏙ ᎠᎹ ᏅᏓ",                # 37: chr
+    "ᐃᓄᒃᑎᑐᑦ ᓄᓇᕗᑦ ᐃᓄᐃᑦ ᐅᖃᐅᓯᖓ ᐊᒻᒪᓗ ᓯᓚ ᐊᓂᖅ",           # 38: iu
 )
 
 SCRIPT_TEXT_CASE = (f"case nid % {len(SCRIPT_SENTENCES)} " + " ".join(
