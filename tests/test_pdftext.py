@@ -121,3 +121,45 @@ def test_pipeline_pdf_text_routing(spark):
     res3 = run_pipeline(bad, PipelineOptions(classifier="skip",
                                              pdf_text=True))
     assert res3.main.count() == 0
+
+
+def test_neighbor_object_filter_does_not_leak():
+    """Code-review r5 finding: a raw content stream adjacent to a
+    compressed object must not inherit the neighbor's /FlateDecode
+    declaration, and a long dict still reaches its own declaration."""
+    z = zlib.compress(b"BT (compressed text) Tj ET")
+    raw = (b"%PDF-1.4\n"
+           b"1 0 obj << /Filter /FlateDecode /Length "
+           + str(len(z)).encode() + b" >> stream\n" + z + b"endstream endobj\n"
+           b"2 0 obj << /Length 30 >> stream\n"
+           b"BT (Hello world) Tj ET endstream endobj\n%%EOF")
+    assert extract_pdf_text(raw) == "compressed text\nHello world\n"
+    # long dict (> 400 B of padding keys) with its own FlateDecode
+    pad = b"/K" + b"A" * 600 + b" 1 "
+    long_dict = (b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode " + pad
+                 + b"/Length " + str(len(z)).encode()
+                 + b" >> stream\n" + z + b"endstream endobj\n%%EOF")
+    assert extract_pdf_text(long_dict) == "compressed text\n"
+
+
+def test_pdf_text_url_classified_and_keep_payload(spark):
+    """Code-review r5 findings: (a) a PDF classified only by its .pdf
+    URL (octet-stream content type) is extracted, not dropped; (b) the
+    pdf branch honors keep_payload."""
+    import base64
+
+    from warc2text_spark.operators.extract import (ExtractOptions,
+                                                   _clean_doc)
+    pdf = build_minimal_pdf(["Hello url pdf"])
+    spans = [("media", "", base64.b64encode(pdf).decode(), 0)]
+    cs, err, pt, sp, raw = _clean_doc(
+        "https://x/report.pdf", "application/octet-stream", "", "",
+        spans, {}, ExtractOptions(pdf_text=True, keep_payload=True))
+    assert err == 0 and pt == "Hello url pdf\n"
+    assert raw == pdf  # keep_payload carries the decoded payload
+    # without the flag the same record is NOT_VALID_RECORD (side-route
+    # territory, preserved by split_stream)
+    cs2, err2, pt2, sp2, raw2 = _clean_doc(
+        "https://x/report.pdf", "application/octet-stream", "", "",
+        spans, {}, ExtractOptions())
+    assert err2 == 5 and pt2 == ""

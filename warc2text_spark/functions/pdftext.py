@@ -163,10 +163,20 @@ def extract_pdf_text(payload: bytes) -> str:
         if not payload.startswith(b"%PDF"):
             return ""
         out: list[str] = []
+        prev_end = 0
         for m in _STREAM_RE.finditer(payload):
             body = m.group(1)
-            # the dict immediately preceding 'stream' declares the filter
-            head = payload[max(0, m.start() - 400):m.start()]
+            # THIS stream's dict declares the filter: scope the lookback
+            # to after the previous stream and after the last object
+            # boundary, so a neighboring object's /FlateDecode can never
+            # leak in (code-review r5 finding), and a long dict still
+            # reaches its own declaration
+            start = max(0, m.start() - 1000, prev_end)
+            head = payload[start:m.start()]
+            cut = head.rfind(b"endobj")
+            if cut != -1:
+                head = head[cut:]
+            prev_end = m.end()
             if _FLATE_RE.search(head):
                 try:
                     body = zlib.decompress(body)

@@ -143,10 +143,18 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
     content_enc = content_enc or ""
     spans = sorted(spans_in or [], key=lambda s: s[3] or 0)
 
-    if opts.pdf_text and clean_ct == "application/pdf":
+    # mirror filters.is_pdf exactly (ct == application/pdf OR a
+    # non-text-format record at a .pdf url) — a URL-classified PDF that
+    # pdf_text routed into the main stream must be extracted, not
+    # dropped as NOT_VALID_RECORD (code-review r5 finding)
+    if opts.pdf_text and (
+            clean_ct == "application/pdf"
+            or (clean_ct not in rec.TEXT_CONTENT_TYPES
+                and url.endswith(".pdf"))):
         from ..functions.pdftext import extract_pdf_text
         texts = []
         out_spans = []
+        raw_parts = []
         for skind, stext, smedia, soff in spans:
             if (skind or "text") == "media":
                 try:
@@ -157,6 +165,8 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                 payload = (stext or "").encode("utf-8")
             payload = transport.transport_decode(
                 payload, transfer_enc, content_enc)
+            if opts.keep_payload:
+                raw_parts.append(payload)
             text = extract_pdf_text(payload)
             if text:
                 texts.append(text)
@@ -164,7 +174,7 @@ def _clean_doc(url, http_ct, content_enc, transfer_enc, spans_in,
                                   smedia or "", soff or 0))
         # no recoverable text => empty plaintext => F14 drops the doc
         return ("utf-8" if texts else ""), rec.SUCCESS, \
-            "".join(texts), out_spans, b""
+            "".join(texts), out_spans, b"".join(raw_parts)
 
     from ..functions import ziputil
     zip_ct = ziputil.zip_content_type(clean_ct, url)

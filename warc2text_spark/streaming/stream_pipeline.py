@@ -51,7 +51,7 @@ def streaming_extract(spark: SparkSession, input_dir: str,
         tag_filters_invert=opts.tag_filters_invert,
         skip_extraction=opts.skip_extraction,
         encode_urls=opts.encode_urls,
-        classifier=opts.classifier,
+        classifier=opts.classifier if opts.fuse_langid else None,
         media_text_mode=opts.media_text_mode,
         keep_payload=opts.keep_payload,
         encoding_errors=opts.encoding_errors,
@@ -59,6 +59,9 @@ def streaming_extract(spark: SparkSession, input_dir: str,
     ))
     kept = ext.filter(keep_predicate(opts.tag_filters_invert,
                                      opts.skip_extraction))
+    if not opts.fuse_langid:
+        from ..operators.langid_op import run_langid
+        kept = run_langid(kept, opts.classifier)
     return demux_by_lang(kept, opts.paragraph_identification)
 
 
