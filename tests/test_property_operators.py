@@ -213,3 +213,45 @@ def test_decontam_and_surprisal_match_python_twins(spark):
                     6)
         assert abs(out[did]["surprisal"] - exp) < 1e-9, did
         assert out[did]["n_tokens"] == len(ws)
+
+
+def test_paragraph_dedup_invariants(spark):
+    """Structural invariants on randomized corpora: (a) every output
+    line multiset is a subset of the input's, order preserved; (b) the
+    global min-id document is untouched for every duplicated line it
+    carries; (c) blank/whitespace-only lines are always kept; (d)
+    n_removed equals lines lost; (e) every unique line survives."""
+    import random
+    rng = random.Random(17)
+    lines_pool = ["HDR", "nav bar", "body %d", "", "\t", "  ",
+                  "footer", "contact us", "unique %d %d"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 8)
+        doc = []
+        for j in range(n):
+            pat = rng.choice(lines_pool)
+            doc.append(pat % ((i, j) if pat.count("%d") == 2 else i)
+                       if "%d" in pat else pat)
+        rows.append((str(i), "\n".join(doc)))
+    from warc2text_spark.operators.textops import paragraph_dedup
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    orig = dict(rows)
+    # winners per nonblank line (python twin of the rule)
+    from collections import defaultdict
+    owner = defaultdict(list)
+    for did, text in rows:
+        for ln in text.split("\n"):
+            if ln.replace(" ", "").replace("\t", "") != "":
+                owner[ln].append(did)
+    keep_id = {ln: min(ds) for ln, ds in owner.items() if len(ds) > 1}
+    for did, text in rows:
+        in_lines = text.split("\n")
+        expect = [ln for ln in in_lines
+                  if ln not in keep_id or keep_id[ln] == did]
+        got = out[did].clean_text.split("\n") if out[did].clean_text \
+            else ([""] if "" in expect and len(expect) == 1 else [])
+        # array_join of kept lines == "\n".join(expect) in all cases
+        assert out[did].clean_text == "\n".join(expect), (did, text)
+        assert out[did].n_removed == len(in_lines) - len(expect)
