@@ -199,23 +199,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def _copy_gbps() -> float:
+        try:
+            blob = b"\x00" * (32 << 20)
+            t0 = time.perf_counter()
+            bytearray(blob)
+            return len(blob) / (time.perf_counter() - t0) / 1e9
+        except Exception:
+            return -1.0
+
     def timed(name, fn, repeat=1):
-        # steal-aware sampling: a sample during which the hypervisor
-        # stole > 3 core-seconds (300 jiffies) from this VM is tainted —
-        # it does not consume the sample budget and earns one extra
-        # attempt (bounded at repeat + 2 total), so a steal burst cannot
-        # masquerade as an engine regression in the recorded JSON.
+        # interference-aware sampling: a sample is TAINTED when (a) the
+        # hypervisor stole > 3 core-seconds (300 jiffies) from this VM
+        # during it, or (b) host memory bandwidth was crushed by
+        # co-tenants at either edge (< 0.8 GB/s for a 32 MB copy —
+        # observed 0.15 GB/s during a 3x slowdown vs multi-GB/s idle).
+        # A tainted sample does not consume the sample budget and earns
+        # one extra attempt (bounded at repeat + 2 total), so neighbor
+        # interference cannot masquerade as an engine regression in the
+        # recorded JSON.
         best = float("inf")
         samples = attempts = 0
         while samples < repeat and attempts < repeat + 2:
             attempts += 1
             s0 = read_steal_jiffies()
+            bw0 = _copy_gbps()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             s1 = read_steal_jiffies()
+            bw1 = _copy_gbps()
             best = min(best, dt)
             if s0 >= 0 and s1 >= 0 and s1 - s0 > 300:
+                continue
+            if 0 <= bw0 < 0.8 or 0 <= bw1 < 0.8:
                 continue
             samples += 1
         timings[name] = round(best, 3)
