@@ -136,3 +136,34 @@ def test_winnow_shared_fingerprints_on_overlap(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps["1"] & fps["2"]
     assert not (fps["1"] & fps["2"] & fps["3"])
+
+
+def test_pack_sequences_prefix_sum_invariants(spark):
+    """Concat-and-chunk packing: offsets are the exact global prefix sum
+    over numeric doc_id order regardless of bucket partitioning (the
+    two-phase distributed prefix sum equals the single-pass answer), and
+    the chunk coordinates are consistent arithmetic."""
+    import random
+    rng = random.Random(23)
+    rows = [(i, " ".join("w" * 1 for _ in range(rng.randint(1, 9))))
+            for i in range(37)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    small = {r.doc_id: r for r in
+             textops.pack_sequences(docs, window=8, bucket_size=4)
+             .collect()}
+    big = {r.doc_id: r for r in
+           textops.pack_sequences(docs, window=8, bucket_size=1 << 20)
+           .collect()}
+    assert {k: tuple(v) for k, v in small.items()} \
+        == {k: tuple(v) for k, v in big.items()}
+    run = 0
+    for i in range(37):
+        r = small[str(i)]
+        assert r.start_offset == run
+        assert r.chunk_id == run // 8 and r.chunk_offset == run % 8
+        run += r.n_tokens
+    # phase-1 window is bucket-partitioned (no full-data single-partition
+    # sort); only the tiny per-bucket-totals window is global
+    plan = textops.pack_sequences(docs, bucket_size=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan

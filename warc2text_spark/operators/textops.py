@@ -51,6 +51,56 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pack_sequences(df: DataFrame, window: int = 512,
+                   text_col: str = "text",
+                   bucket_size: int = 1 << 20) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pre-training
+    layout: documents concatenated in a deterministic order, sliced into
+    fixed ``window``-token training sequences; a document may straddle a
+    chunk boundary — the (chunk_id, chunk_offset) pair is the boundary
+    index the loader uses).  Returns, per document:
+    (doc_id, n_tokens, start_offset, chunk_id, chunk_offset), where
+    start_offset is the document's position in the global token stream
+    ordered by numeric doc_id.
+
+    Scale: the global running offset is a distributed TWO-PHASE PREFIX
+    SUM, never a single-partition window — phase 1 cumsums within
+    range-contiguous buckets (``doc_id div bucket_size`` — deterministic,
+    no max() pass needed), phase 2 computes each bucket's base offset
+    with one tiny window over the per-bucket totals (<= corpus/bucket_size
+    rows) joined back (optimizer-sized broadcast).  Every step is native
+    Catalyst; no task ever sorts more than one bucket."""
+    from pyspark.sql import Window
+    base = df.select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    base = base.withColumn("_bucket", (F.col("_id") / bucket_size)
+                           .cast("long"))
+    w_local = (Window.partitionBy("_bucket").orderBy("_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = base.withColumn("_cum", F.sum("n_tokens").over(w_local))
+    totals = base.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_btotal"))
+    w_bucket = (Window.orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bases = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btotal").over(w_bucket), F.lit(0))
+        .alias("_base"))
+    out = (local.join(bases, "_bucket")
+           .select(
+               F.col("_id").cast("string").alias("doc_id"),
+               "n_tokens",
+               (F.col("_base") + F.col("_cum") - F.col("n_tokens"))
+               .alias("start_offset"))
+           .select(
+               "doc_id", "n_tokens", "start_offset",
+               (F.col("start_offset") / window).cast("long")
+               .alias("chunk_id"),
+               (F.col("start_offset") % window).alias("chunk_offset")))
+    return out
+
+
 BPE_ISH_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+"
 
 

@@ -957,8 +957,16 @@ def q_simhash_widths(spark, sf_dir) -> DataFrame:
 
 
 def q_token_count_both(spark, sf_dir) -> DataFrame:
-    return q_token_count(spark, sf_dir).join(
-        q_token_count_bpe(spark, sf_dir), "doc_id")
+    """Token statistics + sequence packing in one driver row: whitespace
+    and BPE-ish counts plus the concat-and-chunk packing coordinates
+    (global token-stream offset via the two-phase distributed prefix
+    sum, window=512)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pack = textops.pack_sequences(docs, window=512).select(
+        "doc_id", "start_offset", "chunk_id", "chunk_offset")
+    return (q_token_count(spark, sf_dir)
+            .join(q_token_count_bpe(spark, sf_dir), "doc_id")
+            .join(pack, "doc_id"))
 
 
 def q_ann_lsh_variants(spark, sf_dir) -> DataFrame:
@@ -1293,10 +1301,28 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"select doc_id, 16 as width, simhash from ({d['simhash']})\n"
         f"union all\n"
         f"select doc_id, 64 as width, simhash from ({d.pop('simhash64')})")
+    # packing leg: the DuckDB twin of the two-phase prefix sum is one
+    # plain running sum over numeric doc_id order
+    pack_sql = """
+        with t as (select doc_id,
+                          len(string_split(text, ' '))::bigint as n
+                   from documents),
+        s as (select doc_id, n,
+                     (sum(n) over (order by doc_id
+                                   rows between unbounded preceding
+                                   and current row) - n)::bigint
+                     as start_offset
+              from t)
+        select cast(doc_id as varchar) as doc_id, start_offset,
+               (start_offset // 512)::bigint as chunk_id,
+               (start_offset % 512)::bigint as chunk_offset
+        from s"""
     d["token_count"] = (
-        f"select t.doc_id, t.n_tokens, b.n_bpe_tokens\n"
+        f"select t.doc_id, t.n_tokens, b.n_bpe_tokens,\n"
+        f"       p.start_offset, p.chunk_id, p.chunk_offset\n"
         f"from ({d['token_count']}) t\n"
-        f"join ({d.pop('token_count_bpe')}) b using (doc_id)")
+        f"join ({d.pop('token_count_bpe')}) b using (doc_id)\n"
+        f"join ({pack_sql}) p using (doc_id)")
     d["ann_lsh_topk"] = (
         f"select 'bucket' as variant, vec_id, cosine "
         f"from ({d['ann_lsh_topk']})\n"
