@@ -246,3 +246,28 @@ def test_decontaminate_stream_batch_parity(spark, tmp_path):
                    for r in spark.sql("select * from decontam_parity")
                    .collect()}
     assert stream_kept == batch_kept and len(stream_kept) > 0
+
+
+def test_global_shuffle_matches_single_pass_rank(spark):
+    """shuffle_pos is the exact global md5-order rank: bucket-count
+    invariant (two-phase prefix count == single-pass answer), a
+    permutation of 0..n-1, deterministic, and salt-independent draws."""
+    import hashlib
+    from warc2text_spark.operators.selection import global_shuffle
+    rows = [(str(i), "x") for i in range(123)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    small = {r.doc_id: r.shuffle_pos
+             for r in global_shuffle(df, buckets=7).collect()}
+    big = {r.doc_id: r.shuffle_pos
+           for r in global_shuffle(df, buckets=1 << 20).collect()}
+    assert small == big
+    # python twin: rank by (leading-60-bit md5, key)
+    def k(d):
+        return int(hashlib.md5(f"{d}:s5".encode()).hexdigest()[:15], 16)
+    expect = {d: p for p, (_, _, d) in enumerate(
+        sorted((k(d), d, d) for d, _ in rows))}
+    assert small == expect
+    assert sorted(small.values()) == list(range(123))
+    other = {r.doc_id: r.shuffle_pos
+             for r in global_shuffle(df, salt="epoch2").collect()}
+    assert other != small and sorted(other.values()) == list(range(123))

@@ -12,6 +12,9 @@ into the training set —
   unigram model (low = fluent/common, high = gibberish or OOV-dense).
 * :func:`sample_stratified` — deterministic hash-based per-stratum
   sampling (reproducible across runs/engines, no RNG state).
+* :func:`global_shuffle` — deterministic training-order shuffle: a
+  reproducible global permutation position per row (hash-ordered,
+  salt = epoch), ranked by a two-phase distributed prefix count.
 
 Scale notes are per-function; none of them shuffles the document payload.
 """
@@ -262,3 +265,40 @@ def sample_stratified(df: DataFrame, strata_col: str, pct: int,
                           F.col(key_col).cast("string"), F.lit(salt))),
         1, 8), 16, 10).cast("long") % 100)
     return df.filter(bucket < pct)
+
+
+def global_shuffle(df: DataFrame, key_col: str = "doc_id",
+                   salt: str = "s5", buckets: int = 1024) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets
+    ``shuffle_pos`` — its 0-based position in a reproducible global
+    permutation ordered by md5(key:salt)'s leading 60 bits (ties broken
+    by the key itself).  The loader reads rows in ``shuffle_pos`` order
+    to get an engine-, run- and partitioning-independent shuffled epoch;
+    changing ``salt`` draws an independent permutation per epoch with no
+    RNG state to checkpoint.
+
+    Scale: the global rank is a TWO-PHASE DISTRIBUTED PREFIX COUNT,
+    never a single-partition sort — the 60-bit key space splits into
+    ``buckets`` contiguous ranges (integer ``div``: the key magnitude
+    exceeds double precision, float division would corrupt bucket
+    edges), phase 1 row_numbers within each range, phase 2 offsets each
+    range by one tiny window over the per-bucket counts (<= ``buckets``
+    rows) joined back (optimizer-sized broadcast).  All native Catalyst;
+    no task sorts more than one bucket's rows."""
+    from pyspark.sql import Window
+    span = (1 << 60) // buckets + 1
+    keyed = df.withColumn("_k", F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(salt))), 1, 15), 16, 10).cast("long")) \
+        .withColumn("_bucket", F.expr(f"_k div {span}"))
+    w_local = Window.partitionBy("_bucket").orderBy("_k", key_col)
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_local))
+    w_bucket = (Window.orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bases = (keyed.groupBy("_bucket").agg(F.count("*").alias("_n"))
+             .select("_bucket",
+                     F.coalesce(F.sum("_n").over(w_bucket), F.lit(0))
+                     .alias("_base")))
+    out = ranked.join(bases, "_bucket").withColumn(
+        "shuffle_pos", (F.col("_base") + F.col("_rn") - 1).cast("long"))
+    return out.drop("_k", "_bucket", "_rn", "_base")

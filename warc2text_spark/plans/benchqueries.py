@@ -1123,12 +1123,16 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
 
 
 def q_sample_stratified(spark, sf_dir) -> DataFrame:
-    """Deterministic 20% per-language sample: md5-bucket filter, zero
-    shuffle, reproducible across engines (the oracle recomputes the same
-    buckets in DuckDB)."""
-    from ..operators.selection import sample_stratified
+    """Deterministic 20% per-language sample (md5-bucket filter, zero
+    shuffle) composed with the deterministic training-order shuffle:
+    each sampled row carries its reproducible global permutation
+    position (two-phase distributed prefix count over hash-range
+    buckets).  The oracle recomputes both the buckets and the
+    single-pass row_number rank in DuckDB."""
+    from ..operators.selection import global_shuffle, sample_stratified
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return sample_stratified(docs, "lang", 20).select("doc_id", "lang")
+    sampled = sample_stratified(docs, "lang", 20)
+    return global_shuffle(sampled).select("doc_id", "lang", "shuffle_pos")
 
 
 def q_jaccard_all(spark, sf_dir) -> DataFrame:
@@ -1746,9 +1750,16 @@ def oracle_sql() -> dict[str, str]:
             from tok t left join freq f using (w)
             group by t.doc_id""",
         "sample_stratified": """
-            select doc_id, lang from documents
-            where ('0x' || substr(md5(lang || ':' || doc_id || ':s4'),
-                                  1, 8))::bigint % 100 < 20""",
+            with s as (
+                select doc_id, lang from documents
+                where ('0x' || substr(md5(lang || ':' || doc_id || ':s4'),
+                                      1, 8))::bigint % 100 < 20)
+            select doc_id, lang,
+                   (row_number() over (
+                        order by ('0x' || substr(md5(doc_id || ':s5'),
+                                                 1, 15))::bigint,
+                                 doc_id) - 1)::bigint as shuffle_pos
+            from s""",
         "simhash": _simhash_oracle(),
         "simhash64": _simhash64_oracle(),
         "langid_labels": _langid_oracle(),
