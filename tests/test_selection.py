@@ -271,3 +271,45 @@ def test_global_shuffle_matches_single_pass_rank(spark):
     other = {r.doc_id: r.shuffle_pos
              for r in global_shuffle(df, salt="epoch2").collect()}
     assert other != small and sorted(other.values()) == list(range(123))
+
+
+def test_ccnet_buckets_exact_ntile_and_cell_invariance(spark):
+    """ppl_bucket matches exact SQL NTILE semantics (first n%t tiles get
+    the extra row, ties broken by id) for every language including
+    n < tiles, and is invariant to the score-grid granularity."""
+    import random
+    from warc2text_spark.operators.selection import ccnet_buckets
+    rng = random.Random(31)
+    rows = []
+    for lang, n in [("en", 47), ("de", 12), ("xx", 2), ("yy", 3)]:
+        for i in range(n):
+            rows.append((f"{lang}{i:03d}", lang,
+                         round(rng.uniform(0.0, 12.0), 6)))
+    # a tie block: same score, bucket order must follow doc_id
+    rows += [(f"tie{i}", "en", 5.5) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, surprisal double")
+    got = {r.doc_id: r.ppl_bucket
+           for r in ccnet_buckets(df).collect()}
+    coarse = {r.doc_id: r.ppl_bucket
+              for r in ccnet_buckets(df, cells_per_nat=1).collect()}
+    assert got == coarse
+    # python NTILE twin
+    from collections import defaultdict
+    by_lang = defaultdict(list)
+    for d, lang, s in rows:
+        by_lang[lang].append((s, d))
+    expect = {}
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n, t = len(docs), 3
+        q, r = divmod(n, t)
+        for rank, (_, d) in enumerate(docs, start=1):
+            if rank <= r * (q + 1):
+                expect[d] = (rank - 1) // (q + 1) + 1
+            else:
+                expect[d] = r + (rank - r * (q + 1) - 1) // max(q, 1) + 1
+    assert got == expect
+    plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "_cell" in plan

@@ -12,6 +12,9 @@ into the training set —
   unigram model (low = fluent/common, high = gibberish or OOV-dense).
 * :func:`sample_stratified` — deterministic hash-based per-stratum
   sampling (reproducible across runs/engines, no RNG state).
+* :func:`ccnet_buckets` — CCNet's head/middle/tail perplexity terciles
+  per language (exact NTILE semantics), ranked by a two-phase prefix
+  count over score-grid cells — no single-task per-language sort.
 * :func:`global_shuffle` — deterministic training-order shuffle: a
   reproducible global permutation position per row (hash-ordered,
   salt = epoch), ranked by a two-phase distributed prefix count.
@@ -265,6 +268,59 @@ def sample_stratified(df: DataFrame, strata_col: str, pct: int,
                           F.col(key_col).cast("string"), F.lit(salt))),
         1, 8), 16, 10).cast("long") % 100)
     return df.filter(bucket < pct)
+
+
+def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
+                  score_col: str = "surprisal", id_col: str = "doc_id",
+                  tiles: int = 3, cells_per_nat: int = 8) -> DataFrame:
+    """CCNet's selection mechanism (Wenzek et al. 2020 §4.3): split each
+    language's documents into ``tiles`` equal perplexity terciles —
+    head/middle/tail by LM score, ascending (bucket 1 = most fluent) —
+    so downstream sampling can keep the head and drop or downweight the
+    tail.  Adds ``ppl_bucket`` (1-indexed, exact SQL ``NTILE``
+    semantics: the first ``n % tiles`` buckets get the extra row; ties
+    broken by ``id_col``).
+
+    Scale: a naive ``ntile() over (partition by lang order by score)``
+    sorts each language in ONE task — a dominant language (half a crawl
+    is English) makes that a 50 TB single-task sort.  Here the per-lang
+    rank is a TWO-PHASE PREFIX COUNT over score-grid cells
+    (``floor(score * cells_per_nat)`` — contiguous in score order by
+    construction): phase 1 row_numbers within (lang, cell), phase 2
+    offsets each cell by one tiny window over the per-(lang, cell)
+    counts, and the bucket falls out of the rank closed-form — no task
+    ever sorts more than one cell of one language.  Granularity assumes
+    a spread score distribution (surprisal spreads by construction); a
+    degenerate constant-score corpus concentrates into one cell."""
+    from pyspark.sql import Window
+    df = scored.withColumn(
+        "_cell", F.floor(F.col(score_col) * cells_per_nat).cast("long"))
+    w_local = Window.partitionBy(lang_col, "_cell").orderBy(score_col,
+                                                            id_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w_local))
+    counts = df.groupBy(lang_col, "_cell").agg(F.count("*").alias("_cn"))
+    w_cell = (Window.partitionBy(lang_col).orderBy("_cell")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    bases = counts.select(
+        lang_col, "_cell",
+        F.coalesce(F.sum("_cn").over(w_cell), F.lit(0)).alias("_base"))
+    totals = df.groupBy(lang_col).agg(F.count("*").alias("_n"))
+    j = (ranked.join(bases, [lang_col, "_cell"]).join(totals, lang_col)
+         .withColumn("_rank", (F.col("_base") + F.col("_rn"))
+                     .cast("long"))
+         .withColumn("_q", F.expr(f"_n div {tiles}"))
+         .withColumn("_r", (F.col("_n") % tiles).cast("long")))
+    # closed-form NTILE from the 1-based rank: first _r tiles hold
+    # _q + 1 rows, the rest hold _q (greatest() keeps the dead branch
+    # from dividing by zero under ANSI when n < tiles)
+    bucket = F.when(
+        F.col("_rank") <= F.col("_r") * (F.col("_q") + F.lit(1)),
+        F.expr("(_rank - 1) div (_q + 1) + 1")
+    ).otherwise(
+        F.expr("_r + (_rank - _r * (_q + 1) - 1) div greatest(_q, 1)"
+               " + 1"))
+    return (j.withColumn("ppl_bucket", bucket.cast("int"))
+            .drop("_cell", "_rn", "_base", "_n", "_rank", "_q", "_r"))
 
 
 def global_shuffle(df: DataFrame, key_col: str = "doc_id",

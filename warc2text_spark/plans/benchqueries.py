@@ -1116,10 +1116,16 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
     """Unigram-LM quality score: mean token surprisal under the corpus's
     own Laplace-smoothed head-vocabulary model (pass 1 counts shuffle;
     pass 2 fully JVM-side — explode + broadcast-join the ln-table +
-    map-side-combined per-doc aggregate, no Python crossing)."""
-    from ..operators.selection import unigram_surprisal
+    map-side-combined per-doc aggregate, no Python crossing), composed
+    with CCNet's per-language head/middle/tail perplexity terciles
+    (ppl_bucket, exact NTILE semantics via the two-phase prefix count
+    over score-grid cells — the scale path IS the checked path)."""
+    from ..operators.selection import ccnet_buckets, unigram_surprisal
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return unigram_surprisal(docs)
+    scored = unigram_surprisal(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    return ccnet_buckets(scored).select(
+        "doc_id", "n_tokens", "surprisal", "lang", "ppl_bucket")
 
 
 def q_sample_stratified(spark, sf_dir) -> DataFrame:
@@ -1741,14 +1747,20 @@ def oracle_sql() -> dict[str, str]:
             tok as (select doc_id, unnest(t) as w from toks),
             freq as (select w, count(*) as c from tok
                      group by w order by c desc, w limit 100000),
-            tot as (select sum(c) + count(*) + 1 as denom from freq)
-            select cast(t.doc_id as varchar) as doc_id,
-                   count(*)::bigint as n_tokens,
-                   round(ln((select denom from tot))
-                         - sum(ln(coalesce(f.c, 0) + 1)) / count(*),
-                         6) as surprisal
-            from tok t left join freq f using (w)
-            group by t.doc_id""",
+            tot as (select sum(c) + count(*) + 1 as denom from freq),
+            s as (select cast(t.doc_id as varchar) as doc_id,
+                         count(*)::bigint as n_tokens,
+                         round(ln((select denom from tot))
+                               - sum(ln(coalesce(f.c, 0) + 1)) / count(*),
+                               6) as surprisal
+                  from tok t left join freq f using (w)
+                  group by t.doc_id)
+            select s.doc_id, s.n_tokens, s.surprisal, d.lang,
+                   ntile(3) over (partition by d.lang
+                                  order by s.surprisal, s.doc_id)::int
+                       as ppl_bucket
+            from s join documents d
+              on s.doc_id = cast(d.doc_id as varchar)""",
         "sample_stratified": """
             with s as (
                 select doc_id, lang from documents
