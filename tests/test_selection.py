@@ -313,3 +313,22 @@ def test_ccnet_buckets_exact_ntile_and_cell_invariance(spark):
     plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "_cell" in plan
+
+
+def test_mixing_weights_alpha_semantics(spark):
+    """alpha=1 recovers natural frequencies, alpha=0 uniform; weights
+    sum to 1; small strata get boost > 1 under alpha < 1."""
+    from warc2text_spark.operators.selection import mixing_weights
+    rows = [("d%d" % i, "en" if i < 90 else "mi", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_chars int")
+    w = {r.lang: r for r in mixing_weights(df, "lang", "n_chars",
+                                           alpha=0.3).collect()}
+    assert abs(w["en"].mix_weight + w["mi"].mix_weight - 1.0) < 1e-5
+    assert w["mi"].mix_boost > 1.0 > w["en"].mix_boost
+    nat = {r.lang: r for r in mixing_weights(df, "lang", "n_chars",
+                                             alpha=1.0).collect()}
+    assert abs(nat["en"].mix_weight - 0.9) < 1e-6
+    assert abs(nat["en"].mix_boost - 1.0) < 1e-6
+    uni = {r.lang: r for r in mixing_weights(df, "lang",
+                                             alpha=0.0).collect()}
+    assert abs(uni["en"].mix_weight - 0.5) < 1e-6

@@ -12,6 +12,9 @@ into the training set —
   unigram model (low = fluent/common, high = gibberish or OOV-dense).
 * :func:`sample_stratified` — deterministic hash-based per-stratum
   sampling (reproducible across runs/engines, no RNG state).
+* :func:`mixing_weights` — temperature-smoothed data-mixing weights
+  (XLM-R-style alpha sampling): per-stratum sampling weight and
+  up/down-sampling boost from one tiny histogram aggregate.
 * :func:`ccnet_buckets` — CCNet's head/middle/tail perplexity terciles
   per language (exact NTILE semantics), ranked by a two-phase prefix
   count over score-grid cells — no single-task per-language sort.
@@ -268,6 +271,36 @@ def sample_stratified(df: DataFrame, strata_col: str, pct: int,
                           F.col(key_col).cast("string"), F.lit(salt))),
         1, 8), 16, 10).cast("long") % 100)
     return df.filter(bucket < pct)
+
+
+def mixing_weights(df: DataFrame, strata_col: str = "lang",
+                   size_col: str | None = None,
+                   alpha: float = 0.3) -> DataFrame:
+    """Temperature-smoothed data-mixing weights (the multilingual
+    alpha-sampling of XLM-R / mBERT / mC4: p_i ∝ size_i^alpha): per
+    stratum, the normalized sampling weight ``mix_weight`` and the
+    up/down-sampling factor ``mix_boost`` = weight / natural frequency
+    (> 1 means the loader oversamples the stratum relative to its share
+    of the corpus).  ``size_col`` measures stratum mass (e.g. chars or
+    tokens); None counts rows.  alpha=1 recovers natural sampling,
+    alpha=0 uniform.  Weights are rounded to 6 digits so the result is
+    engine-portable (pow() last-ulp differences can't leak).
+
+    Scale: one map-side-combined aggregate down to #strata rows, then
+    scalar totals broadcast back — nothing beyond the histogram ever
+    shuffles."""
+    size = (F.sum(size_col) if size_col
+            else F.count(F.lit(1))).cast("double")
+    sizes = df.groupBy(strata_col).agg(size.alias("_s"))
+    powed = sizes.withColumn("_p", F.pow(F.col("_s"), F.lit(alpha)))
+    tot = powed.agg(F.sum("_p").alias("_tp"), F.sum("_s").alias("_ts"))
+    return (powed.crossJoin(F.broadcast(tot))
+            .select(strata_col,
+                    F.round(F.col("_p") / F.col("_tp"), 6)
+                    .alias("mix_weight"),
+                    F.round((F.col("_p") / F.col("_tp"))
+                            / (F.col("_s") / F.col("_ts")), 6)
+                    .alias("mix_boost")))
 
 
 def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",

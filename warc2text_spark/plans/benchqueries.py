@@ -148,9 +148,17 @@ def q_paragraph_id(spark, sf_dir) -> DataFrame:
 
 
 def q_lang_histogram(spark, sf_dir) -> DataFrame:
-    return (_docs(spark, sf_dir).groupBy("lang")
+    """A2 histogram + the data-mixing stage built on it: per-language
+    doc/char totals plus the alpha=0.3 temperature-sampling weight and
+    up/down-sampling boost (XLM-R-style multilingual mixing) — all from
+    one map-side-combined aggregate and a broadcast scalar total."""
+    from ..operators.selection import mixing_weights
+    docs = _docs(spark, sf_dir)
+    hist = (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
+    return hist.join(mixing_weights(docs, "lang", size_col="n_chars"),
+                     "lang")
 
 
 def q_media_metadata(spark, sf_dir) -> DataFrame:
@@ -1627,8 +1635,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(sum(value), 4) as double) as sum_value
             from s group by user_id, sid""",
         "lang_histogram": """
-            select lang, count(*)::bigint as n_docs, sum(n_chars)::bigint as sum_chars
-            from documents group by lang""",
+            with h as (select lang, count(*)::bigint as n_docs,
+                              sum(n_chars)::bigint as sum_chars
+                       from documents group by lang),
+            t as (select sum(power(sum_chars, 0.3)) as tp,
+                         sum(sum_chars)::double as ts from h)
+            select lang, n_docs, sum_chars,
+                   round(power(sum_chars, 0.3) / tp, 6) as mix_weight,
+                   round((power(sum_chars, 0.3) / tp)
+                         / (sum_chars / ts), 6) as mix_boost
+            from h, t""",
         "media_metadata": """
             select cast(doc_id as varchar) as doc_id, 1 as "offset",
                    strlen('IMG' || doc_id)::bigint as media_bytes,
