@@ -1,0 +1,76 @@
+"""BPE tokenizer: trainer twins, encode twins, Spark encode parity."""
+
+import random
+
+from warc2text_spark.operators.tokenizer import (
+    END, bpe_encode, bpe_encode_word, bpe_encode_word_sequential,
+    bpe_train, bpe_train_local, bpe_train_naive)
+
+
+def _random_counts(rng, n_words):
+    alpha = "abcdef"
+    return {"".join(rng.choice(alpha)
+                    for _ in range(rng.randint(1, 7))): rng.randint(1, 9)
+            for _ in range(n_words)}
+
+
+def test_trainer_incremental_matches_naive_recount():
+    rng = random.Random(41)
+    for trial in range(25):
+        wc = _random_counts(rng, rng.randint(1, 40))
+        nm = rng.randint(1, 30)
+        assert bpe_train_local(wc, nm) == bpe_train_naive(wc, nm), wc
+
+
+def test_sennrich_style_first_merges():
+    # newest/widest dominate: ('e','s') and ('s','t</w>') tie at 9,
+    # the asc tie-break picks ('e','s'); then ('es','t</w>') at 9
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train_naive(wc, 4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t" + END)
+    assert bpe_train_local(wc, 4) == merges
+
+
+def test_encode_roundtrip_and_twin_parity():
+    rng = random.Random(43)
+    wc = _random_counts(rng, 60)
+    merges = bpe_train_local(wc, 40)
+    ranks = {p: i for i, p in enumerate(merges)}
+    seen = list(wc) + ["zzz", "a", "fedcba", "abecedab"]
+    for w in seen:
+        fast = bpe_encode_word(w, ranks)
+        slow = bpe_encode_word_sequential(w, merges)
+        assert fast == slow, (w, fast, slow)
+        assert "".join(fast) == w + END
+    # more merges never increases the subword count
+    fewer = {p: i for i, p in enumerate(merges[:10])}
+    for w in seen:
+        assert len(bpe_encode_word(w, ranks)) \
+            <= len(bpe_encode_word(w, fewer))
+
+
+def test_spark_train_and_encode_match_local(spark):
+    rows = [("1", "the cat sat on the mat"),
+            ("2", "the cats sat"),
+            ("3", "on and on and on"),
+            ("4", "mat mat mat the")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = bpe_train(df, num_merges=12)
+    # trainer parity with a locally-built count table
+    wc = {}
+    for _, t in rows:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    assert merges == bpe_train_local(wc, 12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    for did, t in rows:
+        ws = t.split(" ")
+        assert out[did].n_tokens == len(ws)
+        assert out[did].n_subwords == sum(
+            len(bpe_encode_word(w, ranks)) for w in ws)
+    # first merge agrees with the iteration-0 pair-count surface
+    from warc2text_spark.operators.textops import bpe_pair_counts
+    top = bpe_pair_counts(df, k=1).collect()[0].pair
+    assert top == f"{merges[0][0]} {merges[0][1]}"

@@ -53,11 +53,13 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
+    # always rebuild: a pid-keyed existence check resurrects a STALE zip
+    # when the OS recycles the pid of a long-dead session — executors
+    # then silently miss modules added since (caught by a verify drive)
     zip_path = pathlib.Path("/tmp") / f"warc2text_spark_{os.getpid()}.zip"
-    if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for py in pkg_dir.rglob("*.py"):
-                zf.write(py, f"warc2text_spark/{py.relative_to(pkg_dir)}")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, f"warc2text_spark/{py.relative_to(pkg_dir)}")
     try:
         spark.sparkContext.addPyFile(str(zip_path))
     except Exception:
