@@ -332,3 +332,13 @@ def test_mixing_weights_alpha_semantics(spark):
     uni = {r.lang: r for r in mixing_weights(df, "lang",
                                              alpha=0.0).collect()}
     assert abs(uni["en"].mix_weight - 0.5) < 1e-6
+
+
+def test_mixing_weights_zero_mass_stratum_no_nulls(spark):
+    from warc2text_spark.operators.selection import mixing_weights
+    rows = [("1", "en", 10), ("2", "zz", 0), ("3", "zz", 0)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_chars int")
+    w = {r.lang: r for r in mixing_weights(df, "lang", "n_chars").collect()}
+    assert w["zz"].mix_weight == 0.0 and w["zz"].mix_boost == 0.0
+    assert w["en"].mix_weight == 1.0
+    assert all(v is not None for r in w.values() for v in r)

@@ -74,3 +74,13 @@ def test_spark_train_and_encode_match_local(spark):
     from warc2text_spark.operators.textops import bpe_pair_counts
     top = bpe_pair_counts(df, k=1).collect()[0].pair
     assert top == f"{merges[0][0]} {merges[0][1]}"
+
+
+def test_encode_keeps_empty_documents(spark):
+    rows = [("1", "a b"), ("2", ""), ("3", "   ")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in bpe_encode(df, []).collect()}
+    assert set(out) == {"1", "2", "3"}
+    assert out["2"].n_tokens == 0 and out["2"].n_subwords == 0
+    assert out["3"].n_tokens == 0 and out["3"].n_subwords == 0
+    assert out["1"].n_tokens == 2

@@ -275,7 +275,8 @@ def sample_stratified(df: DataFrame, strata_col: str, pct: int,
 
 def mixing_weights(df: DataFrame, strata_col: str = "lang",
                    size_col: str | None = None,
-                   alpha: float = 0.3) -> DataFrame:
+                   alpha: float = 0.3,
+                   sizes: DataFrame | None = None) -> DataFrame:
     """Temperature-smoothed data-mixing weights (the multilingual
     alpha-sampling of XLM-R / mBERT / mC4: p_i ∝ size_i^alpha): per
     stratum, the normalized sampling weight ``mix_weight`` and the
@@ -284,23 +285,62 @@ def mixing_weights(df: DataFrame, strata_col: str = "lang",
     of the corpus).  ``size_col`` measures stratum mass (e.g. chars or
     tokens); None counts rows.  alpha=1 recovers natural sampling,
     alpha=0 uniform.  Weights are rounded to 6 digits so the result is
-    engine-portable (pow() last-ulp differences can't leak).
+    engine-portable (pow() last-ulp differences can't leak).  A
+    zero-mass stratum (or an all-empty corpus) gets weight/boost 0.0 —
+    never NULL (the driver-compare sentinel rule).
 
-    Scale: one map-side-combined aggregate down to #strata rows, then
-    scalar totals broadcast back — nothing beyond the histogram ever
-    shuffles."""
-    size = (F.sum(size_col) if size_col
-            else F.count(F.lit(1))).cast("double")
-    sizes = df.groupBy(strata_col).agg(size.alias("_s"))
-    powed = sizes.withColumn("_p", F.pow(F.col("_s"), F.lit(alpha)))
+    Pass ``sizes`` — a pre-aggregated (strata_col, size_col) frame, e.g.
+    an already-computed histogram — to skip the corpus aggregate and
+    reuse its scan.  Scale: one map-side-combined aggregate down to
+    #strata rows, then scalar totals broadcast back — nothing beyond
+    the histogram ever shuffles."""
+    if sizes is not None:
+        agg = sizes.select(strata_col,
+                           F.col(size_col).cast("double").alias("_s"))
+    else:
+        size = (F.sum(size_col) if size_col
+                else F.count(F.lit(1))).cast("double")
+        agg = df.groupBy(strata_col).agg(size.alias("_s"))
+    powed = agg.withColumn(
+        "_p", F.when(F.col("_s") > 0,
+                     F.pow(F.col("_s"), F.lit(alpha))).otherwise(0.0))
     tot = powed.agg(F.sum("_p").alias("_tp"), F.sum("_s").alias("_ts"))
+    weight = F.when(F.col("_tp") > 0,
+                    F.col("_p") / F.col("_tp")).otherwise(0.0)
+    natural = F.col("_s") / F.col("_ts")
     return (powed.crossJoin(F.broadcast(tot))
             .select(strata_col,
-                    F.round(F.col("_p") / F.col("_tp"), 6)
-                    .alias("mix_weight"),
-                    F.round((F.col("_p") / F.col("_tp"))
-                            / (F.col("_s") / F.col("_ts")), 6)
+                    F.round(weight, 6).alias("mix_weight"),
+                    F.round(F.when(F.col("_s") > 0, weight / natural)
+                            .otherwise(0.0), 6)
                     .alias("mix_boost")))
+
+
+def _two_phase_rank(df: DataFrame, bucket_col: str, order_cols: list,
+                    part_cols: tuple = ()) -> tuple[DataFrame, DataFrame]:
+    """Shared distributed-rank core: the 1-based rank of each row under
+    ``order by part_cols, order_cols`` where ``bucket_col`` splits the
+    order into contiguous ranges — phase 1 row_numbers within
+    (part_cols, bucket), phase 2 offsets each bucket by one tiny window
+    over the per-bucket counts joined back (optimizer-sized broadcast).
+    No task ever sorts more than one bucket of one partition.  Returns
+    (frame + ``_rank``, the per-bucket counts frame) — callers derive
+    per-partition totals from the counts, not another corpus pass."""
+    from pyspark.sql import Window
+    keys = [*part_cols, bucket_col]
+    w_local = Window.partitionBy(*keys).orderBy(*order_cols)
+    ranked = df.withColumn("_rn", F.row_number().over(w_local))
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_cn"))
+    w_bucket = (Window.partitionBy(*part_cols).orderBy(bucket_col)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    bases = counts.select(
+        *keys,
+        F.coalesce(F.sum("_cn").over(w_bucket), F.lit(0)).alias("_base"))
+    out = (ranked.join(bases, keys)
+           .withColumn("_rank", (F.col("_base") + F.col("_rn"))
+                       .cast("long"))
+           .drop("_rn", "_base"))
+    return out, counts
 
 
 def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
@@ -325,22 +365,14 @@ def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
     ever sorts more than one cell of one language.  Granularity assumes
     a spread score distribution (surprisal spreads by construction); a
     degenerate constant-score corpus concentrates into one cell."""
-    from pyspark.sql import Window
     df = scored.withColumn(
         "_cell", F.floor(F.col(score_col) * cells_per_nat).cast("long"))
-    w_local = Window.partitionBy(lang_col, "_cell").orderBy(score_col,
-                                                            id_col)
-    ranked = df.withColumn("_rn", F.row_number().over(w_local))
-    counts = df.groupBy(lang_col, "_cell").agg(F.count("*").alias("_cn"))
-    w_cell = (Window.partitionBy(lang_col).orderBy("_cell")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    bases = counts.select(
-        lang_col, "_cell",
-        F.coalesce(F.sum("_cn").over(w_cell), F.lit(0)).alias("_base"))
-    totals = df.groupBy(lang_col).agg(F.count("*").alias("_n"))
-    j = (ranked.join(bases, [lang_col, "_cell"]).join(totals, lang_col)
-         .withColumn("_rank", (F.col("_base") + F.col("_rn"))
-                     .cast("long"))
+    ranked, counts = _two_phase_rank(df, "_cell", [score_col, id_col],
+                                     part_cols=(lang_col,))
+    # per-lang totals come from the already-tiny per-cell counts — not
+    # a third pass over the scored frame's upstream
+    totals = counts.groupBy(lang_col).agg(F.sum("_cn").alias("_n"))
+    j = (ranked.join(totals, lang_col)
          .withColumn("_q", F.expr(f"_n div {tiles}"))
          .withColumn("_r", (F.col("_n") % tiles).cast("long")))
     # closed-form NTILE from the 1-based rank: first _r tiles hold
@@ -353,7 +385,7 @@ def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
         F.expr("_r + (_rank - _r * (_q + 1) - 1) div greatest(_q, 1)"
                " + 1"))
     return (j.withColumn("ppl_bucket", bucket.cast("int"))
-            .drop("_cell", "_rn", "_base", "_n", "_rank", "_q", "_r"))
+            .drop("_cell", "_n", "_rank", "_q", "_r"))
 
 
 def global_shuffle(df: DataFrame, key_col: str = "doc_id",
@@ -374,20 +406,12 @@ def global_shuffle(df: DataFrame, key_col: str = "doc_id",
     range by one tiny window over the per-bucket counts (<= ``buckets``
     rows) joined back (optimizer-sized broadcast).  All native Catalyst;
     no task sorts more than one bucket's rows."""
-    from pyspark.sql import Window
     span = (1 << 60) // buckets + 1
     keyed = df.withColumn("_k", F.conv(F.substring(
         F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
                           F.lit(salt))), 1, 15), 16, 10).cast("long")) \
         .withColumn("_bucket", F.expr(f"_k div {span}"))
-    w_local = Window.partitionBy("_bucket").orderBy("_k", key_col)
-    ranked = keyed.withColumn("_rn", F.row_number().over(w_local))
-    w_bucket = (Window.orderBy("_bucket")
-                .rowsBetween(Window.unboundedPreceding, -1))
-    bases = (keyed.groupBy("_bucket").agg(F.count("*").alias("_n"))
-             .select("_bucket",
-                     F.coalesce(F.sum("_n").over(w_bucket), F.lit(0))
-                     .alias("_base")))
-    out = ranked.join(bases, "_bucket").withColumn(
-        "shuffle_pos", (F.col("_base") + F.col("_rn") - 1).cast("long"))
-    return out.drop("_k", "_bucket", "_rn", "_base")
+    ranked, _ = _two_phase_rank(keyed, "_bucket", ["_k", key_col])
+    return (ranked.withColumn("shuffle_pos",
+                              (F.col("_rank") - 1).cast("long"))
+            .drop("_k", "_bucket", "_rank"))

@@ -222,7 +222,15 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         .filter(F.col("w") != "")
     types = toks.select("w").distinct()
     encoded = types.mapInPandas(kernel, "w string, n_sub int")
-    return (toks.join(encoded, "w")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 F.sum("n_sub").cast("long").alias("n_subwords")))
+    agg = (toks.join(encoded, "w")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("n_sub").cast("long").alias("n_subwords")))
+    # empty/whitespace-only docs produce no exploded rows: keep them as
+    # (id, 0, 0) — the contract is one row per input document
+    ids = df.select(F.col(id_col).cast("string").alias(id_col))
+    return (ids.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_subwords", F.lit(0))
+                    .alias("n_subwords")))

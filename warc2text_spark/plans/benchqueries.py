@@ -157,8 +157,9 @@ def q_lang_histogram(spark, sf_dir) -> DataFrame:
     hist = (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
-    return hist.join(mixing_weights(docs, "lang", size_col="n_chars"),
-                     "lang")
+    weights = mixing_weights(docs, "lang", size_col="sum_chars",
+                             sizes=hist)
+    return hist.join(weights, "lang")
 
 
 def q_media_metadata(spark, sf_dir) -> DataFrame:
@@ -1130,8 +1131,11 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
     over score-grid cells — the scale path IS the checked path)."""
     from ..operators.selection import ccnet_buckets, unigram_surprisal
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # explicit string cast on the docs side: a string-vs-numeric join
+    # key coerces through double and collides past 2^53
     scored = unigram_surprisal(docs).join(
-        docs.select("doc_id", "lang"), "doc_id")
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "lang"), "doc_id")
     return ccnet_buckets(scored).select(
         "doc_id", "n_tokens", "surprisal", "lang", "ppl_bucket")
 

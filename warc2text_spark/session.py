@@ -57,9 +57,13 @@ def _ship_package(spark: SparkSession) -> None:
     # when the OS recycles the pid of a long-dead session — executors
     # then silently miss modules added since (caught by a verify drive)
     zip_path = pathlib.Path("/tmp") / f"warc2text_spark_{os.getpid()}.zip"
-    with zipfile.ZipFile(zip_path, "w") as zf:
+    # write-then-rename: an in-place rewrite races with an executor
+    # lazily fetching the already-registered path (truncated zip)
+    tmp_path = zip_path.with_suffix(f".{os.getpid()}.tmp")
+    with zipfile.ZipFile(tmp_path, "w") as zf:
         for py in sorted(pkg_dir.rglob("*.py")):
             zf.write(py, f"warc2text_spark/{py.relative_to(pkg_dir)}")
+    os.replace(tmp_path, zip_path)
     try:
         spark.sparkContext.addPyFile(str(zip_path))
     except Exception:
