@@ -342,3 +342,34 @@ def test_mixing_weights_zero_mass_stratum_no_nulls(spark):
     assert w["zz"].mix_weight == 0.0 and w["zz"].mix_boost == 0.0
     assert w["en"].mix_weight == 1.0
     assert all(v is not None for r in w.values() for v in r)
+
+
+def test_bigram_surprisal_matches_python_twin(spark):
+    """Native bigram scorer vs a direct Python computation of
+    mean(ln(c1+V+1) - ln(c12+1)); fluent repeated transitions score
+    below a shuffled permutation of the same tokens."""
+    import math
+    from collections import Counter
+    from warc2text_spark.operators.selection import bigram_surprisal
+    rows = [("1", "the cat sat on the mat"),
+            ("2", "the cat sat on the mat again"),
+            ("3", "mat the on sat cat the"),       # shuffled doc 1
+            ("4", "solo"),                          # 1 token: no bigrams
+            ("5", "the cat")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    uni = Counter(w for _, t in rows for w in t.split())
+    big = Counter(" ".join(p) for _, t in rows
+                  for p in zip(t.split(), t.split()[1:]))
+    v = len(uni)
+    for did, t in rows:
+        ws = t.split()
+        if len(ws) < 2:
+            assert did not in out
+            continue
+        terms = [math.log(uni[a] + v + 1) - math.log(big[f"{a} {b}"] + 1)
+                 for a, b in zip(ws, ws[1:])]
+        assert out[did].n_bigrams == len(terms)
+        assert abs(out[did].surprisal2
+                   - round(sum(terms) / len(terms), 6)) < 1e-9, did
+    assert out["1"].surprisal2 < out["3"].surprisal2

@@ -10,6 +10,9 @@ into the training set —
 * :func:`unigram_surprisal` — CCNet-direction language-model quality
   scoring: per-document mean token surprisal under a corpus-derived
   unigram model (low = fluent/common, high = gibberish or OOV-dense).
+* :func:`bigram_surprisal` — the conditional-bigram step toward CCNet's
+  real n-gram LM: mean -ln p(w2|w1), same native broadcast-ln-table
+  design, catches shuffled/incoherent text the unigram model cannot.
 * :func:`sample_stratified` — deterministic hash-based per-stratum
   sampling (reproducible across runs/engines, no RNG state).
 * :func:`mixing_weights` — temperature-smoothed data-mixing weights
@@ -255,6 +258,71 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
                                              id_col, text_col)
 
     return docs.select(id_col, text_col).mapInPandas(score, out_schema)
+
+
+def bigram_frequencies(docs: DataFrame, text_col: str = "text",
+                       cap: int = 100_000) -> DataFrame:
+    """(g, c) head-of-vocabulary bigram frequencies (space-joined word
+    pairs) — same shape and determinism contract as
+    :func:`unigram_frequencies` (ties broken by gram)."""
+    g = ngram_col(_tokens(text_col), 2)
+    return (docs.select(F.explode(g).alias("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "g").limit(cap))
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     vocab_cap: int = 100_000) -> DataFrame:
+    """Conditional bigram surprisal — one step from the unigram model
+    toward CCNet's real n-gram LM: per document, the mean of
+    -ln p(w2 | w1) under Laplace smoothing over the corpus's own head
+    vocabularies, p(w2|w1) = (c12 + 1) / (c1 + V + 1) with c12 the
+    bigram count, c1 the context-unigram count and V the head unigram
+    type count (out-of-head counts score 0).  Returns (id, n_bigrams,
+    surprisal2) for documents with >= 2 tokens; a fluent document's
+    common transitions make it score lower than shuffled or gibberish
+    text with the same unigram profile — the signal the unigram model
+    cannot see.
+
+    Scale (the unigram native-kernel design, twice): two bounded count
+    shuffles truncated to ``vocab_cap`` rows each and collected;
+    pass 2 explodes (w1, bigram) pairs JVM-side, broadcast-joins the
+    two local ln-tables, and reduces map-side to one row per document —
+    no Python crossing, only one tiny row per doc ever shuffles."""
+    uni = unigram_frequencies(docs, text_col, vocab_cap).collect()
+    v = len(uni)
+    oov_ctx = math.log(v + 1)
+    bi = bigram_frequencies(docs, text_col, vocab_cap).collect()
+    spark = docs.sparkSession
+    ctx_rows = [(r["w"], math.log(r["c"] + v + 1)) for r in uni]
+    big_rows = [(r["g"], math.log(r["c"] + 1)) for r in bi]
+    ctx_local = spark.createDataFrame(ctx_rows, "w1 string, lnc1 double") \
+        if ctx_rows else spark.createDataFrame([], "w1 string, lnc1 double")
+    big_local = spark.createDataFrame(big_rows, "g string, lnc12 double") \
+        if big_rows else spark.createDataFrame([], "g string, lnc12 double")
+    toks = _tokens(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat_ws(" ", F.slice(toks, i, 2)).alias("g")))
+    ).otherwise(F.array().cast("array<struct<w1:string,g:string>>"))
+    ex = (docs.select(F.col(id_col).cast("string").alias(id_col),
+                      F.explode(pairs).alias("p"))
+          .select(id_col, "p.w1", "p.g"))
+    scored = (ex.join(F.broadcast(ctx_local), "w1", "left")
+              .join(F.broadcast(big_local), "g", "left"))
+    term = (F.coalesce(F.col("lnc1"), F.lit(oov_ctx))
+            - F.coalesce(F.col("lnc12"), F.lit(0.0)))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum(term).alias("_s"))
+            .select(id_col, "n_bigrams",
+                    F.round(F.col("_s") / F.col("n_bigrams"), 6)
+                    .alias("surprisal2")))
 
 
 def sample_stratified(df: DataFrame, strata_col: str, pct: int,

@@ -1129,15 +1129,22 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
     with CCNet's per-language head/middle/tail perplexity terciles
     (ppl_bucket, exact NTILE semantics via the two-phase prefix count
     over score-grid cells — the scale path IS the checked path)."""
-    from ..operators.selection import ccnet_buckets, unigram_surprisal
+    from ..operators.selection import (bigram_surprisal, ccnet_buckets,
+                                       unigram_surprisal)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # explicit string cast on the docs side: a string-vs-numeric join
     # key coerces through double and collides past 2^53
     scored = unigram_surprisal(docs).join(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                     "lang"), "doc_id")
-    return ccnet_buckets(scored).select(
-        "doc_id", "n_tokens", "surprisal", "lang", "ppl_bucket")
+    bi = bigram_surprisal(docs)
+    return (ccnet_buckets(scored)
+            .join(bi, "doc_id", "left")
+            .select("doc_id", "n_tokens", "surprisal", "lang",
+                    "ppl_bucket",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("surprisal2", F.lit(-1.0))
+                    .alias("surprisal2")))
 
 
 def q_sample_stratified(spark, sf_dir) -> DataFrame:
@@ -1774,13 +1781,31 @@ def oracle_sql() -> dict[str, str]:
                                - sum(ln(coalesce(f.c, 0) + 1)) / count(*),
                                6) as surprisal
                   from tok t left join freq f using (w)
-                  group by t.doc_id)
+                  group by t.doc_id),
+            nv as (select count(*) as v from freq),
+            bg as (select doc_id, t[i] as w1, t[i] || ' ' || t[i+1] as g
+                   from toks, unnest(range(1, len(t))) as r(i)
+                   where len(t) >= 2),
+            bfreq as (select g, count(*) as c from bg
+                      group by g order by c desc, g limit 100000),
+            b as (select cast(bg.doc_id as varchar) as doc_id,
+                         count(*)::bigint as n_bigrams,
+                         round(sum(ln(coalesce(u.c, 0)
+                                      + (select v from nv) + 1)
+                                   - ln(coalesce(bf.c, 0) + 1))
+                               / count(*), 6) as surprisal2
+                  from bg left join freq u on bg.w1 = u.w
+                          left join bfreq bf on bg.g = bf.g
+                  group by bg.doc_id)
             select s.doc_id, s.n_tokens, s.surprisal, d.lang,
                    ntile(3) over (partition by d.lang
                                   order by s.surprisal, s.doc_id)::int
-                       as ppl_bucket
+                       as ppl_bucket,
+                   coalesce(b.n_bigrams, 0)::bigint as n_bigrams,
+                   coalesce(b.surprisal2, -1.0) as surprisal2
             from s join documents d
-              on s.doc_id = cast(d.doc_id as varchar)""",
+              on s.doc_id = cast(d.doc_id as varchar)
+            left join b on s.doc_id = b.doc_id""",
         "sample_stratified": """
             with s as (
                 select doc_id, lang from documents
