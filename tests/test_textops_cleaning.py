@@ -167,3 +167,28 @@ def test_pack_sequences_prefix_sum_invariants(spark):
     plan = textops.pack_sequences(docs, bucket_size=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "_bucket" in plan
+
+
+def test_paragraph_dedup_ccnet_normalized_keys(spark):
+    """normalize='ccnet': case/digit/punct/accent variants of a
+    paragraph dedup together (keep-first, original text preserved);
+    punct-only separator lines are exempt like blanks; default mode
+    still treats variants as distinct."""
+    rows = [("1", "Visit Café No. 42!\nunique one"),
+            ("2", "visit cafe no 17\nunique two\n***"),
+            ("3", "VISIT CAFE NO 99\n***")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           textops.paragraph_dedup(docs, normalize="ccnet").collect()}
+    assert out["1"].clean_text == "Visit Café No. 42!\nunique one"
+    assert out["2"].clean_text == "unique two\n***"   # variant removed
+    assert out["3"].clean_text == "***"               # separator kept
+    assert (out["1"].n_removed, out["2"].n_removed,
+            out["3"].n_removed) == (0, 1, 1)
+    raw = {r.doc_id: r for r in textops.paragraph_dedup(docs).collect()}
+    # default mode: the case/accent variants stay distinct, but the
+    # raw-identical "***" line is a real duplicate (doc 2 wins) —
+    # only the ccnet mode exempts it as normalized-empty layout
+    assert raw["2"].clean_text == "visit cafe no 17\nunique two\n***"
+    assert raw["3"].clean_text == "VISIT CAFE NO 99"
+    assert raw["2"].n_removed == 0 and raw["3"].n_removed == 1

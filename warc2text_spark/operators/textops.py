@@ -470,9 +470,28 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
             .limit(k))
 
 
+_ACC_FROM = ("àáâãäåāăąçćčďđèéêëēĕėęěìíîïĩīĭįıľĺłñńňņ"
+             "òóôõöøōŏőŕřśšşșťţțùúûüũūŭůűųýÿźżž")
+_ACC_TO = ("aaaaaaaaacccddeeeeeeeeeiiiiiiiiilllnnnn"
+           "ooooooooorrsssstttuuuuuuuuuuyyzzz")
+assert len(_ACC_FROM) == len(_ACC_TO)
+
+
+def ccnet_normalize(col: Column) -> Column:
+    """CCNet's paragraph-hash normalization (cc_net text_normalizer
+    direction, engine-portable subset): lowercase, every digit -> 0,
+    unicode punctuation removed, common Latin diacritics folded.  Used
+    as the HASH KEY only — the surviving text is never rewritten."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[0-9]", "0")
+    c = F.regexp_replace(c, r"\p{P}", "")
+    return F.translate(c, _ACC_FROM, _ACC_TO)
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    build_hint: str = "auto") -> DataFrame:
+                    build_hint: str = "auto",
+                    normalize: str | None = None) -> DataFrame:
     """CCNet-style paragraph-level deduplication with keep-first
     semantics (public method, CCNet paper: dedup at paragraph granularity
     across the corpus): a paragraph (newline-delimited line) duplicated
@@ -497,17 +516,26 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     crosses the network once, like the extraction shuffle it typically
     follows.  ``build_hint`` (see :func:`hinted`) gates the join
     strategy: default AQE-decided, ``"merge"`` for the guaranteed-scale
-    sort-merge path."""
+    sort-merge path.  ``normalize="ccnet"`` hashes
+    :func:`ccnet_normalize`-d lines instead of raw ones (case/digit/
+    punctuation/accent variants of a paragraph then dedup together, the
+    cc_net behavior); the kept text is always the original."""
     lines = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
-    keyed = lines.withColumn("h", F.md5("line"))
+    key = (ccnet_normalize(F.col("line")) if normalize == "ccnet"
+           else F.col("line"))
+    keyed = lines.withColumn("h", F.md5(key))
     # whitespace-only = nothing left after stripping the ASCII C-isspace
     # set (minus \n, which the split consumed) — F.trim strips ONLY
     # spaces, which would leave tab/formfeed separator lines dedupable
     not_blank = F.regexp_replace(
         F.col("line"), "[ \\t\\f\\r\\x0B]", "") != ""
+    if normalize == "ccnet":
+        # a line that normalizes to nothing ("***", "- - -") is layout,
+        # not content — same exemption class as blank lines
+        not_blank = not_blank & (key != "")
     winners = (keyed.filter(not_blank)
                .groupBy("h")
                .agg(F.min("id").alias("keep_id"),
