@@ -373,3 +373,40 @@ def test_bigram_surprisal_matches_python_twin(spark):
         assert abs(out[did].surprisal2
                    - round(sum(terms) / len(terms), 6)) < 1e-9, did
     assert out["1"].surprisal2 < out["3"].surprisal2
+
+
+def test_build_training_set_end_to_end(spark):
+    """The composed training-set build: curate gate applies, tail
+    tercile dropped, weights constant per lang and summing to 1, the
+    packing offsets are the exact prefix sum in shuffle order."""
+    import random
+    from warc2text_spark.operators.curate import build_training_set
+    rng = random.Random(7)
+    common = ("the of and is in that was for with this are have from "
+              "they which were been has had its not but also").split()
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 3 else "de"
+        words = [rng.choice(common) for _ in range(60)]
+        rows.append((str(i), f"https://h{i % 7}.example/p{i}",
+                     lang, " ".join(words)))
+    rows.append(("200", "https://h0.example/short", "en", "too short"))
+    docs = spark.createDataFrame(
+        rows, "doc_id string, url string, lang string, text string")
+    out = build_training_set(docs, cap=100).collect()
+    got = {r.doc_id: r for r in out}
+    assert "200" not in got                      # gopher word-count gate
+    assert all(r.ppl_bucket in (1, 2) for r in out)
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add((r.mix_weight, r.mix_boost))
+    assert all(len(v) == 1 for v in by_lang.values())
+    assert abs(sum(next(iter(v))[0] for v in by_lang.values()) - 1.0) \
+        < 1e-5
+    ordered = sorted(out, key=lambda r: r.shuffle_pos)
+    assert [r.shuffle_pos for r in ordered] == list(range(len(out)))
+    run = 0
+    for r in ordered:
+        assert r.start_offset == run
+        assert r.chunk_id == run // 512 and r.chunk_offset == run % 512
+        run += r.n_tokens

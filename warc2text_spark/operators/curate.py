@@ -45,3 +45,51 @@ def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
              .filter(F.col("rn") == 1).drop("rn"))
     capper = host_cap_salted if salted_hosts else host_cap
     return capper(first, cap)
+
+
+def build_training_set(docs: DataFrame, cap: int = 5,
+                       keep_tiles: tuple = (1, 2), alpha: float = 0.3,
+                       window: int = 512, salt: str = "epoch0",
+                       **gopher_kwargs) -> DataFrame:
+    """The full training-set build, end to end, out of the operators
+    this package ships — the composition a pre-training data pipeline
+    actually runs after extraction:
+
+        curate (gopher gate -> exact dedup keep-first -> host cap)
+          -> unigram surprisal + CCNet per-language perplexity terciles
+          -> keep ``keep_tiles`` (default head + middle, drop the tail)
+          -> alpha-sampling mix weights per language
+          -> deterministic epoch shuffle (``salt`` = epoch)
+          -> sequence packing in shuffle order (``window`` tokens)
+
+    Returns one row per selected document: (doc_id, lang, n_tokens,
+    surprisal, ppl_bucket, mix_weight, mix_boost, shuffle_pos,
+    start_offset, chunk_id, chunk_offset) — everything a training
+    loader needs to stream the epoch.  Every stage keeps its
+    individually verified scale shape; nothing here adds a shuffle
+    beyond what the stages themselves declare."""
+    from .selection import (ccnet_buckets, global_shuffle,
+                            mixing_weights, unigram_surprisal)
+    from .textops import pack_sequences
+
+    kept_ids = curate(docs, cap=cap, **gopher_kwargs).select("doc_id")
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "lang", "text").join(kept_ids, "doc_id")
+    scored = unigram_surprisal(base).join(
+        base.select("doc_id", "lang"), "doc_id")
+    sel = ccnet_buckets(scored).filter(
+        F.col("ppl_bucket").isin(*[int(t) for t in keep_tiles]))
+    shuffled = global_shuffle(
+        sel.join(mixing_weights(sel, "lang", size_col="n_tokens",
+                                alpha=alpha), "lang"),
+        salt=salt)
+    packed = pack_sequences(
+        shuffled.select(F.col("shuffle_pos").alias("doc_id"),
+                        "n_tokens"),
+        window=window, n_tokens_col="n_tokens") \
+        .select(F.col("doc_id").cast("long").alias("shuffle_pos"),
+                "start_offset", "chunk_id", "chunk_offset")
+    return shuffled.join(packed, "shuffle_pos").select(
+        "doc_id", "lang", "n_tokens", "surprisal", "ppl_bucket",
+        "mix_weight", "mix_boost", "shuffle_pos", "start_offset",
+        "chunk_id", "chunk_offset")

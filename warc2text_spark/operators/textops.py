@@ -53,7 +53,8 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def pack_sequences(df: DataFrame, window: int = 512,
                    text_col: str = "text",
-                   bucket_size: int = 1 << 20) -> DataFrame:
+                   bucket_size: int = 1 << 20,
+                   n_tokens_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard LLM pre-training
     layout: documents concatenated in a deterministic order, sliced into
     fixed ``window``-token training sequences; a document may straddle a
@@ -69,11 +70,17 @@ def pack_sequences(df: DataFrame, window: int = 512,
     no max() pass needed), phase 2 computes each bucket's base offset
     with one tiny window over the per-bucket totals (<= corpus/bucket_size
     rows) joined back (optimizer-sized broadcast).  Every step is native
-    Catalyst; no task ever sorts more than one bucket."""
+    Catalyst; no task ever sorts more than one bucket.
+
+    ``n_tokens_col`` reuses an already-computed token count instead of
+    tokenizing ``text_col`` (the composed training-set build orders by
+    shuffle position and already carries the counts)."""
     from pyspark.sql import Window
+    count = (F.col(n_tokens_col) if n_tokens_col
+             else F.size(tokens(F.col(text_col))))
     base = df.select(
         F.col("doc_id").cast("long").alias("_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+        count.cast("long").alias("n_tokens"))
     base = base.withColumn("_bucket", (F.col("_id") / bucket_size)
                            .cast("long"))
     w_local = (Window.partitionBy("_bucket").orderBy("_id")
