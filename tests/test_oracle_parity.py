@@ -2,7 +2,6 @@
 at sf0.001 — row counts, column names, and exact values (order-insensitive),
 mirroring CORRECTNESS_r{N}.json before the real driver runs it."""
 
-import math
 
 import duckdb
 import pytest
@@ -26,19 +25,10 @@ def ddb():
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
-        return round(float(v), 9)
-    return v
-
-
-def _rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+# the compare rules live with the package so the sf0.01 rehearsal tool
+# applies the identical normalization (warc2text_spark/plans/parity.py)
+from warc2text_spark.plans.parity import rows_to_multiset as \
+    _rows_to_multiset  # noqa: E402
 
 
 ORACLES = entrymod.oracle_sql()

@@ -391,11 +391,17 @@ def test_build_training_set_end_to_end(spark):
         rows.append((str(i), f"https://h{i % 7}.example/p{i}",
                      lang, " ".join(words)))
     rows.append(("200", "https://h0.example/short", "en", "too short"))
+    rows.append(("201", "https://h1.example/nolang", None,
+                 " ".join(rng.choice(common) for _ in range(60))))
     docs = spark.createDataFrame(
         rows, "doc_id string, url string, lang string, text string")
-    out = build_training_set(docs, cap=100).collect()
+    res = build_training_set(docs, cap=100)
+    out = res.collect()
+    from warc2text_spark.operators.dedup import release_intermediates
+    release_intermediates(res)
     got = {r.doc_id: r for r in out}
     assert "200" not in got                      # gopher word-count gate
+    assert got["201"].lang == "und"              # NULL lang -> sentinel
     assert all(r.ppl_bucket in (1, 2) for r in out)
     by_lang = {}
     for r in out:

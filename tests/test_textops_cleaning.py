@@ -174,13 +174,15 @@ def test_paragraph_dedup_ccnet_normalized_keys(spark):
     paragraph dedup together (keep-first, original text preserved);
     punct-only separator lines are exempt like blanks; default mode
     still treats variants as distinct."""
-    rows = [("1", "Visit Café No. 42!\nunique one"),
+    rows = [("1", "Visit Café No. 42!\nunique one\n- - -"),
             ("2", "visit cafe no 17\nunique two\n***"),
             ("3", "VISIT CAFE NO 99\n***")]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
     out = {r.doc_id: r for r in
            textops.paragraph_dedup(docs, normalize="ccnet").collect()}
-    assert out["1"].clean_text == "Visit Café No. 42!\nunique one"
+    # "- - -" normalizes to whitespace-only: exempt layout, kept even
+    # though "***" elsewhere normalizes to "" too (no cross-collision)
+    assert out["1"].clean_text == "Visit Café No. 42!\nunique one\n- - -"
     assert out["2"].clean_text == "unique two\n***"   # variant removed
     assert out["3"].clean_text == "***"               # separator kept
     assert (out["1"].n_removed, out["2"].n_removed,

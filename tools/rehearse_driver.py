@@ -24,22 +24,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        t = []
-        for i in order:
-            v = r[i]
-            t.append(round(v, 9) if isinstance(v, float) else v)
-        out.append(tuple(t))
-    return sorted(map(repr, out))
-
-
 def main() -> int:
     sys.path.insert(0, str(REPO))
     import duckdb
 
+    from warc2text_spark.plans.parity import rows_to_multiset
     from warc2text_spark.session import get_spark
 
     args = sys.argv[1:]
@@ -68,13 +57,15 @@ def main() -> int:
         t0 = time.time()
         try:
             df = queries[key](spark, sf_dir)
-            got = _norm([tuple(r) for r in df.collect()], df.columns)
+            got = rows_to_multiset(df.columns,
+                                   [tuple(r) for r in df.collect()])
             if key not in oracles:
                 print(f"{key:24s} rows-only {len(got):7d}  "
                       f"{time.time() - t0:6.1f}s")
                 continue
             res = con.execute(oracles[key])
-            exp = _norm(res.fetchall(), [d[0] for d in res.description])
+            exp = rows_to_multiset([d[0] for d in res.description],
+                                   res.fetchall())
             ok = got == exp
             if not ok:
                 failed.append(key)

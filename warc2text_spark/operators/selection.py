@@ -190,7 +190,8 @@ def _surprisal_fast_kernel(pdf, log1p, denom_ln: float,
 def unigram_surprisal(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       vocab_cap: int = 100_000,
-                      kernel: str = "native") -> DataFrame:
+                      kernel: str = "native",
+                      uni_rows: list | None = None) -> DataFrame:
     """Per-document mean token surprisal (nats) under a Laplace-smoothed
     unigram model fit on the corpus itself: p(w) = (c_w + 1) / (T + V + 1)
     with T, V the head-vocabulary token/type totals; out-of-head tokens
@@ -222,7 +223,12 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     """
     import pandas as pd
 
-    freq_rows = unigram_frequencies(docs, text_col, vocab_cap).collect()
+    # uni_rows: a pre-collected unigram_frequencies() result — callers
+    # composing several scorers over the same corpus collect the head
+    # table once instead of re-running the counts job per scorer
+    freq_rows = (uni_rows if uni_rows is not None
+                 else unigram_frequencies(docs, text_col,
+                                          vocab_cap).collect())
     freq = {r["w"]: r["c"] for r in freq_rows}
     denom_ln = math.log(sum(freq.values()) + len(freq) + 1)
 
@@ -273,7 +279,8 @@ def bigram_frequencies(docs: DataFrame, text_col: str = "text",
 
 def bigram_surprisal(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     vocab_cap: int = 100_000) -> DataFrame:
+                     vocab_cap: int = 100_000,
+                     uni_rows: list | None = None) -> DataFrame:
     """Conditional bigram surprisal — one step from the unigram model
     toward CCNet's real n-gram LM: per document, the mean of
     -ln p(w2 | w1) under Laplace smoothing over the corpus's own head
@@ -290,7 +297,8 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
     pass 2 explodes (w1, bigram) pairs JVM-side, broadcast-joins the
     two local ln-tables, and reduces map-side to one row per document —
     no Python crossing, only one tiny row per doc ever shuffles."""
-    uni = unigram_frequencies(docs, text_col, vocab_cap).collect()
+    uni = (uni_rows if uni_rows is not None
+           else unigram_frequencies(docs, text_col, vocab_cap).collect())
     v = len(uni)
     oov_ctx = math.log(v + 1)
     bi = bigram_frequencies(docs, text_col, vocab_cap).collect()

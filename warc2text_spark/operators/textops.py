@@ -540,9 +540,12 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     not_blank = F.regexp_replace(
         F.col("line"), "[ \\t\\f\\r\\x0B]", "") != ""
     if normalize == "ccnet":
-        # a line that normalizes to nothing ("***", "- - -") is layout,
-        # not content — same exemption class as blank lines
-        not_blank = not_blank & (key != "")
+        # a line that normalizes to nothing but whitespace ("***",
+        # "- - -") is layout, not content — same exemption class as
+        # blank lines (strip the same C-isspace set: the normalizer
+        # removes punctuation but keeps interior spaces)
+        not_blank = not_blank & (F.regexp_replace(
+            key, "[ \\t\\f\\r\\x0B]", "") != "")
     winners = (keyed.filter(not_blank)
                .groupBy("h")
                .agg(F.min("id").alias("keep_id"),

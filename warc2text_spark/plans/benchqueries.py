@@ -1130,14 +1130,17 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
     (ppl_bucket, exact NTILE semantics via the two-phase prefix count
     over score-grid cells — the scale path IS the checked path)."""
     from ..operators.selection import (bigram_surprisal, ccnet_buckets,
+                                       unigram_frequencies,
                                        unigram_surprisal)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # one head-vocabulary counts job, threaded through both scorers
+    uni_rows = unigram_frequencies(docs).collect()
     # explicit string cast on the docs side: a string-vs-numeric join
     # key coerces through double and collides past 2^53
-    scored = unigram_surprisal(docs).join(
+    scored = unigram_surprisal(docs, uni_rows=uni_rows).join(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                     "lang"), "doc_id")
-    bi = bigram_surprisal(docs)
+    bi = bigram_surprisal(docs, uni_rows=uni_rows)
     return (ccnet_buckets(scored)
             .join(bi, "doc_id", "left")
             .select("doc_id", "n_tokens", "surprisal", "lang",
