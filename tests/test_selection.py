@@ -416,3 +416,15 @@ def test_build_training_set_end_to_end(spark):
         assert r.start_offset == run
         assert r.chunk_id == run // 512 and r.chunk_offset == run % 512
         run += r.n_tokens
+
+
+def test_bigram_surprisal_plan_is_native_broadcast(spark):
+    """The bigram scorer's physical plan stays JVM-side: broadcast hash
+    joins against the two local ln-tables, no Python evaluation."""
+    from warc2text_spark.operators.selection import bigram_surprisal
+    df = spark.createDataFrame(
+        [("1", "a b c"), ("2", "b c d")], "doc_id string, text string")
+    plan = bigram_surprisal(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
