@@ -969,13 +969,20 @@ def q_token_count_both(spark, sf_dir) -> DataFrame:
     """Token statistics + sequence packing in one driver row: whitespace
     and BPE-ish counts plus the concat-and-chunk packing coordinates
     (global token-stream offset via the two-phase distributed prefix
-    sum, window=512)."""
+    sum, window=512).  One projection computes both counts and feeds
+    the packing through ``n_tokens_col`` — not three separate scans
+    re-tokenizing the same column."""
+    from ..operators.textops import BPE_ISH_TOKEN, tokens
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pack = textops.pack_sequences(docs, window=512).select(
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_TOKEN))
+        .cast("long").alias("n_bpe_tokens"))
+    pack = textops.pack_sequences(base, window=512,
+                                  n_tokens_col="n_tokens").select(
         "doc_id", "start_offset", "chunk_id", "chunk_offset")
-    return (q_token_count(spark, sf_dir)
-            .join(q_token_count_bpe(spark, sf_dir), "doc_id")
-            .join(pack, "doc_id"))
+    return base.join(pack, "doc_id")
 
 
 def q_ann_lsh_variants(spark, sf_dir) -> DataFrame:
