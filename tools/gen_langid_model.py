@@ -215,6 +215,35 @@ SEEDS = {
           "Ratione atque conscientia praediti sunt et alii erga alios "
           "cum fraternitate se gerere debent. Vita pulchra est atque "
           "tempus in urbe celeriter fugit.",
+    # breadth batch 5
+    "ceb": "Ang tanang tawo natawo nga gawasnon ug managsama sa "
+           "kaligdong ug mga katungod. Sila gigasahan sa pangisip ug "
+           "tanlag ug kinahanglan nga magtinagdanay ang usag usa diha "
+           "sa diwa sa panag-igsoonay. Ang kinabuhi matahom ug ang "
+           "panahon dali nga molabay sa dakbayan.",
+    "yo": "Gbogbo ènìyàn ni a bí ní òmìnira; iyì àti ẹ̀tọ́ wọn sì "
+          "dọ́gba. Wọ́n ní ẹ̀bùn ti làákàyè àti ti ẹ̀rí ọkàn, ó sì yẹ "
+          "kí wọn ó máa hùwà sí ara wọn gẹ́gẹ́ bí ọmọ ìyá. Ayé dára, "
+          "àkókò sì ń lọ kíákíá ní ìlú ńlá.",
+    "ha": "An haifi dukkan mutane a matsayin 'yantattu kuma daidai da "
+          "juna a mutunci da hakkoki. An ba su hankali da lamiri, "
+          "saboda haka ya kamata su yi mu'amala da juna a cikin ruhin "
+          "'yan'uwantaka. Rayuwa tana da kyau kuma lokaci yana wucewa "
+          "da sauri a birni.",
+    "zu": "Bonke abantu bazalwa bekhululekile futhi belingana "
+          "ngesithunzi nangamalungelo. Baphiwe ingqondo nonembeza, "
+          "ngakho kufanele baphathane ngomoya wobuzalwane. Impilo "
+          "yinhle futhi isikhathi sihamba ngokushesha edolobheni.",
+    "mi": "Ko te katoa o ngā tāngata i te whanaungatanga mai e wātea "
+          "ana i ngā here katoa; e tauriterite ana hoki ngā mana me "
+          "ngā tika. E whakawhiwhia ana rātou ki te whakaaro me te "
+          "hinengaro, ā, me mahi tahi rātou tētahi ki tētahi i runga i "
+          "te wairua o te noho tahi ā-teina, ā-tuakana. He ātaahua te "
+          "ao, ā, he tere te haere o te wā i te tāone nui.",
+    "ku": "Hemû mirov azad û di weqar û mafan de wekhev tên dinyayê. "
+          "Ew xwedî hiş û wijdan in û divê li hember hev bi "
+          "zihniyeteke bratiyê bilivin. Jiyan xweş e û dem li bajêr zû "
+          "derbas dibe.",
 }
 
 # held-out sentences (same content across languages, absent from SEEDS)
@@ -311,6 +340,20 @@ HELDOUT_TRUE = {
           "iad mu na leabhraichean as fheàrr leotha.",
     "la": "Heri pueri una ad scholam ambulaverunt atque de libris suis "
           "carissimis locuti sunt.",
+    # breadth batch 5
+    "ceb": "Kagahapon ang mga bata naglakaw nga magkuyog padulong sa "
+           "tunghaan ug naghisgot bahin sa ilang paborito nga mga "
+           "libro.",
+    "yo": "Lánàá àwọn ọmọdé jọ rìn lọ sí ilé ìwé, wọ́n sì sọ̀rọ̀ nípa "
+          "àwọn ìwé tí wọ́n fẹ́ràn jùlọ.",
+    "ha": "Jiya yaran sun tafi makaranta tare kuma sun yi magana game "
+          "da littattafan da suka fi so.",
+    "zu": "Izolo izingane zahamba ndawonye ziya esikoleni futhi "
+          "zakhuluma ngezincwadi ezizithandayo.",
+    "mi": "Inanahi i hīkoi tahi ngā tamariki ki te kura, ā, i kōrero "
+          "rātou mō ā rātou pukapuka tino pai.",
+    "ku": "Duh zarok bi hev re ber bi dibistanê ve meşiyan û li ser "
+          "pirtûkên xwe yên herî hezkirî axivîn.",
 }
 
 

@@ -130,6 +130,23 @@ _STOPWORDS = {
            "bho", "dhan", "gur", "nuair", "fhèin", "mòran"},
     "la": {"atque", "enim", "autem", "quoque", "igitur", "tamen", "apud",
            "ergo", "quibus", "esse", "quidem", "inter", "sine", "erga"},
+    # breadth batch 5 (late r5): six further Latin-script languages,
+    # same curation rule — distinctive function words only; shared
+    # forms left out (ceb omits ang/mga/sa/na shared with Tagalog, mi
+    # omits te/ki/ka/me shared with Haitian Creole, ha omits
+    # da/ya/ta/na, zu swaps uma (Portuguese) for ukuze)
+    "ceb": {"ug", "dili", "kini", "aron", "usa", "kay", "adunay",
+            "ilang", "gikan", "karon", "apan", "busa"},
+    "yo": {"àwọn", "ní", "tí", "pé", "sí", "láti", "jẹ́", "àti", "fún",
+           "kò", "gbogbo", "nítorí"},
+    "ha": {"cikin", "wannan", "suka", "amma", "saboda", "kuma", "domin",
+           "wata", "wani", "zai", "tana", "yana"},
+    "zu": {"futhi", "kanye", "ukuthi", "ngoba", "noma", "kodwa",
+           "ukuze", "lapho", "bonke", "ngakho", "kufanele", "phakathi"},
+    "mi": {"ngā", "kua", "tēnei", "ēnei", "rātou", "mātou", "tātou",
+           "koutou", "hoki", "anō", "kāore", "engari"},
+    "ku": {"û", "ji", "bi", "ku", "ew", "xwe", "wek", "hemû", "divê",
+           "hev", "lê", "jî"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -423,6 +440,21 @@ _MODEL_SIBLINGS = {
     # GRAVE — a clean orthographic split between the two Gaelics
     frozenset({"ga", "gd"}): {"ga": (set("áéíóú"), set()),
                               "gd": (set("àèìòù"), set())},
+    # Philippine pair (batch 5): the and/not/this function words split
+    # cleanly — Cebuano ug/dili/kini vs Tagalog at/hindi/ito; every
+    # word is exclusive to its side (ang/mga/sa/na are shared and
+    # excluded)
+    frozenset({"ceb", "tl"}): {
+        "ceb": (set(), {"ug", "dili", "kini", "karon", "gikan",
+                        "bahin"}),
+        "tl": (set(), {"at", "hindi", "ito", "ngayon", "ng", "mula"})},
+    # Swahili/Hausa (batch 5): short-text trigram profiles overlap;
+    # in/but/about and together/and split exclusively
+    frozenset({"sw", "ha"}): {
+        "sw": (set(), {"katika", "kwamba", "lakini", "kuhusu",
+                       "pamoja", "kwenda"}),
+        "ha": (set(), {"cikin", "amma", "kuma", "wannan", "suka",
+                       "tare", "game"})},
 }
 # refinement fires only on genuinely close calls: a decisive trigram
 # margin must not be overridden by one stray foreign token (a quoted
@@ -472,7 +504,7 @@ def classify_model(text: str) -> tuple[str, float, bool]:
     must NOT collect a spurious Latin label from those tokens — it (and
     any text with no model evidence at all) falls back to the heuristic
     :func:`classify` path with reliability from its margin, so the model
-    wraps, never degrades, the 85-label coverage."""
+    wraps, never degrades, the 91-label coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2
