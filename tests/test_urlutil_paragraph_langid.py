@@ -225,7 +225,7 @@ def test_latin_breadth_sentences_win_margin():
     sentence beats all siblings under the margin rule."""
     from warc2text_spark.plans.spansgen import latin_sentences
     sents = latin_sentences()
-    assert len(sents) == 52
+    assert len(sents) == 55
     for lang, sent in sents:
         got, conf = classify(sent + " 123")
         assert got == lang and conf >= 0.5, (lang, got, conf)

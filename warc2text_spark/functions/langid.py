@@ -147,6 +147,19 @@ _STOPWORDS = {
            "koutou", "hoki", "anō", "kāore", "engari"},
     "ku": {"û", "ji", "bi", "ku", "ew", "xwe", "wek", "hemû", "divê",
            "hev", "lê", "jî"},
+    # breadth batch 6 (late r5): the HARD sibling triplet — each new
+    # language is a notoriously close pair with an existing label
+    # (ms/id, fy/nl-af, oc/ca-es), so every stopword here is exclusive
+    # (ms omits the ~90% of function words shared with Indonesian —
+    # yang/dengan/untuk/dari; fy omits yn (Welsh) and all Dutch-shared
+    # forms; oc omits amb/aquesta (Catalan) and los (Spanish))
+    "ms": {"kerana", "boleh", "ialah", "iaitu", "pula", "sahaja",
+           "hendaklah", "selepas", "amat", "semalam", "pantas",
+           "bercakap"},
+    "fy": {"fan", "mei", "tsjin", "foar", "wurde", "hja", "oan",
+           "dizze", "hawwe", "wêze", "harren", "inoar"},
+    "oc": {"aquò", "tanben", "aital", "dempuèi", "perque", "dins",
+           "mas", "çò", "totjorn", "pasmens", "èsser", "coma"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -455,6 +468,39 @@ _MODEL_SIBLINGS = {
                        "pamoja", "kwenda"}),
         "ha": (set(), {"cikin", "amma", "kuma", "wannan", "suka",
                        "tare", "game"})},
+    # batch 6 — the hard pairs.  Malay/Indonesian share ~90% of
+    # function words; the because/can words split by standardized
+    # orthography (kerana/karena, boleh/bisa) and ialah/iaitu are
+    # Malay-only copulas
+    frozenset({"ms", "id"}): {
+        "ms": (set(), {"kerana", "boleh", "ialah", "iaitu", "sahaja",
+                       "selepas", "hendaklah", "bercakap", "semalam"}),
+        "id": (set(), {"karena", "bisa", "adalah", "yaitu", "saja",
+                       "setelah", "bagaimana", "berbicara", "kemarin"})},
+    # Frisian vs Dutch/Afrikaans: of/with/in/for differ root-deep
+    # (fan/van, mei/met, foar/voor-vir, oan/aan)
+    frozenset({"fy", "nl"}): {
+        "fy": (set(), {"fan", "mei", "foar", "oan", "hja", "wurde",
+                       "dizze"}),
+        "nl": (set(), {"van", "met", "voor", "aan", "zij", "worden",
+                       "deze"})},
+    frozenset({"fy", "af"}): {
+        "fy": (set(), {"fan", "mei", "foar", "oan", "hja", "wurde",
+                       "dizze"}),
+        "af": (set(), {"van", "met", "vir", "aan", "hulle", "word",
+                       "hierdie"})},
+    # Occitan vs Catalan/Spanish: demonstratives and adverbs split
+    # (aquò/això/esto, tanben/també/también, mas/però/pero)
+    frozenset({"oc", "ca"}): {
+        "oc": (set(), {"aquò", "tanben", "aital", "mas", "çò",
+                       "totjorn", "dempuèi"}),
+        "ca": (set(), {"això", "també", "però", "doncs", "fins",
+                       "sempre", "des"})},
+    frozenset({"oc", "es"}): {
+        "oc": (set(), {"aquò", "tanben", "aital", "mas", "çò",
+                       "totjorn", "dempuèi"}),
+        "es": (set(), {"esto", "también", "pero", "pues", "hasta",
+                       "siempre", "desde"})},
 }
 # refinement fires only on genuinely close calls: a decisive trigram
 # margin must not be overridden by one stray foreign token (a quoted
@@ -504,7 +550,7 @@ def classify_model(text: str) -> tuple[str, float, bool]:
     must NOT collect a spurious Latin label from those tokens — it (and
     any text with no model evidence at all) falls back to the heuristic
     :func:`classify` path with reliability from its margin, so the model
-    wraps, never degrades, the 91-label coverage."""
+    wraps, never degrades, the 94-label coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2
