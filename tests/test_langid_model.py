@@ -153,3 +153,23 @@ def test_sibling_refinement_guards():
             (other,) = pair - {lang2}
             assert not (words & _STOPWORDS.get(other, set())), (
                 lang2, other, words & _STOPWORDS[other])
+
+
+def test_sibling_markers_absent_from_other_seed_text():
+    """Stronger exclusivity leg: a word marker must not occur in the
+    OTHER sibling's seed or held-out text — 'ei' was a stopword-table
+    miss, but shared *vocabulary* is the real failure mode (a marker
+    that is ordinary prose in the other language flips correct text)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_langid_model import HELDOUT_TRUE, SEEDS
+    from warc2text_spark.functions.langid import (_MODEL_SIBLINGS,
+                                                  normalize_model)
+    for pair, sides in _MODEL_SIBLINGS.items():
+        for lang, (_chars, words) in sides.items():
+            (other,) = pair - {lang}
+            other_text = normalize_model(
+                SEEDS.get(other, "") + " " + HELDOUT_TRUE.get(other, ""))
+            other_toks = set(other_text.split())
+            assert not (words & other_toks), (lang, other,
+                                              words & other_toks)
