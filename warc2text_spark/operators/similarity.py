@@ -174,3 +174,71 @@ def lsh_topk(df: DataFrame, query: list[float],
                         cos.alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
             .select("vec_id", F.round("cosine", 4).alias("cosine")))
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m = len(codebooks)`` contiguous subvectors and assign each to its
+    nearest centroid in that subspace's codebook — ``m`` small ints
+    replace the float vector (the memory story that makes
+    billion-vector ANN fit a cluster).  Returns (vec_id, pq_code:
+    array<int>).
+
+    Assignment is a pure per-row native expression (argmin of squared
+    subvector distances, first-index tie-break — the ivf_topk fixed-
+    quantizer pattern), so encoding is one scan inside whole-stage
+    codegen; the codebooks are driver-side literals (tiny, broadcast by
+    value)."""
+    v = _as_double(F.col(vec_col))
+    codes = []
+    offset = 1  # F.slice is 1-based
+    for cb in codebooks:
+        sub_dim = len(cb[0])
+        sub = F.slice(v, offset, sub_dim)
+        offset += sub_dim
+        d2 = [F.aggregate(
+                  F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                             lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, x: acc + x)
+              for c in cb]
+        darr = F.array(*d2)
+        codes.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return df.select(F.col("vec_id").cast("long").alias("vec_id"),
+                     F.array(*codes).alias("pq_code"))
+
+
+def pq_topk(df: DataFrame, query: list[float],
+            codebooks: list[list[list[float]]], k: int = 10,
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays unquantized; per subspace, its squared distance to every
+    centroid is precomputed DRIVER-side into an ``m x |codebook|``
+    lookup table (tiny literals), and a row's approximate distance is
+    the sum of ``m`` table lookups by its code.  The ranking scan
+    touches only the m-int codes — at 10^12 vectors the float
+    embeddings never leave parquet (column pruning drops them after the
+    one-time encode).  Returns (vec_id, approx_dist) ascending, ties by
+    id."""
+    enc = pq_encode(df, codebooks, vec_col)
+    qd = [float(x) for x in query]
+    tables = []
+    offset = 0
+    for cb in codebooks:
+        sub_dim = len(cb[0])
+        qsub = qd[offset:offset + sub_dim]
+        offset += sub_dim
+        tables.append([sum((a - b) * (a - b) for a, b in zip(qsub, c))
+                       for c in cb])
+    dist = None
+    for j, table in enumerate(tables):
+        term = F.element_at(F.array(*[F.lit(t) for t in table]),
+                            F.element_at(F.col("pq_code"), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (enc.select("vec_id", dist.alias("approx_dist"))
+            .orderBy(F.col("approx_dist").asc(), F.col("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round("approx_dist", 4)
+                    .alias("approx_dist")))
