@@ -160,9 +160,14 @@ def test_sibling_markers_absent_from_other_seed_text():
     OTHER sibling's seed or held-out text — 'ei' was a stopword-table
     miss, but shared *vocabulary* is the real failure mode (a marker
     that is ordinary prose in the other language flips correct text)."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo/tools")
-    from gen_langid_model import HELDOUT_TRUE, SEEDS
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    try:
+        from gen_langid_model import HELDOUT_TRUE, SEEDS
+    finally:
+        sys.path.pop(0)
     from warc2text_spark.functions.langid import (_MODEL_SIBLINGS,
                                                   normalize_model)
     for pair, sides in _MODEL_SIBLINGS.items():
@@ -173,3 +178,38 @@ def test_sibling_markers_absent_from_other_seed_text():
             other_toks = set(other_text.split())
             assert not (words & other_toks), (lang, other,
                                               words & other_toks)
+
+
+def test_sibling_vocabulary_does_not_flip_real_text():
+    """Review regression (the vocabulary-level 'ei' class): ordinary
+    sibling-language text containing words that LOOK like batch-6
+    evidence must not come back as the new language with
+    reliable=True — wurde is the German past of werden, boleh/pula are
+    standard Indonesian, dins is common Catalan."""
+    cases = [
+        ("de", "Er wurde gestern operiert und wurde heute entlassen.",
+         "fy"),
+        ("de", "Das Haus wurde im letzten Jahr gebaut und wird bald "
+               "verkauft.", "fy"),
+        ("id", "Kamu boleh datang ke rumah saya, dan boleh pula "
+               "membawa teman.", "ms"),
+        ("id", "Mereka sudah makan malam bersama keluarga di rumah "
+               "kemarin.", "ms"),
+        ("ca", "Dins la ciutat hi ha molts parcs i dins cada parc hi "
+               "ha arbres.", "oc"),
+    ]
+    for true, sent, sibling in cases:
+        lang, _conf, rel = classify_model(sent)
+        assert not (lang == sibling and rel), (true, sent, lang)
+    # and the new languages still win on their own fresh prose
+    fresh = [
+        ("fy", "Juster rûnen de bern mei-inoar nei skoalle en praten "
+               "hja oer harren boeken."),
+        ("ms", "Kanak-kanak itu bercakap tentang buku kegemaran "
+               "mereka selepas sekolah."),
+        ("oc", "Los enfants parlèron amassa d'aquò que son lors "
+               "libres e tanben de çò que vendrà."),
+    ]
+    for true, sent in fresh:
+        lang, _conf, rel = classify_model(sent)
+        assert (lang, rel) == (true, True), (true, lang, rel)

@@ -44,3 +44,27 @@ def test_pq_encode_matches_numpy_twin(spark):
         c = enc[r.vec_id]
         exp_d = round(tables[0][c[0]] + tables[1][c[1]], 4)
         assert abs(r.approx_dist - exp_d) < 1e-6
+
+
+def test_pq_excludes_malformed_rows_and_ranks_precomputed_codes(spark):
+    """Review regressions: NULL / wrong-dimension vectors must not
+    encode (their NULL subcodes alias real ADC distances); pq_topk over
+    a precomputed codes frame matches the convenience form."""
+    from warc2text_spark.operators.similarity import pq_encode, pq_topk
+    codebooks = [
+        [[0.0, 0.0], [10.0, 0.0]],
+        [[0.0, 0.0], [0.0, -10.0]],
+    ]
+    rows = [(1, [0.1, 0.0, 0.0, -9.9]), (2, [9.9, 0.1, 0.1, 0.2]),
+            (3, None), (4, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, codebooks)
+    assert {r.vec_id for r in enc.collect()} == {1, 2}
+    q = [0.0, 0.0, 0.0, -10.0]
+    direct = [(r.vec_id, r.approx_dist)
+              for r in pq_topk(df, q, codebooks, k=4).collect()]
+    assert [v for v, _ in direct] == [1, 2]          # malformed excluded
+    via_codes = [(r.vec_id, r.approx_dist)
+                 for r in pq_topk(df, q, codebooks, k=4,
+                                  codes=enc).collect()]
+    assert via_codes == direct

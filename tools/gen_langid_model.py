@@ -248,22 +248,23 @@ SEEDS = {
     "ms": "Semua manusia dilahirkan bebas dan samarata dari segi "
           "kemuliaan dan hak-hak. Mereka mempunyai pemikiran dan "
           "perasaan hati dan hendaklah bertindak di antara satu sama "
-          "lain dengan semangat persaudaraan. Kehidupan ini amat indah "
-          "dan masa berlalu dengan pantas di bandar kerana itu kita "
-          "hendaklah bercakap sahaja tentang perkara yang boleh "
-          "dilakukan selepas ini.",
-    "fy": "Alle minsken wurde frij en gelyk yn weardigens en rjochten "
+          "lain dengan semangat persaudaraan. Kehidupan ini sungguh "
+          "indah dan masa berlalu dengan cepat di bandar; kerana itu "
+          "kita hendaklah bercakap sahaja tentang sebarang perkara "
+          "yang dilakukan selepas ini.",
+    "fy": "Alle minsken binne frij en gelyk yn weardigens en rjochten "
           "berne. Hja binne begiftige mei ferstân en gewisse en hearre "
           "har foar inoar oer yn in geast fan bruorskip te hâlden en "
           "te dragen. It libben is moai en de tiid giet hurd foarby "
-          "yn de stêd dêr't wy mei-inoar wenje en wurkje oan dizze "
-          "mienskip.",
+          "yn de stêd dêr't wy mei-inoar wenje en dêr't jimme sille "
+          "sjen hoe't dizze mienskip groeit.",
     "oc": "Totes los èssers umans naisson liures e egals en dignitat "
           "e en dreches. Son dotats de rason e de consciéncia e se "
-          "devon comportar los unes amb los autres dins un esperit de "
-          "fraternitat. La vida es bèla e lo temps passa lèu dins la "
+          "devon comportar los unes amb los autres amb un esperit de "
+          "fraternitat. La vida es bèla e lo temps passa lèu per la "
           "vila; aquò es aital dempuèi totjorn, mas tanben çò que "
-          "demòra es lo lengatge que parlam pasmens cada jorn.",
+          "demòra es lo lengatge que parlam pasmens cada jorn e "
+          "quicòm mai que dison amassa.",
 }
 
 # held-out sentences (same content across languages, absent from SEEDS)
@@ -375,8 +376,9 @@ HELDOUT_TRUE = {
     "ku": "Duh zarok bi hev re ber bi dibistanê ve meşiyan û li ser "
           "pirtûkên xwe yên herî hezkirî axivîn.",
     # breadth batch 6
-    "ms": "Semalam kanak-kanak berjalan bersama-sama ke sekolah kerana "
-          "mereka hendak bercakap tentang buku kegemaran mereka.",
+    "ms": "Kelmarin kanak-kanak berjalan bersama-sama ke sekolah "
+          "kerana mereka hendak bercakap tentang buku kegemaran "
+          "mereka.",
     "fy": "Juster rûnen de bern mei-inoar nei skoalle en praten hja "
           "oer harren meast favorite boeken.",
     "oc": "Ièr los enfants caminèron amassa cap a l'escòla e parlèron "

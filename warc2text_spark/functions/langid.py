@@ -153,13 +153,23 @@ _STOPWORDS = {
     # (ms omits the ~90% of function words shared with Indonesian —
     # yang/dengan/untuk/dari; fy omits yn (Welsh) and all Dutch-shared
     # forms; oc omits amb/aquesta (Catalan) and los (Spanish))
-    "ms": {"kerana", "boleh", "ialah", "iaitu", "pula", "sahaja",
-           "hendaklah", "selepas", "amat", "semalam", "pantas",
-           "bercakap"},
-    "fy": {"fan", "mei", "tsjin", "foar", "wurde", "hja", "oan",
-           "dizze", "hawwe", "wêze", "harren", "inoar"},
-    "oc": {"aquò", "tanben", "aital", "dempuèi", "perque", "dins",
-           "mas", "çò", "totjorn", "pasmens", "èsser", "coma"},
+    # (second curation pass, review finding: the first cut used words
+    # that are ordinary vocabulary in the sibling — boleh/pula/amat/
+    # semalam/pantas/ialah are standard Indonesian, wurde is the German
+    # past of werden, dins/mas/coma/perque are common Catalan/
+    # Portuguese/Galician — real sibling text was flipping.  Every form
+    # below is checked absent from the sibling's everyday register,
+    # not just its stopword table.)
+    "ms": {"kerana", "iaitu", "sahaja", "hendaklah", "selepas",
+           "bercakap", "awak", "sebarang", "samarata", "kelmarin"},
+    # wurde/wurdt are excluded from the fy TRAINING text entirely (the
+    # wur/urd trigrams are the German past of werden — real German was
+    # flipping to fy); wurdt survives only as a sibling MARKER, which
+    # does not train the model
+    "fy": {"fan", "mei", "tsjin", "foar", "jimme", "hja", "oan",
+           "dizze", "hawwe", "wêze", "harren", "inoar", "sille"},
+    "oc": {"aquò", "tanben", "aital", "dempuèi", "çò", "totjorn",
+           "pasmens", "èsser", "quicòm", "amassa"},
 }
 
 _THRESHOLD = 0.5  # fastText confidence threshold, lang_fasttext.cc:21
@@ -473,34 +483,48 @@ _MODEL_SIBLINGS = {
     # orthography (kerana/karena, boleh/bisa) and ialah/iaitu are
     # Malay-only copulas
     frozenset({"ms", "id"}): {
-        "ms": (set(), {"kerana", "boleh", "ialah", "iaitu", "sahaja",
-                       "selepas", "hendaklah", "bercakap", "semalam"}),
-        "id": (set(), {"karena", "bisa", "adalah", "yaitu", "saja",
-                       "setelah", "bagaimana", "berbicara", "kemarin"})},
+        "ms": (set(), {"kerana", "iaitu", "sahaja", "selepas",
+                       "hendaklah", "bercakap", "kelmarin"}),
+        # adalah/saja/setelah are standard Malay too and must not be
+        # id markers (same shared-vocabulary rule as 'ei')
+        "id": (set(), {"karena", "bisa", "yaitu", "bagaimana",
+                       "berbicara", "kemarin"})},
     # Frisian vs Dutch/Afrikaans: of/with/in/for differ root-deep
     # (fan/van, mei/met, foar/voor-vir, oan/aan)
+    # 'wurde' is the German past of werden and 'mei' the Dutch month —
+    # fy sides use wurdt/inoar instead (review finding)
     frozenset({"fy", "nl"}): {
-        "fy": (set(), {"fan", "mei", "foar", "oan", "hja", "wurde",
-                       "dizze"}),
+        "fy": (set(), {"fan", "foar", "oan", "hja", "wurdt", "dizze",
+                       "inoar"}),
         "nl": (set(), {"van", "met", "voor", "aan", "zij", "worden",
                        "deze"})},
     frozenset({"fy", "af"}): {
-        "fy": (set(), {"fan", "mei", "foar", "oan", "hja", "wurde",
-                       "dizze"}),
+        "fy": (set(), {"fan", "foar", "oan", "hja", "wurdt", "dizze",
+                       "inoar"}),
         "af": (set(), {"van", "met", "vir", "aan", "hulle", "word",
                        "hierdie"})},
+    # Frisian is trigram-close to German too (both West Germanic, and
+    # genuine Frisian 'wurde' is the German past of werden) — de-side
+    # markers are absent from Frisian (fy: en/is/net/ek/mar)
+    frozenset({"fy", "de"}): {
+        "fy": (set(), {"fan", "foar", "oan", "hja", "wurdt", "dizze",
+                       "inoar"}),
+        "de": (set(), {"und", "ist", "nicht", "auch", "aber", "wird",
+                       "eine"})},
     # Occitan vs Catalan/Spanish: demonstratives and adverbs split
     # (aquò/això/esto, tanben/també/también, mas/però/pero)
+    # 'mas' is a Catalan noun (farmhouse) and the Portuguese 'but';
+    # 'fins'/'sempre' are valid Occitan — dropped from both sides
     frozenset({"oc", "ca"}): {
-        "oc": (set(), {"aquò", "tanben", "aital", "mas", "çò",
-                       "totjorn", "dempuèi"}),
-        "ca": (set(), {"això", "també", "però", "doncs", "fins",
-                       "sempre", "des"})},
+        "oc": (set(), {"aquò", "tanben", "aital", "çò", "totjorn",
+                       "dempuèi", "pasmens"}),
+        "ca": (set(), {"això", "també", "però", "doncs", "des",
+                       "aquests"})},
     frozenset({"oc", "es"}): {
-        "oc": (set(), {"aquò", "tanben", "aital", "mas", "çò",
-                       "totjorn", "dempuèi"}),
+        "oc": (set(), {"aquò", "tanben", "aital", "çò", "totjorn",
+                       "dempuèi", "pasmens"}),
         "es": (set(), {"esto", "también", "pero", "pues", "hasta",
-                       "siempre", "desde"})},
+                       "desde"})},
 }
 # refinement fires only on genuinely close calls: a decisive trigram
 # margin must not be overridden by one stray foreign token (a quoted

@@ -191,6 +191,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     quantizer pattern), so encoding is one scan inside whole-stage
     codegen; the codebooks are driver-side literals (tiny, broadcast by
     value)."""
+    total_dim = sum(len(cb[0]) for cb in codebooks)
     v = _as_double(F.col(vec_col))
     codes = []
     offset = 1  # F.slice is 1-based
@@ -206,23 +207,34 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
         darr = F.array(*d2)
         codes.append(
             (F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return df.select(F.col("vec_id").cast("long").alias("vec_id"),
-                     F.array(*codes).alias("pq_code"))
+    # a NULL or wrong-dimension vector must not encode: a short slice
+    # yields NULL subcodes whose ADC lookups alias REAL distances
+    # (review finding) — malformed rows are excluded up front, like the
+    # cosine ops where null scores sort last
+    ok = F.col(vec_col).isNotNull() & (F.size(v) == total_dim)
+    return (df.filter(ok)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.array(*codes).alias("pq_code")))
 
 
 def pq_topk(df: DataFrame, query: list[float],
             codebooks: list[list[list[float]]], k: int = 10,
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            codes: DataFrame | None = None) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes: the
     query stays unquantized; per subspace, its squared distance to every
     centroid is precomputed DRIVER-side into an ``m x |codebook|``
     lookup table (tiny literals), and a row's approximate distance is
     the sum of ``m`` table lookups by its code.  The ranking scan
-    touches only the m-int codes — at 10^12 vectors the float
-    embeddings never leave parquet (column pruning drops them after the
-    one-time encode).  Returns (vec_id, approx_dist) ascending, ties by
-    id."""
-    enc = pq_encode(df, codebooks, vec_col)
+    touches only the m-int codes.  Pass ``codes`` — a persisted
+    (vec_id, pq_code) frame from :func:`pq_encode` — to make that real:
+    at 10^12 vectors the encode is a ONE-TIME job whose output the
+    queries scan; without it this convenience form re-encodes from the
+    float column per query (review finding — the code-only scale story
+    requires the precomputed-codes path).  Returns (vec_id,
+    approx_dist) ascending, ties by id."""
+    enc = codes if codes is not None else pq_encode(df, codebooks,
+                                                    vec_col)
     qd = [float(x) for x in query]
     tables = []
     offset = 0

@@ -808,15 +808,30 @@ def q_ann_lsh_multiprobe(spark, sf_dir) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
-    """IVF ANN with a fixed coarse codebook (embeddings 1..8, like the LSH
-    hyperplanes) — assignment/probe/rank fully mirrored by the DuckDB
-    oracle; the KMeans-trained quantizer variant is pytest-covered."""
+    """Quantizer ANN variants in one driver row: IVF with a fixed
+    coarse codebook (embeddings 1..8, like the LSH hyperplanes) ranked
+    by cosine, and product quantization (2 subspaces, codebooks = the
+    halves of embeddings 1..4) ranked by ADC distance — (variant,
+    vec_id, score); assignment/probe/encode/rank fully mirrored by the
+    DuckDB oracle; the KMeans-trained quantizer is pytest-covered."""
     emb = _emb(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
     cents = [[float(x) for x in r.embedding] for r in
              emb.filter(F.col("vec_id").between(1, 8))
                 .orderBy("vec_id").collect()]
-    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), 10,
-                               n_probe=2, centroids=cents)
+    ivf = similarity.ivf_topk(emb, qv, 10, n_probe=2, centroids=cents) \
+        .select(F.lit("ivf").alias("variant"), "vec_id",
+                F.col("cosine").alias("score"))
+    cbrows = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 4))
+                 .orderBy("vec_id").collect()]
+    half = len(cbrows[0]) // 2
+    codebooks = [[c[:half] for c in cbrows],
+                 [c[half:] for c in cbrows]]
+    pq = similarity.pq_topk(emb, qv, codebooks, 10) \
+        .select(F.lit("pq").alias("variant"), "vec_id",
+                F.col("approx_dist").alias("score"))
+    return ivf.unionByName(pq)
 
 
 # ---------------- oracle SQL (DuckDB dialect) -------------------------------
@@ -2199,15 +2214,61 @@ def oracle_sql() -> dict[str, str]:
                    from c, q),
             probe as (select cid from
                        (select cid, row_number() over (order by dist, cid)
-                               as rn from pd) where rn <= 2)
-            select cast(m.vec_id as bigint) as vec_id,
+                               as rn from pd) where rn <= 2),
+            ivf as (select cast(m.vec_id as bigint) as vec_id,
                    cast(round(list_sum(list_transform(range(1, len(m.v) + 1),
                         i -> m.v[i] * qv[i])) / (m.nrm * qn), 4) as double)
-                   as cosine
+                   as score
             from m join a using (vec_id) join probe on a.cid = probe.cid, q
             order by list_sum(list_transform(range(1, len(m.v) + 1),
                         i -> m.v[i] * qv[i])) / (m.nrm * qn) desc, m.vec_id
-            limit 10""",
+            limit 10),
+            -- PQ leg: 2 subspaces split at len//2, codebooks = the
+            -- halves of embeddings 1..4 (cid order = code order);
+            -- per-subspace argmin assignment, first (lowest cid) wins
+            -- ties, ADC score = query-to-assigned-centroid distances
+            cbs as (select vec_id as cid, v as cv from m
+                    where vec_id between 1 and 4),
+            d0 as (select m.vec_id, cbs.cid,
+                          list_sum(list_transform(range(1, len(m.v) // 2 + 1),
+                               i -> (m.v[i] - cbs.cv[i]) * (m.v[i] - cbs.cv[i])))
+                          as dist
+                   from m, cbs),
+            a0 as (select vec_id, cid from
+                    (select vec_id, cid,
+                            row_number() over (partition by vec_id
+                                               order by dist, cid) as rn
+                     from d0) where rn = 1),
+            d1 as (select m.vec_id, cbs.cid,
+                          list_sum(list_transform(range(len(m.v) // 2 + 1, len(m.v) + 1),
+                               i -> (m.v[i] - cbs.cv[i]) * (m.v[i] - cbs.cv[i])))
+                          as dist
+                   from m, cbs),
+            a1 as (select vec_id, cid from
+                    (select vec_id, cid,
+                            row_number() over (partition by vec_id
+                                               order by dist, cid) as rn
+                     from d1) where rn = 1),
+            q0 as (select cbs.cid,
+                          list_sum(list_transform(range(1, len(q.qv) // 2 + 1),
+                               i -> (q.qv[i] - cbs.cv[i]) * (q.qv[i] - cbs.cv[i])))
+                          as qd
+                   from cbs, q),
+            q1 as (select cbs.cid,
+                          list_sum(list_transform(range(len(q.qv) // 2 + 1, len(q.qv) + 1),
+                               i -> (q.qv[i] - cbs.cv[i]) * (q.qv[i] - cbs.cv[i])))
+                          as qd
+                   from cbs, q),
+            pq as (select cast(m.vec_id as bigint) as vec_id,
+                          cast(round(q0.qd + q1.qd, 4) as double) as score
+                   from m join a0 using (vec_id) join a1 using (vec_id)
+                          join q0 on a0.cid = q0.cid
+                          join q1 on a1.cid = q1.cid
+                   order by q0.qd + q1.qd asc, m.vec_id
+                   limit 10)
+            select 'ivf' as variant, vec_id, score from ivf
+            union all
+            select 'pq' as variant, vec_id, score from pq""",
         "ann_lsh_topk": f"""
             with {_EMB_M.format(src='embeddings').lstrip()},
             h as (select vec_id as hid, v as hv from m where vec_id between 1 and 8),
