@@ -139,11 +139,15 @@ def test_sibling_refinement_guards():
     lang, conf, rel = classify_model(
         "eilen lapset kävelivät yhdessä kouluun Võru ja puhuivat paljon")
     assert lang == "fi"
-    # (3) a flipped winner reports ITS score share, not the loser's
+    # (3) ADVICE r5: a flipped winner must never carry sub-threshold
+    # confidence while reliable — post-flip conf is the marker-hit
+    # margin, > 0.5 by construction (a score-ratio conf would read the
+    # LOSER's share, always < 0.5)
     lang, conf, rel = classify_model(
         "včera išli deti spolu do školy a rozprávali sa o svojom meste ľahko")
-    if lang == "sk" and conf < 0.52:
-        assert rel in (True, False)  # conf below margin is legal post-flip
+    assert lang == "sk"
+    if rel:
+        assert conf > 0.5
     from warc2text_spark.functions.langid import (_MODEL_SIBLINGS,
                                                   _STOPWORDS)
     # marker-exclusivity contract: no word marker may be a stopword of

@@ -621,10 +621,16 @@ def classify_model(text: str) -> tuple[str, float, bool]:
                     a, b = sorted(hits)
                     if hits[a] != hits[b]:
                         winner = a if hits[a] > hits[b] else b
+                        loser = b if winner == a else a
                         if winner != top_lang:
                             other_lang, top_lang = top_lang, winner
-                            conf = scores[winner] / (
-                                scores[winner] + scores[other_lang])
+                            # the flipped winner had the LOWER trigram
+                            # score, so a score-ratio confidence would
+                            # read < 0.5 on a reliable label; report the
+                            # marker-hit margin instead (> 0.5 by
+                            # construction: hits differ and winner leads)
+                            conf = hits[winner] / (hits[winner]
+                                                   + hits[loser])
                         # decisive marker = reliable, provided the winner
                         # still carries real trigram evidence
                         reliable = (scores[winner] / n_tris

@@ -323,8 +323,14 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
           .select(id_col, "p.w1", "p.g"))
     scored = (ex.join(F.broadcast(ctx_local), "w1", "left")
               .join(F.broadcast(big_local), "g", "left"))
-    term = (F.coalesce(F.col("lnc1"), F.lit(oov_ctx))
-            - F.coalesce(F.col("lnc12"), F.lit(0.0)))
+    # clamp at 0: with w1 outside the unigram head but the bigram inside
+    # its own head, c12 can exceed V and the raw term goes negative
+    # (implied p(w2|w1) > 1) — a clamped term keeps the surprisal
+    # interpretation at any vocab_cap (oracle mirrors the greatest())
+    term = F.greatest(
+        F.coalesce(F.col("lnc1"), F.lit(oov_ctx))
+        - F.coalesce(F.col("lnc12"), F.lit(0.0)),
+        F.lit(0.0))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                  F.sum(term).alias("_s"))
@@ -401,7 +407,16 @@ def _two_phase_rank(df: DataFrame, bucket_col: str, order_cols: list,
     over the per-bucket counts joined back (optimizer-sized broadcast).
     No task ever sorts more than one bucket of one partition.  Returns
     (frame + ``_rank``, the per-bucket counts frame) — callers derive
-    per-partition totals from the counts, not another corpus pass."""
+    per-partition totals from the counts, not another corpus pass.
+
+    NULL keys: the bucket/partition columns are derived from caller keys
+    (hash of doc_id, score grid cell, …), so a malformed row yields a
+    NULL bucket.  A plain equi-join would DROP those rows silently; the
+    phase-2 join is null-safe instead, so malformed rows survive into
+    the output (ranked first — NULLS FIRST window order) and the
+    composed callers' no-NULL sentinel discipline surfaces them, rather
+    than losing corpus rows without a trace."""
+    from functools import reduce
     from pyspark.sql import Window
     keys = [*part_cols, bucket_col]
     w_local = Window.partitionBy(*keys).orderBy(*order_cols)
@@ -410,12 +425,14 @@ def _two_phase_rank(df: DataFrame, bucket_col: str, order_cols: list,
     w_bucket = (Window.partitionBy(*part_cols).orderBy(bucket_col)
                 .rowsBetween(Window.unboundedPreceding, -1))
     bases = counts.select(
-        *keys,
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
         F.coalesce(F.sum("_cn").over(w_bucket), F.lit(0)).alias("_base"))
-    out = (ranked.join(bases, keys)
+    cond = reduce(lambda a, b: a & b,
+                  [ranked[k].eqNullSafe(bases[f"_b_{k}"]) for k in keys])
+    out = (ranked.join(bases, cond)
            .withColumn("_rank", (F.col("_base") + F.col("_rn"))
                        .cast("long"))
-           .drop("_rn", "_base"))
+           .drop("_rn", "_base", *[f"_b_{k}" for k in keys]))
     return out, counts
 
 

@@ -81,8 +81,9 @@ def pack_sequences(df: DataFrame, window: int = 512,
     base = df.select(
         F.col("doc_id").cast("long").alias("_id"),
         count.cast("long").alias("n_tokens"))
-    base = base.withColumn("_bucket", (F.col("_id") / bucket_size)
-                           .cast("long"))
+    # integer div, not float division: past 2^53 a double loses integer
+    # precision and bucket edges wobble (same invariant as global_shuffle)
+    base = base.withColumn("_bucket", F.expr(f"_id div {int(bucket_size)}"))
     w_local = (Window.partitionBy("_bucket").orderBy("_id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = base.withColumn("_cum", F.sum("n_tokens").over(w_local))

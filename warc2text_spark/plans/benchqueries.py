@@ -1674,12 +1674,18 @@ def oracle_sql() -> dict[str, str]:
             with h as (select lang, count(*)::bigint as n_docs,
                               sum(n_chars)::bigint as sum_chars
                        from documents group by lang),
-            t as (select sum(power(sum_chars, 0.3)) as tp,
+            t as (select sum(case when sum_chars > 0
+                                  then power(sum_chars, 0.3)
+                                  else 0.0 end) as tp,
                          sum(sum_chars)::double as ts from h)
             select lang, n_docs, sum_chars,
-                   round(power(sum_chars, 0.3) / tp, 6) as mix_weight,
-                   round((power(sum_chars, 0.3) / tp)
-                         / (sum_chars / ts), 6) as mix_boost
+                   case when tp > 0 and sum_chars > 0
+                        then round(power(sum_chars, 0.3) / tp, 6)
+                        else 0.0 end as mix_weight,
+                   case when tp > 0 and sum_chars > 0
+                        then round((power(sum_chars, 0.3) / tp)
+                                   / (sum_chars / ts), 6)
+                        else 0.0 end as mix_boost
             from h, t""",
         "media_metadata": """
             select cast(doc_id as varchar) as doc_id, 1 as "offset",
@@ -1815,9 +1821,10 @@ def oracle_sql() -> dict[str, str]:
                       group by g order by c desc, g limit 100000),
             b as (select cast(bg.doc_id as varchar) as doc_id,
                          count(*)::bigint as n_bigrams,
-                         round(sum(ln(coalesce(u.c, 0)
+                         round(sum(greatest(
+                                   ln(coalesce(u.c, 0)
                                       + (select v from nv) + 1)
-                                   - ln(coalesce(bf.c, 0) + 1))
+                                   - ln(coalesce(bf.c, 0) + 1), 0))
                                / count(*), 6) as surprisal2
                   from bg left join freq u on bg.w1 = u.w
                           left join bfreq bf on bg.g = bf.g
