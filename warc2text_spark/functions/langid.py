@@ -525,6 +525,68 @@ _MODEL_SIBLINGS = {
                        "dempuèi", "pasmens"}),
         "es": (set(), {"esto", "también", "pero", "pues", "hasta",
                        "desde"})},
+    # --- non-Latin sibling pairs (r6: markers demoted to tie-breakers
+    # behind the trained per-script trigram tables).  Letter-inventory
+    # splits, chosen from the alphabets, not tuned on fixtures:
+    # ru ы/э/ё vs uk і/ї/є/ґ; uk ї/є/ґ vs be ў (і is SHARED uk/be and
+    # must not be a marker — the 'ei' rule); ru и/щ/ъ vs be ў/і (be
+    # writes і for и and ' for ъ); bg ъ is ~3% of text vs ~0.02% in ru;
+    # sr ђ/ћ vs mk ѓ/ќ/ѕ (ј/љ/њ/џ shared).
+    # full pair matrix over the six Slavic Cyrillic orthographies: each
+    # side lists letters the OTHER side's alphabet lacks (sr/mk dropped
+    # й щ ъ ь э ю я ё ы for ј-series letters; be replaced и with і and
+    # щ/ъ with шч/'; uk dropped ы э ё ъ for і ї є ґ; bg dropped ы э ё).
+    frozenset({"ru", "uk"}): {"ru": (set("ыэёъ"), set()),
+                              "uk": (set("іїєґ"), set())},
+    frozenset({"ru", "bg"}): {"ru": (set("ыэё"), {"это", "что"}),
+                              "bg": (set("ъ"), {"това", "които"})},
+    frozenset({"ru", "be"}): {"ru": (set("ищъ"), set()),
+                              "be": (set("ўі"), set())},
+    frozenset({"ru", "sr"}): {"ru": (set("йыьэюяёщъ"), set()),
+                              "sr": (set("ђћјљњџ"), set())},
+    frozenset({"ru", "mk"}): {"ru": (set("йыьэюяёщъ"), set()),
+                              "mk": (set("ѓќѕјљњџ"), set())},
+    frozenset({"uk", "be"}): {"uk": (set("їєґ"), set()),
+                              "be": (set("ўы"), set())},
+    frozenset({"uk", "bg"}): {"uk": (set("іїєґ"), set()),
+                              "bg": (set("ъ"), {"това", "които", "със"})},
+    frozenset({"uk", "sr"}): {"uk": (set("іїєґйьюя"), set()),
+                              "sr": (set("ђћјљњџ"), set())},
+    frozenset({"uk", "mk"}): {"uk": (set("іїєґйьюя"), set()),
+                              "mk": (set("ѓќѕјљњџ"), set())},
+    frozenset({"be", "bg"}): {"be": (set("ўіэы"), set()),
+                              "bg": (set("ъщи"), set())},
+    frozenset({"be", "sr"}): {"be": (set("ўіыэёй"), set()),
+                              "sr": (set("ђћјљњџ"), set())},
+    frozenset({"be", "mk"}): {"be": (set("ўіыэёй"), set()),
+                              "mk": (set("ѓќѕјљњџ"), set())},
+    frozenset({"bg", "sr"}): {"bg": (set("йщъюя"), set()),
+                              "sr": (set("ђћјљњџ"), set())},
+    frozenset({"bg", "mk"}): {"bg": (set("йщъюя"), {"това", "които"}),
+                              "mk": (set("ѓќѕјљњџ"),
+                                     {"во", "со", "нив", "многу"})},
+    frozenset({"sr", "mk"}): {"sr": (set("ђћ"), set()),
+                              "mk": (set("ѓќѕ"), set())},
+    # Arabic script: Arabic yeh ي U+064A / kaf ك U+0643 vs the Persian
+    # forms ی U+06CC / ک U+06A9 every fa/ur word uses; fa پ/چ/ژ/گ; ur
+    # retroflexes + bari ye + gol he; ps retroflex series; ug vowel
+    # letters.  که (fa, with ه) vs کہ (ur, with ہ) are distinct strings.
+    frozenset({"ar", "fa"}): {"ar": (set("يكة"), set()),
+                              "fa": (set("یکپچژگ"), set())},
+    frozenset({"ar", "ur"}): {"ar": (set("يكة"), set()),
+                              "ur": (set("ٹڈڑںےہ"), set())},
+    frozenset({"fa", "ur"}): {"fa": (set(), {"است", "های", "که"}),
+                              "ur": (set("ٹڈڑںےہ"), set())},
+    frozenset({"fa", "ps"}): {"fa": (set(), {"است", "این", "را"}),
+                              "ps": (set("ځڅښږګڼۍ"), set())},
+    frozenset({"ur", "ps"}): {"ur": (set("ے"), {"ہے", "کے"}),
+                              "ps": (set("ځڅښږګڼۍ"), set())},
+    # Devanagari: Marathi retroflex ळ (absent from standard Hindi);
+    # copulas/conjunctions split root-deep (है/आहे, और/आणि, नहीं/नाही).
+    # की is a complementizer in BOTH and must not be a marker.
+    frozenset({"hi", "mr"}): {
+        "hi": (set(), {"है", "हैं", "और", "था", "नहीं"}),
+        "mr": (set("ळ"), {"आहे", "आहेत", "आणि", "होते", "नाही"})},
 }
 # refinement fires only on genuinely close calls: a decisive trigram
 # margin must not be overridden by one stray foreign token (a quoted
@@ -535,14 +597,34 @@ _MODEL_SIBLING_MAX_CONF = 0.60
 # lands at margin ~0.50 — the margin rule, not the evidence floor, is
 # what rejects it, while the floor rejects low-coverage/mixed text)
 
+def _is_model_char(ch: str) -> bool:
+    """Letters, the apostrophe, and combining marks survive model
+    normalization.  Combining marks matter for the non-Latin tables:
+    Devanagari vowel signs (matras, category Mc) and the virama (Mn)
+    are not ``isalpha()`` but carry most of the hi/mr signal — stripping
+    them would shred every word into consonant fragments.  (NFC Latin
+    text has no combining marks, so the Latin tables are unaffected.)"""
+    if ch.isalpha() or ch == "'":
+        return True
+    cached = _MODEL_CHAR_CACHE.get(ch)
+    if cached is None:
+        import unicodedata
+        cached = unicodedata.category(ch).startswith("M")
+        _MODEL_CHAR_CACHE[ch] = cached
+    return cached
+
+
+_MODEL_CHAR_CACHE: dict[str, bool] = {}
+
+
 def normalize_model(text: str) -> str:
-    """Model text normalization: lower-case, every non-letter except the
-    apostrophe becomes a space, runs collapse, single-space padding —
-    shared verbatim by training (tools/gen_langid_model.py) and
-    inference."""
+    """Model text normalization: lower-case, every non-word character
+    (see :func:`_is_model_char`) except the apostrophe becomes a space,
+    runs collapse, single-space padding — shared verbatim by training
+    (tools/gen_langid_model.py) and inference."""
     lowered = text.lower()
     cleaned = "".join(
-        ch if (ch.isalpha() or ch == "'") else " " for ch in lowered)
+        ch if _is_model_char(ch) else " " for ch in lowered)
     return " " + " ".join(cleaned.split()) + " "
 
 
@@ -562,33 +644,53 @@ def _tri_index():
 _TRI_INDEX = None
 
 
+def _model_family(cp: int) -> str | None:
+    """Script family of a letter codepoint, for the model-coverage gate:
+    'latin' (below Greek, same boundary as _script_scores' fast path,
+    plus Latin Extended Additional — Vietnamese diacritics at
+    0x1E00-0x1EFF), 'cyr', 'arab' (incl. presentation forms), 'dev',
+    else None (family has no trained tables)."""
+    if cp < 0x0370 or 0x1E00 <= cp <= 0x1EFF:
+        return "latin"
+    if 0x0400 <= cp <= 0x052F:
+        return "cyr"
+    if (0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F
+            or 0xFB50 <= cp <= 0xFDFF or 0xFE70 <= cp <= 0xFEFF):
+        return "arab"
+    if 0x0900 <= cp <= 0x097F:
+        return "dev"
+    return None
+
+
 def classify_model(text: str) -> tuple[str, float, bool]:
     """(label, confidence, reliable) from the trained trigram model.
 
     Scores are summed per-language trigram log-odds; confidence is the
     top-vs-runner-up margin (same rule as :func:`classify`); ``reliable``
     additionally requires mean evidence per trigram.  The model scores
-    only text whose letters are predominantly Latin-script (cp < 0x370,
-    the same boundary as the script classifier's fast path): a mostly
-    Cyrillic/CJK/Arabic page containing stray Latin brand/URL tokens
-    must NOT collect a spurious Latin label from those tokens — it (and
-    any text with no model evidence at all) falls back to the heuristic
-    :func:`classify` path with reliability from its margin, so the model
-    wraps, never degrades, the 94-label coverage."""
+    text whose letters predominantly belong to ONE model-covered script
+    family — Latin, Cyrillic, Arabic script, or Devanagari (r6: the
+    same-script sibling families ru/uk/bg/be/sr/mk/kk, ar/fa/ur/ps/ug
+    and hi/mr are now model-scored, demoting the marker lists to
+    tie-breakers): a mostly-CJK page, or one containing stray
+    other-script brand/URL tokens, must NOT collect a spurious label
+    from those tokens — it (and any text with no model evidence at all)
+    falls back to the heuristic :func:`classify` path with reliability
+    from its margin, so the model wraps, never degrades, the full label
+    coverage."""
     from collections import Counter
     t = normalize_model(text)
     n_tris = len(t) - 2
-    alpha = latin = 0
+    alpha = 0
+    fam_counts: dict[str, int] = {}
     for ch in t:
         if ch != " " and ch != "'":
             alpha += 1
-            cp = ord(ch)
-            # below Greek (same boundary as _script_scores' fast path)
-            # plus Latin Extended Additional (Vietnamese tone+vowel
-            # diacritics live at 0x1E00-0x1EFF)
-            if cp < 0x0370 or 0x1E00 <= cp <= 0x1EFF:
-                latin += 1
-    if n_tris >= 1 and alpha and latin * 2 >= alpha:
+            fam = _model_family(ord(ch))
+            if fam is not None:
+                fam_counts[fam] = fam_counts.get(fam, 0) + 1
+    dominant = max(fam_counts.values()) if fam_counts else 0
+    if n_tris >= 1 and alpha and dominant * 2 >= alpha:
         counts = Counter(t[i:i + 3] for i in range(n_tris))
         idx = _tri_index()
         scores: dict[str, float] = {}
