@@ -1,0 +1,187 @@
+"""Dependency-free PNG codec (functions/pngpixels.py): round-trips, all
+five scanline filters differentially vs a direct reference filterer, the
+closed-form size law the driver oracle mirrors, nearest-neighbor resize
+semantics, and the never-raise malformed contract."""
+
+import struct
+import zlib
+
+import numpy as np
+
+from warc2text_spark.functions.pngpixels import (decode_png, encode_png,
+                                                 png_encoded_size,
+                                                 resize_dims, resize_nearest)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    body = ctype + data
+    return (struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def _encode_filtered(arr: np.ndarray, ftype: int) -> bytes:
+    """Reference encoder applying ONE filter type to every scanline,
+    written directly from ISO/IEC 15948 §9 (the spec's defining
+    equations, independent of the decoder under test)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    out = []
+    for y in range(h):
+        line = flat[y]
+        filt = np.empty(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+            filt[x] = (int(line[x]) - pred) & 0xFF
+        out.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + _chunk(b"IEND", b""))
+
+
+def test_roundtrip_all_channel_counts():
+    r = _rng()
+    for ch in (1, 2, 3, 4):
+        arr = r.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        decoded = decode_png(encode_png(arr))
+        assert decoded is not None
+        out, palette = decoded
+        assert palette is None
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_all_five_filters_decode_correctly():
+    r = _rng(3)
+    for ch in (1, 3):
+        arr = r.integers(0, 256, size=(9, 13, ch), dtype=np.uint8)
+        for ftype in range(5):
+            decoded = decode_png(_encode_filtered(arr, ftype))
+            assert decoded is not None, ftype
+            np.testing.assert_array_equal(decoded[0], arr,
+                                          err_msg=f"filter {ftype} ch {ch}")
+
+
+def test_palette_plane_and_plte():
+    # color type 3: index plane + palette returned, not dereferenced
+    idx = _rng(5).integers(0, 4, size=(6, 5, 1), dtype=np.uint8)
+    h, w = 6, 5
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(range(12))
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", plte) + _chunk(b"IDAT", zlib.compress(raw))
+           + _chunk(b"IEND", b""))
+    out, palette = decode_png(png)
+    np.testing.assert_array_equal(out, idx)
+    np.testing.assert_array_equal(palette,
+                                  np.frombuffer(plte, np.uint8).reshape(4, 3))
+
+
+def test_size_law_matches_formula():
+    r = _rng(11)
+    for h, w, ch in ((1, 1, 1), (480, 640, 1), (3, 200, 3), (70, 311, 4),
+                     (500, 140, 1)):
+        arr = r.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert len(encode_png(arr)) == png_encoded_size(w, h, ch), (h, w, ch)
+    # multi-stored-block case: D > 65535
+    big = r.integers(0, 256, size=(300, 400, 1), dtype=np.uint8)
+    assert 300 * 401 > 65535
+    assert len(encode_png(big)) == png_encoded_size(400, 300, 1)
+
+
+def test_resize_dims_and_nearest():
+    assert resize_dims(100, 50, 256) == (100, 50)        # no upscale
+    assert resize_dims(640, 480, 256) == (256, 192)
+    assert resize_dims(480, 640, 256) == (192, 256)
+    assert resize_dims(10000, 3, 256) == (256, 1)        # floor >= 1
+    grad = np.arange(8, dtype=np.uint8).reshape(1, 8).repeat(4, axis=0)
+    out = resize_nearest(grad, 4)
+    # source index floor(i * 8 / 4) = 0, 2, 4, 6
+    np.testing.assert_array_equal(out[0], [0, 2, 4, 6])
+    assert out.shape == (2, 4)
+
+
+def test_striped_fixture_mean_is_closed_form():
+    """The driver fixture's striped PNG: decoded mean equals the SQL
+    oracle's avg((id + y) % 256) closed form."""
+    from warc2text_spark.plans.spansgen import _png_striped
+    for n in (0, 17, 123, 479):
+        w, h = 1 + n % 640, 1 + n % 480
+        png = _png_striped(w, h, n)
+        assert len(png) == png_encoded_size(w, h, 1)
+        arr, _ = decode_png(png)
+        assert arr.shape == (h, w, 1)
+        expect = sum((n + y) % 256 for y in range(h)) / h
+        assert float(arr.mean()) == expect
+
+
+def test_malformed_never_raises():
+    r = _rng(13)
+    arr = r.integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    good = encode_png(arr)
+    cases = [b"", b"\x89PNG\r\n\x1a\n", good[:20], good[:40],
+             b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,
+             good.replace(b"IDAT", b"IDAX"),
+             # interlaced flag -> unsupported, None (honest edge)
+             good[:28] + b"\x01" + good[29:],
+             # 16-bit depth -> unsupported
+             good[:24] + b"\x10" + good[25:]]
+    for bad in cases:
+        assert decode_png(bad) is None
+    # tolerant edge: a stream truncated INSIDE the trailing IEND crc
+    # still decodes (all pixel data present) — documented, not an error
+    assert decode_png(good[:-4]) is not None
+    # fuzz: random corruption never raises
+    buf = bytearray(good)
+    for _ in range(200):
+        i = int(r.integers(0, len(buf)))
+        b0 = buf[i]
+        buf[i] = int(r.integers(0, 256))
+        decode_png(bytes(buf))
+        buf[i] = b0
+
+
+def test_resize_stub_real_png_path():
+    """operators/multimodal routes PNG payloads through the real codec:
+    resized output is itself a decodable PNG at the capped dims with the
+    closed-form size."""
+    from warc2text_spark.operators.multimodal import (_decode_image_stub,
+                                                      _resize_image_stub)
+    col = (np.arange(480) % 256).astype(np.uint8)
+    arr = np.repeat(col[:, None], 640, axis=1)
+    png = encode_png(arr)
+    out = _resize_image_stub(png, 256)
+    assert len(out) == png_encoded_size(256, 192, 1)
+    rarr, _ = decode_png(out)
+    np.testing.assert_array_equal(rarr[:, :, 0],
+                                  resize_nearest(arr, 256))
+    feats = _decode_image_stub(png)
+    assert feats["px_mean"] == round(float(arr.mean()), 4)
+    assert feats["width"] == 640 and feats["height"] == 480
+    # non-PNG keeps the fake twin and the sentinel
+    fake = _decode_image_stub(b"IMG42")
+    assert fake["px_mean"] == -1.0

@@ -4,10 +4,13 @@ Media payloads are opaque base64/binary columns with typed metadata.  The
 Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
 real and tested.  Image dimensions come from real dependency-free header
 parsing for PNG/GIF/JPEG (``parse_image_header`` — struct on magic
-bytes); deeper codec work (pixel decode, resize, frame extraction) is
-stubbed behind clearly-marked hooks with deterministic fakes because no
-image/audio libraries exist in this environment — a deployment drops in
-Pillow/ffmpeg inside ``_decode_image_stub`` / ``_resize_image_stub``.
+bytes); PNG additionally gets REAL pixel decode / feature extraction /
+nearest-neighbor resize + re-encode (``functions/pngpixels.py``, stdlib
+zlib + numpy, r6) and GIF gets the real frame-structure walker
+(``gif_frames``).  JPEG/GIF *pixel* work is still stubbed behind
+clearly-marked hooks with deterministic fakes because no image/audio
+libraries exist in this environment — a deployment drops Pillow/ffmpeg
+into ``_decode_image_stub`` / ``_resize_image_stub``.
 """
 
 from __future__ import annotations
@@ -107,16 +110,26 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_image_stub(payload: bytes) -> dict:
-    """Decode hook: real header parsing for PNG/GIF/JPEG
-    (parse_image_header — struct on magic bytes, dependency-free); the
-    deterministic fake twin covers every other payload so the full Spark
-    plumbing (Arrow batches, schema, partitioning) stays exercised and
-    oracle-checkable.  A deployment with Pillow/ffmpeg extends the real
-    branch (decode, EXIF, frames); the fake branch stays for fixtures.
+    """Decode hook: REAL pixel decode for PNG (functions/pngpixels.py —
+    stdlib-zlib inflate + per-scanline unfilter, r6), real header
+    parsing for PNG/GIF/JPEG (parse_image_header — struct on magic
+    bytes, dependency-free); the deterministic fake twin covers every
+    other payload so the full Spark plumbing (Arrow batches, schema,
+    partitioning) stays exercised and oracle-checkable.  ``px_mean`` is
+    the mean sample value over the decoded plane (real pixels), or the
+    -1.0 sentinel when no pixel decode exists for the format (JPEG/GIF
+    pixels still need Pillow/ffmpeg; the no-NULLs driver rule).
     """
+    px_mean = -1.0
     dims = parse_image_header(payload)
     if dims is not None:
         w, h = dims
+        if payload.startswith(b"\x89PNG"):
+            from ..functions.pngpixels import decode_png
+            decoded = decode_png(payload)
+            if decoded is not None:
+                arr, _palette = decoded
+                px_mean = round(float(arr.mean()), 4)
     else:  # deterministic fake twin (fixture payloads, unknown formats)
         w = 1 + payload[0] % 64 if payload else 0
         h = 1 + payload[-1] % 64 if payload else 0
@@ -125,11 +138,13 @@ def _decode_image_stub(payload: bytes) -> dict:
         "width": w,
         "height": h,
         "n_bytes": len(payload),
+        "px_mean": px_mean,
     }
 
 
 MEDIA_FEATURES_SCHEMA = ("doc_id string, offset int, media_type string, "
-                         "width int, height int, n_bytes long, text string")
+                         "width int, height int, n_bytes long, "
+                         "px_mean double, text string")
 
 
 def extract_media_features(spans_df: DataFrame) -> DataFrame:
@@ -159,6 +174,7 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
                 "width": [f["width"] for f in feats],
                 "height": [f["height"] for f in feats],
                 "n_bytes": [f["n_bytes"] for f in feats],
+                "px_mean": [f["px_mean"] for f in feats],
                 "text": [extract_pdf_text(p)
                          if f["media_type"] == "application/pdf" else ""
                          for p, f in zip(payloads, feats)],
@@ -169,9 +185,21 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
 
 
 def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
-    """Resize hook.  Real deployment: PIL thumbnail + re-encode.  Here: a
-    deterministic fake (truncate/pad to a size derived from max_dim) so the
-    binary-in/binary-out plumbing and schema are exercised."""
+    """Resize hook.  PNG payloads take the REAL path (r6): pixel decode
+    (functions/pngpixels.py), nearest-neighbor resample capping the
+    longer side at ``max_dim``, re-encode as a real PNG with a level-0
+    (stored-block) zlib stream — so the output size is closed-form in
+    the target dims and the driver oracle states it in SQL
+    (png_encoded_size).  Everything else keeps the deterministic fake
+    twin (truncate/pad to a size derived from max_dim) — JPEG/GIF pixel
+    codecs still need Pillow/ffmpeg; the plumbing stays exercised."""
+    if payload.startswith(b"\x89PNG"):
+        from ..functions.pngpixels import (decode_png, encode_png,
+                                           resize_nearest)
+        decoded = decode_png(payload)
+        if decoded is not None:
+            arr, _palette = decoded
+            return encode_png(resize_nearest(arr, max_dim))
     target = min(len(payload), max_dim * 4) or 1
     return (payload * ((target // max(len(payload), 1)) + 1))[:target]
 

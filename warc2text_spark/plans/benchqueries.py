@@ -1550,33 +1550,62 @@ def _merge_registry_oracles(d: dict) -> dict:
     # uncompressed content stream, byte length 308 + digits(id), text
     # recovered by the ISO-32000 text-showing subset; fake-twin dims
     # ('%' = 37 -> w 38; trailing 'F' = 70 -> h 7).
+    # v=0 is a COMPLETE real PNG since r6: striped grayscale (row y =
+    # (id + y) % 256), level-0 zlib — so pixel mean (px_mean, real
+    # decoded pixels) and byte sizes (pngpixels.png_encoded_size: D
+    # filtered-raw bytes -> 63 + D + 5*ceil(D/65535)) are closed-form,
+    # for both the original (w, h) and the max_dim=256 nearest-neighbor
+    # resize target (pngpixels.resize_dims: longer side capped, floor
+    # scale, no upscaling).
     d["media_pipeline"] = """
-        with s as (select doc_id as id, cast(doc_id as varchar) as doc_id,
-                          doc_id % 5 as v,
-                          1 + doc_id % 3 as nf, 1 + doc_id % 7 as sb,
-                          case doc_id % 5 when 0 then 33
-                               when 1 then 14 + (1 + doc_id % 3)
-                                             * (22 + doc_id % 7)
-                               when 2 then 15
-                               when 3 then 3 + strlen(cast(doc_id
-                                                           as varchar))
-                               else 308 + strlen(cast(doc_id as varchar))
-                          end as n
-                   from documents),
+        with s0 as (select doc_id as id, cast(doc_id as varchar) as doc_id,
+                           doc_id % 5 as v,
+                           1 + doc_id % 3 as nf, 1 + doc_id % 7 as sb,
+                           1 + doc_id % 640 as w, 1 + doc_id % 480 as h
+                    from documents),
+        s1 as (select *,
+                      case when greatest(w, h) <= 256 then w
+                           when w >= h then 256
+                           else greatest(1, w * 256 // h) end as w2,
+                      case when greatest(w, h) <= 256 then h
+                           when w >= h then greatest(1, h * 256 // w)
+                           else 256 end as h2
+               from s0),
+        s as (select *,
+                     case v when 0 then 63 + h * (1 + w)
+                                 + 5 * ((h * (1 + w) + 65534) // 65535)
+                          when 1 then 14 + nf * (22 + sb - 1)
+                          when 2 then 15
+                          when 3 then 3 + strlen(doc_id)
+                          else 308 + strlen(doc_id)
+                     end as n
+              from s1),
         m as (select doc_id, id, 1 as "offset", v, nf, sb,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
                             when 2 then 'image/jpeg'
                             when 3 then 'x-test/fake'
                             else 'application/pdf' end as media_type,
                      case when v = 3 then 10 when v = 4 then 38
-                          else (1 + id % 640) end::int as width,
+                          else w end::int as width,
                      case when v = 3 then (49 + id % 10) when v = 4 then 7
-                          else (1 + id % 480) end::int as height,
-                     n::bigint as n_bytes, n::bigint as resized_bytes,
+                          else h end::int as height,
+                     n::bigint as n_bytes,
+                     coalesce(pm.px_mean, -1.0) as px_mean,
+                     case when v = 0
+                          then 63 + h2 * (1 + w2)
+                               + 5 * ((h2 * (1 + w2) + 65534) // 65535)
+                          else n end::bigint as resized_bytes,
                      greatest(n // 3, 1) as step, n
-              from s)
-        select doc_id, "offset", media_type, width, height, n_bytes,
-               resized_bytes,
+              from s
+              left join (select s2.id as pid,
+                                round(avg((s2.id + t.y) % 256), 4)
+                                    as px_mean
+                         from s1 s2, generate_series(0, 479) t(y)
+                         where s2.v = 0 and t.y < s2.h
+                         group by s2.id) pm
+                on s.v = 0 and s.id = pm.pid)
+        select doc_id, "offset", media_type, width, height,
+               n_bytes, px_mean, resized_bytes,
                case when v = 4 then 'Hello doc ' || id || chr(10)
                     else '' end as text,
                i::int as frame_idx,

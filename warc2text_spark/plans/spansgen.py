@@ -424,6 +424,17 @@ def _png_header(w: int, h: int) -> bytes:
             + b"\x00\x00\x00\x00")  # CRC not validated by the parser
 
 
+def _png_striped(w: int, h: int, seed: int) -> bytes:
+    """Complete real grayscale PNG, row ``y`` = ``(seed + y) % 256``:
+    pixel mean is closed-form (avg over y) and the level-0 encoder makes
+    the byte size closed-form too (pngpixels.png_encoded_size)."""
+    import numpy as np
+
+    from ..functions.pngpixels import encode_png
+    col = ((seed + np.arange(h)) % 256).astype(np.uint8)
+    return encode_png(np.repeat(col[:, None], w, axis=1))
+
+
 def _gif_header(w: int, h: int) -> bytes:
     import struct
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
@@ -457,15 +468,19 @@ def _jpeg_header(w: int, h: int) -> bytes:
 
 
 def build_media_spans(spark, sf_dir: str) -> DataFrame:
-    """Media corpus for the real-header codec path, per ``doc_id % 5``:
-    PNG minimal header / ANIMATED GIF (real frame blocks: 1 + doc_id % 3
-    frames, sub-block size 1 + doc_id % 7 — exercises the gif_frames
-    walker) / JPEG minimal header, all with width = 1 + doc_id % 640 and
-    height = 1 + doc_id % 480 (closed-form for the oracle); the
-    deterministic 'IMG'||doc_id fake as the stub-twin case; and a real
-    single-page PDF carrying 'Hello doc <id>' (exercises the
-    dependency-free extract_pdf_text leg — uncompressed stream, so the
-    byte length is closed-form in the id's digit count)."""
+    """Media corpus for the real codec paths, per ``doc_id % 5``:
+    a COMPLETE real PNG (r6 — striped 8-bit grayscale, row ``y`` holds
+    sample ``(doc_id + y) % 256``, level-0 zlib, so pixel mean and byte
+    size are both closed-form: exercises the full pngpixels
+    decode/unfilter/resize/re-encode path) / ANIMATED GIF (real frame
+    blocks: 1 + doc_id % 3 frames, sub-block size 1 + doc_id % 7 —
+    exercises the gif_frames walker) / JPEG minimal header, all with
+    width = 1 + doc_id % 640 and height = 1 + doc_id % 480 (closed-form
+    for the oracle); the deterministic 'IMG'||doc_id fake as the
+    stub-twin case; and a real single-page PDF carrying 'Hello doc <id>'
+    (exercises the dependency-free extract_pdf_text leg — uncompressed
+    stream, so the byte length is closed-form in the id's digit
+    count)."""
     import base64
     from collections.abc import Iterator
 
@@ -484,7 +499,7 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                 w, h = 1 + n % 640, 1 + n % 480
                 v = n % 5
                 if v == 0:
-                    body = _png_header(w, h)
+                    body = _png_striped(w, h, n)
                 elif v == 1:
                     body = _gif_animated(w, h, 1 + n % 3, 1 + n % 7)
                 elif v == 2:
