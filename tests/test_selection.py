@@ -428,3 +428,71 @@ def test_bigram_surprisal_plan_is_native_broadcast(spark):
         .toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_kn_trigram_matches_python_reference(spark):
+    """Interpolated Kneser-Ney trigram scorer vs a direct Python
+    implementation of the Chen-Goodman equations over the same head
+    tables; fluent repeated transitions score below a shuffled
+    permutation of the same tokens; < 3 tokens -> no row."""
+    import math
+    from collections import Counter
+    from warc2text_spark.operators.selection import kn_trigram_surprisal
+    rows = [("1", "the cat sat on the mat"),
+            ("2", "the cat sat on the mat again and again"),
+            ("3", "mat the on sat cat the"),        # shuffled doc 1
+            ("4", "two words"),                      # no trigrams
+            ("5", "the cat sat")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in kn_trigram_surprisal(df).collect()}
+
+    toks = {d: t.split() for d, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(" ".join(p) for ws in toks.values()
+                  for p in zip(ws, ws[1:]))
+    tri = Counter(" ".join(p) for ws in toks.values()
+                  for p in zip(ws, ws[1:], ws[2:]))
+    v, nbi, d0 = len(uni), len(big), 0.75
+    denom_pc = nbi + 0.5 * (v + 1)
+    n1p2 = Counter(g.split()[0] for g in big)
+    cont3 = Counter(g.split()[1] for g in big)
+    n1p12 = Counter(g.rsplit(" ", 1)[0] for g in tri)
+
+    def p_kn(w1, w2, w3):
+        pc = (cont3[w3] + 0.5) / denom_pc
+        if uni[w2] > 0 and n1p2[w2] > 0:
+            p2 = (max(big[f"{w2} {w3}"] - d0, 0.0)
+                  + d0 * n1p2[w2] * pc) / uni[w2]
+        else:
+            p2 = pc
+        if big[f"{w1} {w2}"] > 0 and n1p12[f"{w1} {w2}"] > 0:
+            return (max(tri[f"{w1} {w2} {w3}"] - d0, 0.0)
+                    + d0 * n1p12[f"{w1} {w2}"] * p2) / big[f"{w1} {w2}"]
+        return p2
+
+    for did, ws in toks.items():
+        if len(ws) < 3:
+            assert did not in out
+            continue
+        terms = [-math.log(p_kn(a, b, c))
+                 for a, b, c in zip(ws, ws[1:], ws[2:])]
+        assert out[did].n_trigrams == len(terms)
+        assert abs(out[did].surprisal3
+                   - round(sum(terms) / len(terms), 6)) < 1e-9, did
+    assert out["1"].surprisal3 < out["3"].surprisal3
+    # probabilities are proper: every term positive (p < 1 after the
+    # +0.5 floor on this corpus), so surprisal3 > 0
+    assert all(r.surprisal3 > 0 for r in out.values())
+
+
+def test_kn_trigram_plan_is_native_broadcast(spark):
+    """The KN scorer stays JVM-side: no Python evaluation in the plan,
+    all five head-table joins broadcast."""
+    from warc2text_spark.operators.selection import kn_trigram_surprisal
+    df = spark.createDataFrame(
+        [(str(i), "a b c d e f g") for i in range(10)],
+        "doc_id string, text string")
+    plan = kn_trigram_surprisal(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5

@@ -1151,25 +1151,33 @@ def q_surprisal(spark, sf_dir) -> DataFrame:
     with CCNet's per-language head/middle/tail perplexity terciles
     (ppl_bucket, exact NTILE semantics via the two-phase prefix count
     over score-grid cells — the scale path IS the checked path)."""
-    from ..operators.selection import (bigram_surprisal, ccnet_buckets,
+    from ..operators.selection import (bigram_frequencies, bigram_surprisal,
+                                       ccnet_buckets, kn_trigram_surprisal,
                                        unigram_frequencies,
                                        unigram_surprisal)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # one head-vocabulary counts job, threaded through both scorers
+    # one head-vocabulary counts job per order, threaded through all
+    # three scorers (unigram / conditional-bigram / KN trigram)
     uni_rows = unigram_frequencies(docs).collect()
+    bi_rows = bigram_frequencies(docs).collect()
     # explicit string cast on the docs side: a string-vs-numeric join
     # key coerces through double and collides past 2^53
     scored = unigram_surprisal(docs, uni_rows=uni_rows).join(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                     "lang"), "doc_id")
-    bi = bigram_surprisal(docs, uni_rows=uni_rows)
+    bi = bigram_surprisal(docs, uni_rows=uni_rows, bi_rows=bi_rows)
+    kn = kn_trigram_surprisal(docs, uni_rows=uni_rows, bi_rows=bi_rows)
     return (ccnet_buckets(scored)
             .join(bi, "doc_id", "left")
+            .join(kn, "doc_id", "left")
             .select("doc_id", "n_tokens", "surprisal", "lang",
                     "ppl_bucket",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.coalesce("surprisal2", F.lit(-1.0))
-                    .alias("surprisal2")))
+                    .alias("surprisal2"),
+                    F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+                    F.coalesce("surprisal3", F.lit(-1.0))
+                    .alias("surprisal3")))
 
 
 def q_sample_stratified(spark, sf_dir) -> DataFrame:
@@ -1857,16 +1865,107 @@ def oracle_sql() -> dict[str, str]:
                                / count(*), 6) as surprisal2
                   from bg left join freq u on bg.w1 = u.w
                           left join bfreq bf on bg.g = bf.g
-                  group by bg.doc_id)
+                  group by bg.doc_id),
+            -- interpolated Kneser-Ney trigram (selection.py
+            -- kn_trigram_surprisal): identical parenthesization so the
+            -- double arithmetic agrees bit-for-bit with the Spark side
+            tg as (select doc_id,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] as g123,
+                          t[i] || ' ' || t[i+1] as g12,
+                          t[i+1] || ' ' || t[i+2] as g23,
+                          t[i+1] as w2, t[i+2] as w3
+                   from toks, unnest(range(1, len(t) - 1)) as r(i)
+                   where len(t) >= 3),
+            tfreq as (select g123 as g, count(*) as c from tg
+                      group by g123 order by c desc, g limit 100000),
+            nb as (select count(*) as nbi from bfreq),
+            kw2 as (select split_part(g, ' ', 1) as w,
+                           count(*)::bigint as n1p2 from bfreq group by 1),
+            kw3 as (select split_part(g, ' ', 2) as w,
+                           count(*)::bigint as cont3 from bfreq group by 1),
+            kctx as (select split_part(g, ' ', 1) || ' '
+                                || split_part(g, ' ', 2) as g12,
+                            count(*)::bigint as n1p12
+                     from tfreq group by 1),
+            kterm as (select tg.doc_id,
+                             -ln(case when coalesce(b12.c, 0)::double > 0
+                                       and coalesce(kc.n1p12, 0)::double > 0
+                                 then (greatest(coalesce(tf.c, 0)::double
+                                                - 0.75, 0.0)
+                                       + 0.75 * coalesce(kc.n1p12,
+                                                         0)::double
+                                         * (case when coalesce(u2.c,
+                                                          0)::double > 0
+                                                  and coalesce(k2.n1p2,
+                                                          0)::double > 0
+                                            then (greatest(
+                                                    coalesce(b23.c,
+                                                             0)::double
+                                                    - 0.75, 0.0)
+                                                  + 0.75 * coalesce(
+                                                        k2.n1p2, 0)::double
+                                                    * ((coalesce(k3.cont3,
+                                                           0)::double + 0.5)
+                                                       / ((select nbi
+                                                           from nb)
+                                                          + 0.5 * ((select v
+                                                              from nv)
+                                                              + 1))))
+                                                  / coalesce(u2.c,
+                                                             0)::double
+                                            else ((coalesce(k3.cont3,
+                                                      0)::double + 0.5)
+                                                  / ((select nbi from nb)
+                                                     + 0.5 * ((select v
+                                                         from nv) + 1)))
+                                            end))
+                                      / coalesce(b12.c, 0)::double
+                                 else (case when coalesce(u2.c,
+                                                    0)::double > 0
+                                             and coalesce(k2.n1p2,
+                                                    0)::double > 0
+                                       then (greatest(coalesce(b23.c,
+                                                         0)::double
+                                                      - 0.75, 0.0)
+                                             + 0.75 * coalesce(k2.n1p2,
+                                                          0)::double
+                                               * ((coalesce(k3.cont3,
+                                                      0)::double + 0.5)
+                                                  / ((select nbi from nb)
+                                                     + 0.5 * ((select v
+                                                         from nv) + 1))))
+                                             / coalesce(u2.c, 0)::double
+                                       else ((coalesce(k3.cont3,
+                                                 0)::double + 0.5)
+                                             / ((select nbi from nb)
+                                                + 0.5 * ((select v from nv)
+                                                         + 1)))
+                                       end)
+                                 end) as term
+                      from tg
+                      left join tfreq tf on tg.g123 = tf.g
+                      left join bfreq b12 on tg.g12 = b12.g
+                      left join bfreq b23 on tg.g23 = b23.g
+                      left join kctx kc on tg.g12 = kc.g12
+                      left join freq u2 on tg.w2 = u2.w
+                      left join kw2 k2 on tg.w2 = k2.w
+                      left join kw3 k3 on tg.w3 = k3.w),
+            kn as (select cast(doc_id as varchar) as doc_id,
+                          count(*)::bigint as n_trigrams,
+                          round(sum(term) / count(*), 6) as surprisal3
+                   from kterm group by doc_id)
             select s.doc_id, s.n_tokens, s.surprisal, d.lang,
                    ntile(3) over (partition by d.lang
                                   order by s.surprisal, s.doc_id)::int
                        as ppl_bucket,
                    coalesce(b.n_bigrams, 0)::bigint as n_bigrams,
-                   coalesce(b.surprisal2, -1.0) as surprisal2
+                   coalesce(b.surprisal2, -1.0) as surprisal2,
+                   coalesce(kn.n_trigrams, 0)::bigint as n_trigrams,
+                   coalesce(kn.surprisal3, -1.0) as surprisal3
             from s join documents d
               on s.doc_id = cast(d.doc_id as varchar)
-            left join b on s.doc_id = b.doc_id""",
+            left join b on s.doc_id = b.doc_id
+            left join kn on s.doc_id = kn.doc_id""",
         "sample_stratified": """
             with s as (
                 select doc_id, lang from documents
