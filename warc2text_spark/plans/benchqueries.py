@@ -215,14 +215,39 @@ def q_langid_labels(spark, sf_dir) -> DataFrame:
 
 
 def q_extract_transport(spark, sf_dir) -> DataFrame:
-    """P6/P7 through the real kernel: chunked dechunk + gzip decompress on
-    executor-synthesized payloads; the oracle computes the expected
-    plaintext closed-form (spansgen.build_transport_spans)."""
+    """P6/P7 through the real kernel, BOTH execution modes in one driver
+    row (r6, VERDICT item 8): chunked dechunk + gzip decompress on
+    executor-synthesized payloads, run (a) through the batch pipeline
+    and (b) through the PURE Structured-Streaming plan
+    (streaming/stream_pipeline.streaming_extract — the same native
+    filters + mapInArrow kernel composed on an unbounded frame, drained
+    with an availableNow trigger into a parquet sink and read back).
+    The oracle computes the expected plaintext closed-form
+    (spansgen.build_transport_spans) and expects it identically under
+    both ``mode`` legs — the streaming plan must be byte-equal to
+    batch."""
+    import os
+    import shutil
+
+    from ..streaming.stream_pipeline import streaming_extract
     from .spansgen import build_transport_spans
-    res = run_pipeline(build_transport_spans(spark, sf_dir),
-                       PipelineOptions(classifier="skip",
-                                       media_text_mode="extract"))
-    return res.main.select("doc_id", "plaintext")
+    opts = PipelineOptions(classifier="skip", media_text_mode="extract")
+    res = run_pipeline(build_transport_spans(spark, sf_dir), opts)
+    batch = res.main.select(F.lit("batch").alias("mode"), "doc_id",
+                            "plaintext")
+    base = "/tmp/w2t_streamtr_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    build_transport_spans(spark, sf_dir).write.parquet(f"{base}/in")
+    stream = streaming_extract(spark, f"{base}/in", opts)
+    q = (stream.select("doc_id", F.col("chunk").alias("plaintext"))
+         .writeStream.format("parquet").option("path", f"{base}/out")
+         .option("checkpointLocation", f"{base}/ck")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    streamed = (spark.read.parquet(f"{base}/out")
+                .select(F.lit("stream").alias("mode"), "doc_id",
+                        "plaintext"))
+    return batch.unionByName(streamed)
 
 
 def q_extract_sjis(spark, sf_dir) -> DataFrame:
@@ -2018,12 +2043,16 @@ def oracle_sql() -> dict[str, str]:
                                     else 'ru' end as lang
             from documents""",
         "extract_transport": f"""
-            select cast(doc_id as varchar) as doc_id,
-                   case doc_id % 3
-                     when 0 then text || {NL}
-                     when 1 then replace(text, 'a', 'A') || {NL}
-                     else replace(text, 'e', 'E') || {NL} end as plaintext
-            from documents""",
+            with e as (select cast(doc_id as varchar) as doc_id,
+                              case doc_id % 3
+                                when 0 then text || {NL}
+                                when 1 then replace(text, 'a', 'A') || {NL}
+                                else replace(text, 'e', 'E') || {NL}
+                              end as plaintext
+                       from documents)
+            select 'batch' as mode, doc_id, plaintext from e
+            union all
+            select 'stream', doc_id, plaintext from e""",
         "langid_demux": (f"select lang, count(*)::bigint as n_docs from "
                          f"({_langid_oracle()}) group by lang"),
         "multilang_demux": _multilang_demux_oracle(),
