@@ -244,3 +244,54 @@ def test_sibling_vocabulary_does_not_flip_real_text():
     for true, sent in fresh:
         lang, _conf, rel = classify_model(sent)
         assert (lang, rel) == (true, True), (true, lang, rel)
+
+
+def test_model_multilang_chunks_merge_and_rescue():
+    """ModelMultiDetector (VERDICT r5 item 7): chunk boundaries from
+    model evidence — adjacent same-label lines MERGE into one
+    ResultChunk with exact byte boundaries, a line too weak to score
+    alone is RESCUED by its neighbor window, and tiling invariants
+    (contiguous offsets, bytes sum to encoded length, no two adjacent
+    chunks share a label) hold."""
+    from warc2text_spark.functions.langid import ModelMultiDetector
+    en1 = "the children walked to school and read their books together\n"
+    en2 = "they talked about the weather and the long road home\n"
+    fr1 = "les enfants ont marché ensemble vers la belle école\n"
+    short = "et le chemin\n"   # too short to be reliable alone
+    fr2 = "ils ont parlé de leurs livres préférés pendant la journée\n"
+    text = en1 + en2 + fr1 + short + fr2
+    det = ModelMultiDetector()
+    chunks = det.detect_chunks(text)
+    data = text.encode("utf-8")
+    # tiling invariants
+    assert chunks[0][0] == 0
+    assert all(chunks[i][0] + chunks[i][1] == chunks[i + 1][0]
+               for i in range(len(chunks) - 1))
+    assert sum(c[1] for c in chunks) == len(data)
+    assert all(a[2] != b[2] for a, b in zip(chunks, chunks[1:]))
+    # the two English lines merge into ONE chunk with the exact boundary
+    b_en = len((en1 + en2).encode("utf-8"))
+    assert chunks[0] == (0, b_en, "en")
+    # the weak French fragment is rescued by its window, so the three
+    # French lines merge into one chunk covering the rest
+    assert chunks[1] == (b_en, len(data) - b_en, "fr")
+    out = det.detect(text)
+    assert set(out) == {"en", "fr"}
+    assert out["en"] == en1 + en2
+    assert out["fr"] == fr1 + short + fr2
+
+
+def test_model_multilang_nonlatin_and_unk():
+    from warc2text_spark.functions.langid import (ModelMultiDetector,
+                                                  UNKNOWN_LANG)
+    det = ModelMultiDetector()
+    # Cyrillic + Latin mix: model-scored on both sides of the boundary
+    ru = ("вчера дети вместе шли в школу и разговаривали о своих "
+          "любимых книгах\n")
+    en = "the children walked to school and read their books\n"
+    out = det.detect(ru + en)
+    assert set(out) == {"ru", "en"}
+    assert out["ru"] == ru and out["en"] == en
+    # nothing reliable anywhere -> whole text under unk
+    g = "qzx wvv kjq\nzzz qqq ppp\n"
+    assert det.detect(g) == {UNKNOWN_LANG: g}

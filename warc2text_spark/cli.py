@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "ingests .warc.gz files directly)")
     p.add_argument("--classifier", default="heuristic",
                    choices=["skip", "heuristic", "multilang", "model",
-                            "cld2", "fasttext"],
+                            "multilang_model", "cld2", "fasttext"],
                    help="'model' is the trained character-trigram "
                         "detector with CLD2-style reliability; "
                         "'cld2'/'fasttext' (the reference's names) map "

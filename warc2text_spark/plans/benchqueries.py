@@ -1302,13 +1302,57 @@ def q_extract_detect(spark, sf_dir) -> DataFrame:
 
 
 def q_demux_modes(spark, sf_dir) -> DataFrame:
-    """Single-language and multilang demux histograms in one driver row:
-    (mode, lang, n)."""
+    """Single-language, heuristic-multilang and model-multilang demux
+    histograms in one driver row: (mode, lang, n).  The `multi_model`
+    leg (r6, VERDICT item 7) runs the mixed-language reliable-held-out
+    corpus through ModelMultiDetector — windowed model scoring + merged
+    ResultChunks — against a closed-form pinned-label oracle."""
+    from .spansgen import build_multilang_model_spans
     a = q_langid_demux(spark, sf_dir).select(
         F.lit("single").alias("mode"), "lang", F.col("n_docs").alias("n"))
     b = q_multilang_demux(spark, sf_dir).select(
         F.lit("multi").alias("mode"), "lang", F.col("n_chunks").alias("n"))
-    return a.unionByName(b)
+    res = run_pipeline(build_multilang_model_spans(spark, sf_dir),
+                       PipelineOptions(classifier="multilang_model"))
+    c = (demux_by_lang(res.main).groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("multi_model").alias("mode"), "lang", "n"))
+    return a.unionByName(b).unionByName(c)
+
+
+def _multilang_model_oracle() -> str:
+    """Closed-form twin of the multi_model leg: per doc four lines drawn
+    from the reliable held-out set (labels pinned at model-generation
+    time), per-(doc, lang) byte mass = sum of utf-8 sentence bytes + 1
+    newline each, top <=3 langs by (bytes desc, lang), one chunk per
+    (doc, lang)."""
+    from .spansgen import reliable_heldout
+    rows = reliable_heldout()
+    r = len(rows)
+    lab_arms = " ".join(
+        "when {} then '{}'".format(i, lab)
+        for i, (lab, _s) in enumerate(rows))
+    byte_arms = " ".join(
+        "when {} then {}".format(i, len(s.encode("utf-8")) + 1)
+        for i, (_lab, s) in enumerate(rows))
+    return f"""
+with lines as (
+  select doc_id, k,
+         case when doc_id % 5 = 0 and k = 1 then (doc_id * 7) % {r}
+              else (doc_id * 7 + 3 * k) % {r} end as idx
+  from documents, generate_series(0, 3) t(k)),
+lab as (select doc_id, k,
+               case idx {lab_arms} end as lang,
+               case idx {byte_arms} end as nbytes
+        from lines),
+agg as (select doc_id, lang, sum(nbytes) as b from lab group by 1, 2),
+top3 as (select doc_id, lang from (
+           select doc_id, lang,
+                  row_number() over (partition by doc_id
+                                     order by b desc, lang) as rn
+           from agg)
+         where rn <= 3)
+select lang, count(*)::bigint as n from top3 group by lang"""
 
 
 def q_clean_text(spark, sf_dir) -> DataFrame:
@@ -1476,7 +1520,9 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"select 'single' as mode, lang, n_docs as n "
         f"from ({d['langid_demux']})\nunion all\n"
         f"select 'multi', lang, n_chunks "
-        f"from ({d.pop('multilang_demux')})")
+        f"from ({d.pop('multilang_demux')})\nunion all\n"
+        f"select 'multi_model', lang, n "
+        f"from ({_multilang_model_oracle()})")
     # empty/whitespace-only lines never enter the winners table (CCNet
     # dedups nonempty paragraphs) — left join, NULL n = always kept
     para_sql = f"""

@@ -274,6 +274,59 @@ def build_model_spans(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def reliable_heldout() -> list[tuple[str, str]]:
+    """(label, sentence) rows of the trained model's held-out set whose
+    generation-time label is RELIABLE — the shared basis of the
+    multilang-model fixture and its oracle (per-line labels are pinned,
+    so the oracle is closed-form; windowed rescue never fires because
+    every line is reliable on its own)."""
+    from ..functions._langid_model import HELDOUT
+    return [(lab, sent) for _true, sent, lab, rel in HELDOUT if rel]
+
+
+def build_multilang_model_spans(spark, sf_dir: str) -> DataFrame:
+    """Mixed-language corpus for the model-scored multilang path (r6):
+    each doc is FOUR lines (one <p> each), line k drawn from the
+    reliable held-out set at index ``(doc_id * 7 + 3 * k) % R`` — four
+    distinct languages per doc, except ``doc_id % 5 == 0`` repeats line
+    0's sentence at k=1 (adjacent same-label lines, exercising the
+    merge path in-driver).  Labels and byte counts are closed-form for
+    the oracle (_multilang_model_oracle)."""
+    rows = reliable_heldout()
+    r = len(rows)
+    line = " || ".join(
+        f"'<p>' || (case (nid * 7 + {3}*{k}) % {r} " + " ".join(
+            "when {} then '{}'".format(i, s.replace("'", "''"))
+            for i, (_lab, s) in enumerate(rows)) + " end) || '</p>'"
+        for k in range(4))
+    # the merge case: doc_id % 5 == 0 repeats line 0 at position 1
+    line0 = ("(case (nid * 7) % {r} ".format(r=r) + " ".join(
+        "when {} then '{}'".format(i, s.replace("'", "''"))
+        for i, (_lab, s) in enumerate(rows)) + " end)")
+    body = (f"case when nid % 5 = 0 then "
+            f"'<p>' || {line0} || '</p><p>' || {line0} || '</p>' || "
+            + " || ".join(
+                f"'<p>' || (case (nid * 7 + {3}*{k}) % {r} " + " ".join(
+                    "when {} then '{}'".format(i, s.replace("'", "''"))
+                    for i, (_lab, s) in enumerate(rows)) + " end) || '</p>'"
+                for k in (2, 3))
+            + f" else {line} end")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr("doc_id as nid").selectExpr(
+        "cast(nid as string) as doc_id",
+        "concat('https://ml', nid % 20, '.example/p', nid, '.html') as url",
+        "'response' as warc_type",
+        "'application/http; msgtype=response' as warc_ct",
+        "'200 OK' as http_status",
+        "'text/html; charset=utf-8' as http_ct",
+        "'' as content_enc",
+        "'' as transfer_enc",
+        "'2024-01-01T00:00:00Z' as warc_date",
+        f"array(named_struct('kind', 'text', 'text', {body}, "
+        f"'media_ref', '', 'offset', 0)) as spans",
+    )
+
+
 # constant Japanese body for the Shift_JIS-recovery corpus (kept in sync
 # with the oracle, which rebuilds the expected UTF-8 text from it)
 SJIS_SENTENCE = "これは日本語のページです。本文はかな漢字を含みます。"
