@@ -84,3 +84,39 @@ def test_encode_keeps_empty_documents(spark):
     assert out["2"].n_tokens == 0 and out["2"].n_subwords == 0
     assert out["3"].n_tokens == 0 and out["3"].n_subwords == 0
     assert out["1"].n_tokens == 2
+
+
+def test_vectorized_batch_encoder_matches_scalar_twins():
+    """bpe_encode_words (the r6 numpy batch encoder behind bpe_encode)
+    produces EXACTLY bpe_encode_word's segmentation for every word —
+    including doubled-symbol runs (the left-to-right parity case),
+    unknown characters, unicode, empties, and words that merge down to
+    a single symbol."""
+    import random
+
+    from warc2text_spark.operators.tokenizer import (CompiledBPE,
+                                                     bpe_encode_word,
+                                                     bpe_encode_words,
+                                                     bpe_train_local)
+    rng = random.Random(7)
+    corpus = {}
+    for _ in range(800):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 10)))
+        corpus[w] = corpus.get(w, 0) + rng.randint(1, 20)
+    merges = bpe_train_local(corpus, 300)
+    ranks = {p: i for i, p in enumerate(merges)}
+    comp = CompiledBPE(merges)
+    cases = (list(corpus)[:300]
+             + ["", "a", "aa", "aaa", "aaaa", "aaaaa", "ababab",
+                "zzzz", "héllo", "日本語", "𝔘ni", "xqx"]
+             + ["".join(rng.choice("abcdexzé") for _ in range(rng.randint(0, 12)))
+                for _ in range(800)])
+    counts, subs = bpe_encode_words(cases, comp, return_subwords=True)
+    for w, c, s in zip(cases, counts, subs):
+        ref = bpe_encode_word(w, ranks)
+        assert list(s) == ref, (w, list(s), ref)
+        assert c == len(ref)
+    # empty merge list: every word stays as characters
+    comp0 = CompiledBPE([])
+    c0, s0 = bpe_encode_words(["abc", ""], comp0, return_subwords=True)
+    assert list(c0) == [3, 0] and s0[0] == ["a", "b", "c</w>"]

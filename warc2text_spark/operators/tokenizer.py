@@ -196,26 +196,259 @@ def bpe_encode_word_sequential(word: str,
     return list(s)
 
 
+class CompiledBPE:
+    """Merge list compiled for the vectorized batch encoder (r6, VERDICT
+    r5 item 5): symbols interned to int ids, pairs to radix keys.
+
+    ``sym2id`` covers every string appearing in the merges (left, right,
+    merged); ``pair_left/right/rank/merged`` are parallel arrays the
+    batch kernel radix-keys per batch (the radix base must count the
+    batch's unknown symbols too, so keys are rebuilt per batch — an
+    O(#merges log #merges) numpy sort, microseconds against the per-word
+    work it replaces)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        import numpy as np
+        sym2id: dict[str, int] = {}
+
+        def intern(s: str) -> int:
+            i = sym2id.get(s)
+            if i is None:
+                i = len(sym2id)
+                sym2id[s] = i
+            return i
+
+        left, right, merged = [], [], []
+        for a, b in merges:
+            left.append(intern(a))
+            right.append(intern(b))
+            merged.append(intern(a + b))
+        self.sym2id = sym2id
+        self.id2sym = np.array(sorted(sym2id, key=sym2id.get),
+                               dtype=object)
+        self.pair_left = np.asarray(left, dtype=np.int64)
+        self.pair_right = np.asarray(right, dtype=np.int64)
+        self.pair_rank = np.arange(len(merges), dtype=np.int64)
+        self.pair_merged = np.asarray(merged, dtype=np.int64)
+
+
+def bpe_encode_words(words, compiled: CompiledBPE,
+                     return_subwords: bool = False):
+    """Vectorized rank-greedy BPE over a whole batch of words at once —
+    the interpreted per-word loop (:func:`bpe_encode_word`) replaced by
+    numpy passes over the concatenated symbol stream:
+
+    * all words become one (symbol-id, word-id) stream; per round, every
+      adjacent pair is radix-keyed and looked up via ``searchsorted``
+      (C), the per-word minimum rank comes from ``minimum.reduceat``
+      over the word boundaries, every occurrence of each word's best
+      pair merges simultaneously (left-to-right non-overlap within runs
+      by the parity rule — a run of equal selected pairs only happens
+      for doubled symbols, where the scalar loop merges positions
+      0, 2, 4 …), and the stream compacts.  Rounds are bounded by the
+      deepest word, not summed over words.
+
+    Returns ``counts`` (np.int64 subword count per word), plus the
+    subword lists when ``return_subwords`` (differential tests pin them
+    to the scalar twin).  Semantics are EXACTLY :func:`bpe_encode_word`
+    per word."""
+    import numpy as np
+    import pandas as pd
+
+    nw = len(words)
+    if nw == 0:
+        return (np.zeros(0, np.int64), []) if return_subwords \
+            else np.zeros(0, np.int64)
+    lens = np.fromiter(map(len, words), np.int64, nw)
+    ends = np.cumsum(lens) - 1
+    ne = ends[lens > 0]
+    wid = np.repeat(np.arange(nw, dtype=np.int64), lens)
+    # intern against the compiled table; batch-local ids for unknowns.
+    # The char stream is interned via UTF-32 codepoints (one C decode +
+    # np.unique + searchsorted — no object array, no factorize); only
+    # the per-word END-fused last symbols touch Python, once per word.
+    base = len(compiled.sym2id)
+    unknown_syms: list[str] = []
+    unk2id: dict[str, int] = {}
+
+    def intern_sym(s: str) -> int:
+        i = compiled.sym2id.get(s)
+        if i is None:
+            i = unk2id.get(s)
+            if i is None:
+                i = base + len(unknown_syms)
+                unk2id[s] = i
+                unknown_syms.append(s)
+        return i
+
+    concat = "".join(words)
+    cps = np.frombuffer(concat.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.int64)
+    uniq = np.unique(cps)
+    lut = np.fromiter((intern_sym(chr(cp)) for cp in uniq),
+                      np.int64, len(uniq))
+    ids = lut[np.searchsorted(uniq, cps)]
+    last_syms = pd.Series([w[-1] + END for w in words if w], dtype=object)
+    lcodes, luniq = pd.factorize(last_syms)
+    llut = np.fromiter((intern_sym(u) for u in luniq),
+                       np.int64, len(luniq))
+    ids[ne] = llut[lcodes]
+    n_unknown = len(unknown_syms)
+    big = base + n_unknown + 1
+    inf = np.iinfo(np.int64).max
+    # pair lookup: dense direct-address tables when the key space is
+    # small (rank/merged indexed by left*big+right — one fancy index,
+    # no log factor), sorted-key searchsorted otherwise (50k-merge
+    # vocabularies would need a multi-GB dense table)
+    dense = big * big <= (1 << 22)
+    if dense:
+        drank = np.full(big * big, inf, dtype=np.int64)
+        dmerged = np.full(big * big, -1, dtype=np.int64)
+        dk = compiled.pair_left * big + compiled.pair_right
+        # later (higher-rank) duplicates must not overwrite earlier
+        # ones; pair lists are unique by construction, plain scatter
+        drank[dk] = compiled.pair_rank
+        dmerged[dk] = compiled.pair_merged
+    else:
+        table_keys = compiled.pair_left * big + compiled.pair_right
+        order = np.argsort(table_keys, kind="stable")
+        tkeys = table_keys[order]
+        tranks = compiled.pair_rank[order]
+        tmerged = compiled.pair_merged[order]
+
+    def lookup(idx):
+        """(rank, merged) for the pairs at symbol indices ``idx``
+        (pair = (idx, idx+1)); inf/-1 on miss or word boundary."""
+        r = np.full(len(idx), inf, dtype=np.int64)
+        g = np.full(len(idx), -1, dtype=np.int64)
+        if not len(compiled.pair_rank) or not len(idx):
+            return r, g
+        ok = idx < ids.size - 1
+        ok[ok] = wid[idx[ok]] == wid[idx[ok] + 1]
+        ii = idx[ok]
+        keys = ids[ii] * big + ids[ii + 1]
+        if dense:
+            r[ok] = drank[keys]
+            g[ok] = dmerged[keys]
+            return r, g
+        pos = np.minimum(np.searchsorted(tkeys, keys), len(tkeys) - 1)
+        hit = tkeys[pos] == keys
+        rr = np.full(len(ii), inf, dtype=np.int64)
+        gg = np.full(len(ii), -1, dtype=np.int64)
+        rr[hit] = tranks[pos[hit]]
+        gg[hit] = tmerged[pos[hit]]
+        r[ok] = rr
+        g[ok] = gg
+        return r, g
+
+    # full lookup ONCE; afterwards only pairs adjacent to merge points
+    # are re-keyed — lookups total O(stream + 2 * merges), not
+    # O(stream * rounds).  Finished words RETIRE from the stream each
+    # round (their min rank can never change), so the per-round O(N)
+    # passes shrink with the active set, not the batch.
+    out_counts = np.zeros(nw, dtype=np.int64)
+    retired_ids: list = []
+    retired_wid: list = []
+    rank_ext, merged_ext = lookup(np.arange(ids.size, dtype=np.int64))
+    while ids.size:
+        starts = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+        counts = np.diff(np.r_[starts, ids.size])
+        wmin = np.minimum.reduceat(rank_ext, starts)
+        done = wmin == inf
+        if done.any():
+            dw = wid[starts[done]]
+            out_counts[dw] = counts[done]
+            sym_done = np.repeat(done, counts)
+            retired_ids.append(ids[sym_done])
+            retired_wid.append(wid[sym_done])
+            if done.all():
+                ids = ids[:0]
+                break
+            act = ~sym_done
+            ids = ids[act]
+            wid = wid[act]
+            rank_ext = rank_ext[act]
+            merged_ext = merged_ext[act]
+            # retiring whole words never splits a surviving word, and a
+            # surviving word's last pair slot stays a boundary (its
+            # next symbol belongs to a different word before AND after)
+            starts = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+            counts = np.diff(np.r_[starts, ids.size])
+            wmin = wmin[~done]
+        rep = np.repeat(wmin, counts)
+        sel = rank_ext == rep
+        # left-to-right non-overlap: keep parity-even offsets in each
+        # run of consecutive selected pairs.  Runs never span words
+        # (boundary pairs are never selected) and only happen for
+        # doubled symbols — rare, so the accumulate pass is gated on an
+        # actual adjacent selection existing.
+        if (sel[1:] & sel[:-1]).any():
+            c = np.arange(ids.size, dtype=np.int64)
+            lf = np.maximum.accumulate(np.where(sel, np.int64(-1), c))
+            sel &= ((c - (lf + 1)) % 2) == 0
+        m = np.flatnonzero(sel)
+        ids[m] = merged_ext[m]
+        mask = np.ones(ids.size, dtype=bool)
+        mask[m + 1] = False
+        ids = ids[mask]
+        wid = wid[mask]
+        rank_ext = rank_ext[mask]
+        merged_ext = merged_ext[mask]
+        # new index of each merged symbol: one deletion happened before
+        # the i-th merge point (selected pairs are >= 2 apart)
+        mp = m - np.arange(len(m), dtype=np.int64)
+        touch = np.unique(np.concatenate([mp - 1, mp]))
+        touch = touch[touch >= 0]
+        tr, tg = lookup(touch)
+        rank_ext[touch] = tr
+        merged_ext[touch] = tg
+    if ids.size:  # exhausted by merging down to single symbols
+        starts = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+        counts = np.diff(np.r_[starts, ids.size])
+        out_counts[wid[starts]] = counts
+        retired_ids.append(ids)
+        retired_wid.append(wid)
+    ids = np.concatenate(retired_ids) if retired_ids \
+        else np.zeros(0, np.int64)
+    wid = np.concatenate(retired_wid) if retired_wid \
+        else np.zeros(0, np.int64)
+    if not return_subwords:
+        return out_counts
+    all_syms = np.concatenate([compiled.id2sym,
+                               np.array(unknown_syms, dtype=object)]) \
+        if (len(compiled.id2sym) or unknown_syms) \
+        else np.zeros(0, dtype=object)
+    # retirement batches interleave words — regroup by word id (stable:
+    # within-word symbol order is preserved)
+    order2 = np.argsort(wid, kind="stable")
+    strs = all_syms[ids[order2]] if ids.size else np.zeros(0, dtype=object)
+    bounds = np.cumsum(out_counts)
+    subwords = [list(strs[s:e])
+                for s, e in zip(np.r_[0, bounds[:-1]], bounds)]
+    return out_counts, subwords
+
+
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document token count under the trained subword vocabulary:
     (id, n_tokens, n_subwords).  The merge loop runs once per distinct
-    TYPE (mapInPandas over the distinct-word frame); the corpus-sized
-    frames stay JVM-side (explode, equality join on the word, map-side
-    combined per-doc aggregate)."""
+    TYPE (mapInPandas over the distinct-word frame — the VECTORIZED
+    batch encoder since r6, ~10x the interpreted per-word loop on a
+    50k-type table, BENCH.md); the corpus-sized frames stay JVM-side
+    (explode, equality join on the word, map-side combined per-doc
+    aggregate)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    ranks = {p: i for i, p in enumerate(merges)}
+    compiled = CompiledBPE(merges)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({
-                "w": pdf["w"],
-                "n_sub": [len(bpe_encode_word(w, ranks))
-                          for w in pdf["w"]]})
+            counts = bpe_encode_words(list(pdf["w"]), compiled)
+            yield pd.DataFrame({"w": pdf["w"],
+                                "n_sub": counts.astype("int32")})
 
     toks = df.select(F.col(id_col).cast("string").alias(id_col),
                      F.explode(tokens(F.col(text_col))).alias("w")) \
