@@ -496,3 +496,82 @@ def test_kn_trigram_plan_is_native_broadcast(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR log importance weights vs a direct Python implementation of
+    the hashed-ngram ln-ratio model; docs resembling the target corpus
+    outrank dissimilar docs."""
+    import hashlib
+    import math
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the fast brown fox runs over the happy dog"),
+            (3, "completamente otro idioma y otras palabras aqui"),
+            (4, "zzz qqq vvv kkk www"),
+            (5, "")]
+    tgt_ids = {1}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id = 1")
+    from warc2text_spark.operators.selection import dsir_logweights
+    out = {r.doc_id: r for r in
+           dsir_logweights(docs, target, n_buckets=1000).collect()}
+
+    def bkt(ng):
+        return int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % 1000
+
+    def grams(t):
+        ws = t.split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    from collections import Counter
+    raw = Counter(bkt(g) for _, t in rows for g in grams(t))
+    tgt = Counter(bkt(g) for i, t in rows if i in tgt_ids
+                  for g in grams(t))
+    tr = sum(raw.values()) + 0.5 * 1000
+    tt = sum(tgt.values()) + 0.5 * 1000
+    for did, text in rows:
+        gs = grams(text)
+        if not gs:
+            assert out[did].n_grams == 0 and out[did].dsir_logw == 0.0
+            continue
+        w = sum(math.log((tgt.get(bkt(g), 0) + 0.5) / tt)
+                - math.log((raw.get(bkt(g), 0) + 0.5) / tr) for g in gs)
+        assert out[did].n_grams == len(gs)
+        assert abs(out[did].dsir_logw - round(w, 6)) < 1e-9, did
+    # target-like doc 2 outranks off-target 3 and gibberish 4 (per-gram,
+    # normalizing out length)
+    assert out[2].dsir_logw / out[2].n_grams \
+        > out[3].dsir_logw / out[3].n_grams
+    assert out[2].dsir_logw / out[2].n_grams \
+        > out[4].dsir_logw / out[4].n_grams
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """Gumbel-top-k resampling: deterministic across runs, exactly
+    ceil(frac*n) rows, independent draws under different salts, and the
+    scale path (two-phase rank) agrees with a single-pass window rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from warc2text_spark.operators.selection import (dsir_logweights,
+                                                     dsir_resample)
+    docs = spark.createDataFrame(
+        [(i, ("common words here " * (1 + i % 3)).strip()) for i in range(50)],
+        "doc_id long, text string")
+    w = dsir_logweights(docs, docs.filter("doc_id < 5"), n_buckets=100)
+    a = sorted(r.doc_id for r in dsir_resample(w, frac=0.2).collect())
+    b = sorted(r.doc_id for r in dsir_resample(w, frac=0.2).collect())
+    assert a == b and len(a) == 10
+    c = sorted(r.doc_id for r in dsir_resample(w, frac=0.2,
+                                               salt="g2").collect())
+    assert len(c) == 10 and c != a  # independent draw
+    # single-pass rank twin
+    v = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.lit("g1"))), 1, 8),
+        16, 10).cast("long")
+    u = (v + 1) / F.lit(4294967297.0)
+    key = -(F.col("dsir_logw") + -F.log(-F.log(u)))
+    win = Window.orderBy(key, "doc_id")
+    ref = sorted(r.doc_id for r in
+                 w.withColumn("_rn", F.row_number().over(win))
+                 .filter(F.col("_rn") <= 10).collect())
+    assert a == ref

@@ -478,6 +478,109 @@ def kn_trigram_surprisal(docs: DataFrame, text_col: str = "text",
                     .alias("surprisal3")))
 
 
+def _md5_bucket(col, k: int):
+    """Engine-portable hash bucket: leading 32 md5 bits mod ``k`` (the
+    sample_stratified trick — Spark and DuckDB agree bit-for-bit)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % k)
+
+
+def _dsir_buckets(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int) -> DataFrame:
+    """(id, bkt) — one row per hashed n-gram INSTANCE (unigrams +
+    bigrams, the DSIR feature set), bucketed portably."""
+    toks = _tokens(text_col)
+    grams = F.concat(toks, ngram_col(toks, 2))
+    return (df.select(F.col(id_col), F.explode(grams).alias("ng"))
+            .select(id_col, _md5_bucket(F.col("ng"), n_buckets)
+                    .alias("bkt")))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 10_000,
+                    alpha: float = 0.5) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, NeurIPS): score every raw document by how much more likely
+    its hashed n-gram features are under a TARGET distribution (the
+    high-quality corpus you want more of) than under the raw corpus
+    itself.  Features are unigram+bigram instances hashed to
+    ``n_buckets``; both distributions are add-``alpha`` smoothed bucket
+    multinomials; the per-document log importance weight is
+
+        log w(x) = sum over gram instances b of
+                   [ln p_target(b) - ln p_raw(b)]
+
+    Returns (id, n_grams, dsir_logw) for EVERY doc (empty docs score
+    0.0 with n_grams 0 — the no-NULLs sentinel rule).
+
+    Scale (the surprisal head-table design): two bounded aggregates
+    down to ``n_buckets`` rows each, collected; the scoring pass
+    explodes gram instances JVM-side (md5 in codegen), broadcast-joins
+    one tiny (bucket, lambda) table, and reduces map-side to one row
+    per document — no Python crossing, documents never shuffle."""
+    raw_rows = (_dsir_buckets(docs, text_col, id_col, n_buckets)
+                .groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    tgt_rows = (_dsir_buckets(target, text_col, id_col, n_buckets)
+                .groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    raw_c = {r["bkt"]: r["c"] for r in raw_rows}
+    tgt_c = {r["bkt"]: r["c"] for r in tgt_rows}
+    t_raw = sum(raw_c.values()) + alpha * n_buckets
+    t_tgt = sum(tgt_c.values()) + alpha * n_buckets
+    lam0 = math.log(alpha / t_tgt) - math.log(alpha / t_raw)
+    lam_rows = [
+        (b, math.log((tgt_c.get(b, 0) + alpha) / t_tgt)
+         - math.log((raw_c.get(b, 0) + alpha) / t_raw))
+        for b in sorted(set(raw_c) | set(tgt_c))]
+    spark = docs.sparkSession
+    lam = (spark.createDataFrame(lam_rows, "bkt long, lam double")
+           if lam_rows else spark.createDataFrame([], "bkt long, lam double"))
+    per_doc = (_dsir_buckets(docs, text_col, id_col, n_buckets)
+               .join(F.broadcast(lam), "bkt", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                    F.round(F.sum(F.coalesce(F.col("lam"),
+                                             F.lit(lam0))), 6)
+                    .alias("dsir_logw")))
+    ids = docs.select(id_col)
+    return (ids.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("dsir_logw", F.lit(0.0))
+                    .alias("dsir_logw")))
+
+
+def dsir_resample(weights: DataFrame, frac: float = 0.2,
+                  id_col: str = "doc_id", salt: str = "g1",
+                  cells_per_nat: int = 8) -> DataFrame:
+    """The resampling half of DSIR: draw ``frac`` of the corpus WITHOUT
+    replacement, proportionally to the importance weights, via the
+    Gumbel-top-k trick — key(x) = log w(x) + Gumbel(0,1), take the k
+    largest.  The Gumbel draw is deterministic (md5-derived uniform in
+    (0,1), reproducible across runs/engines; change ``salt`` for an
+    independent draw).
+
+    Scale: the top-k is ranked by the ccnet_buckets two-phase prefix
+    count over key-grid cells — no global single-task sort; the total
+    count comes from the tiny per-cell counts frame, not another
+    corpus pass."""
+    v = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(salt))), 1, 8), 16, 10).cast("long")
+    u = (v + 1) / F.lit(4294967297.0)
+    key = -(F.col("dsir_logw") + -F.log(-F.log(u)))
+    scored = weights.withColumn("_key", key).withColumn(
+        "_cell", F.floor(F.col("_key") * cells_per_nat).cast("long"))
+    ranked, counts = _two_phase_rank(scored, "_cell", ["_key", id_col])
+    total = counts.agg(F.sum("_cn").alias("n"))
+    k = F.ceil(F.lit(float(frac)) * F.col("n")).cast("long")
+    return (ranked.crossJoin(F.broadcast(total.select(k.alias("_k"))))
+            .filter(F.col("_rank") <= F.col("_k"))
+            .select(id_col, "n_grams", "dsir_logw"))
+
+
 def sample_stratified(df: DataFrame, strata_col: str, pct: int,
                       key_col: str = "doc_id",
                       salt: str = "s4") -> DataFrame:

@@ -1150,22 +1150,88 @@ _DECONTAM_SQL = r"""
     select d.doc_id from documents d
     anti join bad b on d.doc_id = b.doc_id"""
 
+# DSIR twin (selection.py dsir_logweights/dsir_resample): hashed
+# unigram+bigram instances -> md5 32-bit buckets mod 10000 (the
+# engine-portable trick), add-0.5-smoothed bucket multinomials for raw
+# corpus vs target (doc_id % 50 = 0), per-doc sum of ln-ratio lambdas;
+# the sample leg adds deterministic Gumbel noise from the same md5
+# uniform and takes the top ceil(0.2 * n) by key (expression trees
+# mirror the Spark side token-for-token)
+_DSIR_SQL = r"""
+    with toks as (select doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> x <> '') as t from documents),
+    g as (select doc_id,
+            unnest(t || list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) as ng
+          from toks),
+    b as (select doc_id,
+            ('0x' || substr(md5(ng), 1, 8))::bigint % 10000 as bkt
+          from g),
+    rawc as (select bkt, count(*) as c from b group by bkt),
+    tgtc as (select bkt, count(*) as c from b
+             where doc_id % 50 = 0 group by bkt),
+    tot as (select
+            (select coalesce(sum(c), 0) from rawc) + 0.5 * 10000 as tr,
+            (select coalesce(sum(c), 0) from tgtc) + 0.5 * 10000 as tt),
+    lam as (select coalesce(r.bkt, t.bkt) as bkt,
+                   ln((coalesce(t.c, 0) + 0.5) / (select tt from tot))
+                   - ln((coalesce(r.c, 0) + 0.5) / (select tr from tot))
+                       as lam
+            from rawc r full join tgtc t on r.bkt = t.bkt),
+    w0 as (select b.doc_id, count(*)::bigint as n_grams,
+                  round(sum(l.lam), 6) as dsir_logw
+           from b join lam l using (bkt) group by b.doc_id),
+    w as (select d.doc_id, coalesce(w0.n_grams, 0)::bigint as n_grams,
+                 coalesce(w0.dsir_logw, 0.0) as dsir_logw
+          from documents d left join w0 on d.doc_id = w0.doc_id)"""
+
+_DSIR_SAMPLE_TAIL = r"""
+    gum as (select doc_id, n_grams, dsir_logw,
+                   -(dsir_logw + -ln(-ln(
+                       (('0x' || substr(md5(doc_id || ':g1'), 1, 8))::bigint
+                        + 1) / 4294967297.0))) as key
+            from w),
+    sel as (select doc_id, n_grams, dsir_logw
+            from (select gum.*,
+                         row_number() over (order by key, doc_id) as rn,
+                         count(*) over () as n
+                  from gum)
+            where rn <= ceil(0.2 * n))"""
+
 
 def q_decontam(spark, sf_dir) -> DataFrame:
-    """Benchmark decontamination: docs sharing an 8-gram with the held-out
-    set (doc_id % 50 == 0 plays the benchmark) are dropped.  Both join
-    routes ride this row: 'auto' (AQE-decided — broadcasts when the
-    benchmark set is genuinely small) and 'bucketed' (forced sort-merge,
-    the fallback for benchmark suites too large to broadcast) must
-    produce identical survivor sets."""
-    from ..operators.selection import decontaminate
+    """Benchmark-set selection family in one driver row, (variant,
+    doc_id, score):
+
+    * 'auto' / 'bucketed' — decontamination: docs sharing an 8-gram
+      with the held-out set (doc_id % 50 == 0 plays the benchmark) are
+      dropped; AQE-decided vs forced sort-merge build routes must
+      produce identical survivor sets (score is the -1.0 sentinel).
+    * 'dsir' — DSIR importance weights (Xie et al. 2023): every doc's
+      hashed-n-gram log importance weight against the same held-out set
+      playing the TARGET distribution (score = dsir_logw, value-checked
+      for the full corpus).
+    * 'dsir_sample' — the Gumbel-top-k resampling of the top 20% by
+      weight + deterministic Gumbel noise (membership AND weights
+      checked)."""
+    from ..operators.selection import (decontaminate, dsir_logweights,
+                                       dsir_resample)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     auto = decontaminate(docs, bench).select(
-        F.lit("auto").alias("variant"), "doc_id")
+        F.lit("auto").alias("variant"), "doc_id",
+        F.lit(-1.0).alias("score"))
     bucketed = decontaminate(docs, bench, build_hint="merge").select(
-        F.lit("bucketed").alias("variant"), "doc_id")
-    return auto.unionByName(bucketed)
+        F.lit("bucketed").alias("variant"), "doc_id",
+        F.lit(-1.0).alias("score"))
+    w = dsir_logweights(docs, bench)
+    dsir = w.select(F.lit("dsir").alias("variant"), "doc_id",
+                    F.col("dsir_logw").alias("score"))
+    samp = dsir_resample(w, frac=0.2).select(
+        F.lit("dsir_sample").alias("variant"), "doc_id",
+        F.col("dsir_logw").alias("score"))
+    return auto.unionByName(bucketed).unionByName(dsir).unionByName(samp)
 
 
 def q_surprisal(spark, sf_dir) -> DataFrame:
@@ -1903,9 +1969,17 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         "compat_layout": _compat_layout_oracle(),
         "decontam": (
-            f"select 'auto' as variant, doc_id from ({_DECONTAM_SQL})\n"
+            f"select 'auto' as variant, doc_id, -1.0 as score "
+            f"from ({_DECONTAM_SQL})\n"
             f"union all\n"
-            f"select 'bucketed', doc_id from ({_DECONTAM_SQL})"),
+            f"select 'bucketed', doc_id, -1.0 from ({_DECONTAM_SQL})\n"
+            f"union all\n"
+            f"select 'dsir', doc_id, dsir_logw "
+            f"from ({_DSIR_SQL}\nselect * from w)\n"
+            f"union all\n"
+            f"select 'dsir_sample', doc_id, dsir_logw "
+            f"from ({_DSIR_SQL},\n{_DSIR_SAMPLE_TAIL}\n"
+            f"select * from sel)"),
         "surprisal": r"""
             with toks as (select doc_id,
                     list_filter(string_split_regex(text, '\s+'),
