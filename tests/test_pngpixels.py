@@ -185,3 +185,27 @@ def test_resize_stub_real_png_path():
     # non-PNG keeps the fake twin and the sentinel
     fake = _decode_image_stub(b"IMG42")
     assert fake["px_mean"] == -1.0
+
+def test_resize_palette_png_dereferences_colors():
+    """Review r6: resizing a palette (color type 3) PNG must dereference
+    the palette to RGB first — re-encoding the index plane as grayscale
+    scrambles colors."""
+    import struct
+    import zlib as _z
+
+    from warc2text_spark.operators.multimodal import _resize_image_stub
+
+    h, w = 8, 6
+    idx = (np.arange(h * w, dtype=np.uint8) % 3).reshape(h, w, 1)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", plte) + _chunk(b"IDAT", _z.compress(raw))
+           + _chunk(b"IEND", b""))
+    out = _resize_image_stub(png, 4)
+    arr, pal = decode_png(out)
+    assert pal is None and arr.shape[2] == 3  # RGB now, not indices
+    # every output pixel is one of the three palette colors
+    colors = {tuple(px) for row in arr for px in row}
+    assert colors <= {(255, 0, 0), (0, 255, 0), (0, 0, 255)}

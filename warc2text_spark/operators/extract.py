@@ -502,7 +502,7 @@ def make_fast_kernel(opts: ExtractOptions):
     return kernel
 
 
-def _fast_lane_rebuild(raw: DataFrame, classifier, ddl: str) -> DataFrame:
+def _fast_lane_rebuild(raw: DataFrame, classifier) -> DataFrame:
     """Native spans/langs reconstruction for the flat lane: one array of
     one struct built in whole-stage codegen from the plaintext column —
     the nested structures never exist on the Python side."""
@@ -566,7 +566,7 @@ def run_extract(df: DataFrame, opts: ExtractOptions | None = None,
     if opts.classifier:
         fast_ddl += ", lang string"
     fast_raw = fast_in.mapInArrow(make_fast_kernel(opts), fast_ddl)
-    fast_out = _fast_lane_rebuild(fast_raw, opts.classifier, ddl)
+    fast_out = _fast_lane_rebuild(fast_raw, opts.classifier)
     slow_out = projected.filter(~cond).mapInArrow(
         make_extract_kernel(opts), ddl)
     return slow_out.unionByName(fast_out)

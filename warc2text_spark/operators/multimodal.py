@@ -18,6 +18,7 @@ from __future__ import annotations
 import base64
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -198,7 +199,14 @@ def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
                                            resize_nearest)
         decoded = decode_png(payload)
         if decoded is not None:
-            arr, _palette = decoded
+            arr, palette = decoded
+            if palette is not None:
+                # palette image: dereference to RGB before resampling —
+                # re-encoding the raw index plane as grayscale would
+                # scramble the colors (review r6 finding)
+                idx = arr[:, :, 0]
+                arr = palette[np.minimum(idx, len(palette) - 1)] \
+                    if len(palette) else arr
             return encode_png(resize_nearest(arr, max_dim))
     target = min(len(payload), max_dim * 4) or 1
     return (payload * ((target // max(len(payload), 1)) + 1))[:target]
