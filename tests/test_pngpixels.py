@@ -209,3 +209,51 @@ def test_resize_palette_png_dereferences_colors():
     # every output pixel is one of the three palette colors
     colors = {tuple(px) for row in arr for px in row}
     assert colors <= {(255, 0, 0), (0, 255, 0), (0, 0, 255)}
+
+
+def test_wav_parse_roundtrip_and_malformed():
+    """Real WAV PCM decode (functions/wavaudio.py): encode/parse
+    round-trip for 8- and 16-bit, exact byte-size law, chunk-walk
+    tolerance (extra chunks, odd-length padding), and the never-raise
+    malformed contract."""
+    from warc2text_spark.functions.wavaudio import encode_wav, parse_wav
+    import struct
+
+    s8 = ((np.arange(500) * 7) % 256).astype(np.uint8)
+    wav = encode_wav(s8, sample_rate=8000)
+    assert len(wav) == 44 + 500
+    p = parse_wav(wav)
+    assert p["sample_rate"] == 8000 and p["channels"] == 1
+    assert p["bits"] == 8 and p["n_samples"] == 500
+    assert p["mean"] == float(s8.astype(np.float64).mean())
+    s16 = ((np.arange(300) * 97) % 65536 - 32768).astype(np.int16)
+    p16 = parse_wav(encode_wav(s16, sample_rate=44100))
+    assert p16["bits"] == 16 and p16["n_samples"] == 300
+    assert p16["mean"] == float(s16.astype(np.float64).mean())
+    # extra LIST chunk before fmt, odd-length chunk padding
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    tolerant = wav[:12] + extra + wav[12:]
+    tolerant = tolerant[:4] + struct.pack(
+        "<I", len(tolerant) - 8) + tolerant[8:]
+    assert parse_wav(tolerant)["n_samples"] == 500
+    # malformed: never raises, returns None
+    for bad in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                wav[:20], wav.replace(b"data", b"datx"),
+                wav.replace(b"fmt ", b"fmtx"),
+                encode_wav(s8)[:44],   # header, no samples
+                b"RIFFxxxxAVI LIST"):
+        assert parse_wav(bad) is None
+    # unsupported: float PCM (format 3)
+    f32 = bytearray(wav)
+    f32[20:22] = struct.pack("<H", 3)
+    assert parse_wav(bytes(f32)) is None
+
+
+def test_decode_stub_wav_feature():
+    from warc2text_spark.functions.wavaudio import encode_wav
+    from warc2text_spark.operators.multimodal import _decode_image_stub
+    s = ((np.arange(100) + 42) % 256).astype(np.uint8)
+    f = _decode_image_stub(bytes(encode_wav(s)))
+    assert f["media_type"] == "audio/wav"
+    assert f["width"] == 0 and f["height"] == 0
+    assert f["px_mean"] == round(float(s.astype(np.float64).mean()), 4)

@@ -131,6 +131,15 @@ def _decode_image_stub(payload: bytes) -> dict:
             if decoded is not None:
                 arr, _palette = decoded
                 px_mean = round(float(arr.mean()), 4)
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        # real audio decode (r6): struct-only RIFF/PCM walk; px_mean
+        # doubles as the modality's mean-level feature (mean raw PCM
+        # sample value); image dims are 0 for audio
+        from ..functions.wavaudio import parse_wav
+        wav = parse_wav(payload)
+        w = h = 0
+        if wav is not None:
+            px_mean = round(wav["mean"], 4)
     else:  # deterministic fake twin (fixture payloads, unknown formats)
         w = 1 + payload[0] % 64 if payload else 0
         h = 1 + payload[-1] % 64 if payload else 0

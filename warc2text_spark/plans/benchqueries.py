@@ -1720,22 +1720,28 @@ def _merge_registry_oracles(d: dict) -> dict:
                      case v when 0 then 63 + h * (1 + w)
                                  + 5 * ((h * (1 + w) + 65534) // 65535)
                           when 1 then 14 + nf * (22 + sb - 1)
-                          when 2 then 15
+                          when 2 then case when id % 10 = 7
+                                           then 44 + (200 + id % 300)
+                                           else 15 end
                           when 3 then 3 + strlen(doc_id)
                           else 308 + strlen(doc_id)
                      end as n
               from s1),
         m as (select doc_id, id, 1 as "offset", v, nf, sb,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
-                            when 2 then 'image/jpeg'
+                            when 2 then (case when id % 10 = 7
+                                         then 'audio/wav'
+                                         else 'image/jpeg' end)
                             when 3 then 'x-test/fake'
                             else 'application/pdf' end as media_type,
-                     case when v = 3 then 10 when v = 4 then 38
+                     case when v = 2 and id % 10 = 7 then 0
+                          when v = 3 then 10 when v = 4 then 38
                           else w end::int as width,
-                     case when v = 3 then (49 + id % 10) when v = 4 then 7
+                     case when v = 2 and id % 10 = 7 then 0
+                          when v = 3 then (49 + id % 10) when v = 4 then 7
                           else h end::int as height,
                      n::bigint as n_bytes,
-                     coalesce(pm.px_mean, -1.0) as px_mean,
+                     coalesce(pm.px_mean, wm.px_mean, -1.0) as px_mean,
                      case when v = 0
                           then 63 + h2 * (1 + w2)
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
@@ -1748,7 +1754,15 @@ def _merge_registry_oracles(d: dict) -> dict:
                          from s1 s2, generate_series(0, 479) t(y)
                          where s2.v = 0 and t.y < s2.h
                          group by s2.id) pm
-                on s.v = 0 and s.id = pm.pid)
+                on s.v = 0 and s.id = pm.pid
+              left join (select s3.id as wid,
+                                round(avg((s3.id + t.y) % 256), 4)
+                                    as px_mean
+                         from s1 s3, generate_series(0, 499) t(y)
+                         where s3.v = 2 and s3.id % 10 = 7
+                           and t.y < 200 + s3.id % 300
+                         group by s3.id) wm
+                on s.v = 2 and s.id % 10 = 7 and s.id = wm.wid)
         select doc_id, "offset", media_type, width, height,
                n_bytes, px_mean, resized_bytes,
                case when v = 4 then 'Hello doc ' || id || chr(10)

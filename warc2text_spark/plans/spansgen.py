@@ -477,6 +477,15 @@ def _png_header(w: int, h: int) -> bytes:
             + b"\x00\x00\x00\x00")  # CRC not validated by the parser
 
 
+def _wav_striped(n: int, seed: int) -> bytes:
+    """Complete real 8-bit PCM mono WAV, sample ``i`` = ``(seed+i) % 256``:
+    mean and byte size (44 + n) are closed-form for the oracle."""
+    import numpy as np
+
+    from ..functions.wavaudio import encode_wav
+    return encode_wav(((seed + np.arange(n)) % 256).astype(np.uint8))
+
+
 def _png_striped(w: int, h: int, seed: int) -> bytes:
     """Complete real grayscale PNG, row ``y`` = ``(seed + y) % 256``:
     pixel mean is closed-form (avg over y) and the level-0 encoder makes
@@ -527,7 +536,10 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
     size are both closed-form: exercises the full pngpixels
     decode/unfilter/resize/re-encode path) / ANIMATED GIF (real frame
     blocks: 1 + doc_id % 3 frames, sub-block size 1 + doc_id % 7 —
-    exercises the gif_frames walker) / JPEG minimal header, all with
+    exercises the gif_frames walker) / JPEG minimal header OR (doc_id %
+    10 == 7) a COMPLETE real 8-bit PCM WAV (striped samples, real audio
+    decode via functions/wavaudio.py — mean and 44+n byte size
+    closed-form), all with
     width = 1 + doc_id % 640 and height = 1 + doc_id % 480 (closed-form
     for the oracle); the deterministic 'IMG'||doc_id fake as the
     stub-twin case; and a real single-page PDF carrying 'Hello doc <id>'
@@ -556,7 +568,14 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                 elif v == 1:
                     body = _gif_animated(w, h, 1 + n % 3, 1 + n % 7)
                 elif v == 2:
-                    body = _jpeg_header(w, h)
+                    # the % 5 == 2 class splits by % 10: real JPEG header
+                    # vs a complete real 8-bit PCM WAV (striped samples
+                    # (doc_id + i) % 256 — mean and byte size closed-form,
+                    # functions/wavaudio.py)
+                    if n % 10 == 7:
+                        body = _wav_striped(200 + n % 300, n)
+                    else:
+                        body = _jpeg_header(w, h)
                 elif v == 3:
                     body = f"IMG{doc_id}".encode()
                 else:
