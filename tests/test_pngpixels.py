@@ -257,3 +257,66 @@ def test_decode_stub_wav_feature():
     assert f["media_type"] == "audio/wav"
     assert f["width"] == 0 and f["height"] == 0
     assert f["px_mean"] == round(float(s.astype(np.float64).mean()), 4)
+
+
+def test_gif_lzw_codec():
+    """GIF LZW decoder (functions/giflzw.py): literal-encode round trip
+    at several code sizes, a REAL compressed stream with dictionary
+    growth + the KwKwK case (hand-built codes), width-bump behavior,
+    and the never-raise malformed contract."""
+    from warc2text_spark.functions.giflzw import (lzw_decode,
+                                                  lzw_literal_encode)
+    rng = np.random.default_rng(3)
+    for m in (2, 4, 7):
+        for n in (0, 1, 5, (1 << m) - 2, 200, 500):
+            idx = bytes(rng.integers(0, 1 << m, size=n, dtype=np.uint8))
+            assert lzw_decode(lzw_literal_encode(idx, m), m) == idx, (m, n)
+    # hand-built compressed stream, min code size 2 (clear=4, end=5):
+    # codes [4, 1, 6, 1, 5] -> "1" then KwKwK code 6 = "11" then "1"
+    def pack(codes, m):
+        width = m + 1
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    assert lzw_decode(pack([4, 1, 6, 1, 5], 2), 2) == b"\x01\x01\x01\x01"
+    # dictionary reuse: [clear, 0, 1, 6, 5] -> "0", "1", then code 6 =
+    # "01" (the first dynamic entry)
+    assert lzw_decode(pack([4, 0, 1, 6, 5], 2), 2) == b"\x00\x01\x00\x01"
+    # out-of-range dynamic code -> corrupt -> None
+    assert lzw_decode(pack([4, 1, 7, 5], 2), 2) is None
+    # truncated stream returns the decoded prefix, never raises
+    enc = lzw_literal_encode(b"\x01\x02\x03" * 50, 7)
+    assert lzw_decode(enc[:10], 7) is not None
+    for _ in range(100):
+        blob = bytes(rng.integers(0, 256, size=rng.integers(0, 60)))
+        lzw_decode(blob, int(rng.integers(1, 12)))  # never raises
+
+
+def test_gif_real_fixture_pixels_and_first_frame():
+    from warc2text_spark.operators.multimodal import (_decode_image_stub,
+                                                      gif_first_frame_pixels)
+    from warc2text_spark.plans.spansgen import _gif_animated, _gif_real
+    g = _gif_real(640, 480, 3, 123)
+    rgb = gif_first_frame_pixels(g)
+    npx = 10 * (1 + 123 % 8)
+    assert rgb.shape == (npx // 10, 10, 3)
+    expect = np.array([(123 + j) % 128 for j in range(npx)])
+    assert (rgb[:, :, 0].reshape(-1) == expect).all()
+    assert (rgb[:, :, 1] == rgb[:, :, 0]).all()  # gray palette
+    f = _decode_image_stub(g)
+    assert f["px_mean"] == round(float(expect.mean()), 4)
+    # the structural fake-LZW twin still parses as frames but yields no
+    # pixels -> sentinel (honest fallback)
+    fake = _gif_animated(20, 10, 2, 3)
+    assert gif_first_frame_pixels(fake) is None
+    assert _decode_image_stub(fake)["px_mean"] == -1.0

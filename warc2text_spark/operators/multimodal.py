@@ -6,11 +6,14 @@ real and tested.  Image dimensions come from real dependency-free header
 parsing for PNG/GIF/JPEG (``parse_image_header`` — struct on magic
 bytes); PNG additionally gets REAL pixel decode / feature extraction /
 nearest-neighbor resize + re-encode (``functions/pngpixels.py``, stdlib
-zlib + numpy, r6) and GIF gets the real frame-structure walker
-(``gif_frames``).  JPEG/GIF *pixel* work is still stubbed behind
-clearly-marked hooks with deterministic fakes because no image/audio
-libraries exist in this environment — a deployment drops Pillow/ffmpeg
-into ``_decode_image_stub`` / ``_resize_image_stub``.
+zlib + numpy, r6), GIF gets the real frame-structure walker
+(``gif_frames``) plus real frame PIXELS via the full LZW decompressor
+(``gif_first_frame_pixels`` / ``functions/giflzw.py``, r6), and WAV
+audio gets real PCM decode (``functions/wavaudio.py``, r6).  JPEG
+*pixel* work is the remaining stub behind clearly-marked hooks with
+deterministic fakes because no image libraries exist in this
+environment — a deployment drops Pillow/ffmpeg into
+``_decode_image_stub`` / ``_resize_image_stub``.
 """
 
 from __future__ import annotations
@@ -112,15 +115,17 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
 
 def _decode_image_stub(payload: bytes) -> dict:
     """Decode hook: REAL pixel decode for PNG (functions/pngpixels.py —
-    stdlib-zlib inflate + per-scanline unfilter, r6), real header
-    parsing for PNG/GIF/JPEG (parse_image_header — struct on magic
-    bytes, dependency-free); the deterministic fake twin covers every
-    other payload so the full Spark plumbing (Arrow batches, schema,
-    partitioning) stays exercised and oracle-checkable.  ``px_mean`` is
-    the mean sample value over the decoded plane (real pixels), or the
-    -1.0 sentinel when no pixel decode exists for the format (JPEG/GIF
-    pixels still need Pillow/ffmpeg; the no-NULLs driver rule).
-    """
+    stdlib-zlib inflate + per-scanline unfilter, r6), REAL first-frame
+    pixel decode for GIF (gif_first_frame_pixels — full LZW, r6), REAL
+    PCM decode for WAV audio (functions/wavaudio.py, r6), and real
+    header parsing for PNG/GIF/JPEG (parse_image_header — struct on
+    magic bytes, dependency-free); the deterministic fake twin covers
+    every other payload so the full Spark plumbing (Arrow batches,
+    schema, partitioning) stays exercised and oracle-checkable.
+    ``px_mean`` is the mean decoded sample value (RGB pixels for
+    images, raw PCM level for audio), or the -1.0 sentinel when no
+    pixel decode exists for the format (JPEG pixels still need Pillow;
+    the no-NULLs driver rule)."""
     px_mean = -1.0
     dims = parse_image_header(payload)
     if dims is not None:
@@ -131,6 +136,10 @@ def _decode_image_stub(payload: bytes) -> dict:
             if decoded is not None:
                 arr, _palette = decoded
                 px_mean = round(float(arr.mean()), 4)
+        elif payload.startswith((b"GIF87a", b"GIF89a")):
+            rgb = gif_first_frame_pixels(payload)
+            if rgb is not None:
+                px_mean = round(float(rgb.astype(np.float64).mean()), 4)
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         # real audio decode (r6): struct-only RIFF/PCM walk; px_mean
         # doubles as the modality's mean-level feature (mean raw PCM
@@ -314,6 +323,62 @@ def gif_frames(payload: bytes) -> list[bytes]:
         return frames
     except Exception:
         return []
+
+
+def gif_first_frame_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB pixels of the FIRST frame, or None — real GIF
+    decode (r6): global/local color table + the full LZW decompressor
+    (functions/giflzw.py).  Interlaced frames and streams whose LZW data
+    doesn't cover the frame return None (honest edges); never raises."""
+    try:
+        import struct
+
+        from ..functions.giflzw import lzw_decode
+        if not payload.startswith((b"GIF87a", b"GIF89a")) \
+                or len(payload) < 13:
+            return None
+        flags = payload[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 3 * (1 << ((flags & 0x07) + 1))
+            gct = payload[pos:pos + n]
+            pos += n
+        frames = gif_frames(payload)
+        if not frames:
+            return None
+        f = frames[0]
+        _x, _y, w, h = struct.unpack("<HHHH", f[1:9])
+        dflags = f[9]
+        if dflags & 0x40 or w == 0 or h == 0:
+            return None  # interlaced: unsupported edge
+        p = 10
+        pal = gct
+        if dflags & 0x80:
+            n = 3 * (1 << ((dflags & 0x07) + 1))
+            pal = f[p:p + n]
+            p += n
+        if not pal:
+            return None
+        min_code = f[p]
+        p += 1
+        chunks = []
+        while p < len(f):
+            ln = f[p]
+            p += 1
+            if ln == 0:
+                break
+            chunks.append(f[p:p + ln])
+            p += ln
+        idx = lzw_decode(b"".join(chunks), min_code)
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.frombuffer(idx[:w * h], dtype=np.uint8).reshape(h, w)
+        palette = np.frombuffer(pal[:(len(pal) // 3) * 3],
+                                dtype=np.uint8).reshape(-1, 3)
+        return palette[np.minimum(arr, len(palette) - 1)]
+    except Exception:
+        return None
 
 
 FRAME_SCHEMA = ("doc_id string, offset int, frame_idx int, frame binary")

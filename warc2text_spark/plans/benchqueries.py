@@ -1688,9 +1688,12 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"        from wf)\n"
         f"  select pair, sum(wc)::bigint as n from p\n"
         f"  group by pair order by n desc, pair limit 50)")
-    # GIF (v=1) is a real animated stream: nf = 1 + id%3 frames of
-    # sub-block size sb = 1 + id%7; the frames leg emits one row per
-    # REAL frame (slice = 13 + sb bytes), other variants keep the
+    # GIF (v=1) is a FULLY REAL animated stream since r6: 128-gray GCT,
+    # nf = 1 + id%3 frames of 10 x (1 + id%8) DECODABLE pixels
+    # (LZW literal coding, giflzw.py; pixel j of frame f =
+    # (id + f + j) % 128) — frame slice = npx + 15 bytes, total =
+    # 398 + nf*(npx + 23), first-frame mean = avg((id + y) % 128); the
+    # frames leg emits one row per real frame, other variants keep the
     # 3-slice synthetic twin.  PDF (v=4) is a real single-page document:
     # uncompressed content stream, byte length 308 + digits(id), text
     # recovered by the ISO-32000 text-showing subset; fake-twin dims
@@ -1705,7 +1708,8 @@ def _merge_registry_oracles(d: dict) -> dict:
     d["media_pipeline"] = """
         with s0 as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                            doc_id % 5 as v,
-                           1 + doc_id % 3 as nf, 1 + doc_id % 7 as sb,
+                           1 + doc_id % 3 as nf,
+                           10 * (1 + doc_id % 8) as npx,
                            1 + doc_id % 640 as w, 1 + doc_id % 480 as h
                     from documents),
         s1 as (select *,
@@ -1719,7 +1723,7 @@ def _merge_registry_oracles(d: dict) -> dict:
         s as (select *,
                      case v when 0 then 63 + h * (1 + w)
                                  + 5 * ((h * (1 + w) + 65534) // 65535)
-                          when 1 then 14 + nf * (22 + sb - 1)
+                          when 1 then 398 + nf * (npx + 23)
                           when 2 then case when id % 10 = 7
                                            then 44 + (200 + id % 300)
                                            else 15 end
@@ -1727,7 +1731,7 @@ def _merge_registry_oracles(d: dict) -> dict:
                           else 308 + strlen(doc_id)
                      end as n
               from s1),
-        m as (select doc_id, id, 1 as "offset", v, nf, sb,
+        m as (select doc_id, id, 1 as "offset", v, nf, npx,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
                             when 2 then (case when id % 10 = 7
                                          then 'audio/wav'
@@ -1741,7 +1745,8 @@ def _merge_registry_oracles(d: dict) -> dict:
                           when v = 3 then (49 + id % 10) when v = 4 then 7
                           else h end::int as height,
                      n::bigint as n_bytes,
-                     coalesce(pm.px_mean, wm.px_mean, -1.0) as px_mean,
+                     coalesce(pm.px_mean, wm.px_mean, gm.px_mean,
+                              -1.0) as px_mean,
                      case when v = 0
                           then 63 + h2 * (1 + w2)
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
@@ -1762,13 +1767,20 @@ def _merge_registry_oracles(d: dict) -> dict:
                          where s3.v = 2 and s3.id % 10 = 7
                            and t.y < 200 + s3.id % 300
                          group by s3.id) wm
-                on s.v = 2 and s.id % 10 = 7 and s.id = wm.wid)
+                on s.v = 2 and s.id % 10 = 7 and s.id = wm.wid
+              left join (select s4.id as gid,
+                                round(avg((s4.id + t.y) % 128), 4)
+                                    as px_mean
+                         from s1 s4, generate_series(0, 79) t(y)
+                         where s4.v = 1 and t.y < s4.npx
+                         group by s4.id) gm
+                on s.v = 1 and s.id = gm.gid)
         select doc_id, "offset", media_type, width, height,
                n_bytes, px_mean, resized_bytes,
                case when v = 4 then 'Hello doc ' || id || chr(10)
                     else '' end as text,
                i::int as frame_idx,
-               case when v = 1 then 13 + sb
+               case when v = 1 then npx + 15
                     else least(step, n - i * step) end::bigint as frame_bytes
         from m, generate_series(0, 2) t(i)
         where v <> 1 or i < nf"""

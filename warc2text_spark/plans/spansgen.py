@@ -477,6 +477,32 @@ def _png_header(w: int, h: int) -> bytes:
             + b"\x00\x00\x00\x00")  # CRC not validated by the parser
 
 
+def _gif_real(w: int, h: int, n_frames: int, seed: int) -> bytes:
+    """REAL animated GIF with decodable pixels (r6): 128-entry grayscale
+    global color table, per frame a 10 x (1 + seed % 8) sub-rectangle
+    whose pixel ``j`` is palette index ``(seed + f + j) % 128``, LZW
+    literal-coded at min code size 7 (functions/giflzw.py — every code
+    one byte).  Closed-form sizes the oracle mirrors: per-frame pixels
+    n_px = 10 * (1 + seed % 8) <= 80, LZW bytes B = n_px + 2, frame
+    slice = 10 desc + 1 min-code + 1 len + B + 1 term = n_px + 15,
+    total = 13 header + 384 GCT + n_frames * (8 GCE + n_px + 15) + 1."""
+    import struct
+
+    from ..functions.giflzw import lzw_literal_encode
+    h2 = 1 + seed % 8
+    n_px = 10 * h2
+    out = [b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x86, 0, 0])]
+    out.append(bytes(v for i in range(128) for v in (i, i, i)))
+    for f in range(n_frames):
+        out.append(b"\x21\xf9\x04" + bytes([0, 10, 0, 0]) + b"\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, 10, h2) + b"\x00")
+        idx = bytes((seed + f + j) % 128 for j in range(n_px))
+        data = lzw_literal_encode(idx, 7)
+        out.append(bytes([7, len(data)]) + data + b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
 def _wav_striped(n: int, seed: int) -> bytes:
     """Complete real 8-bit PCM mono WAV, sample ``i`` = ``(seed+i) % 256``:
     mean and byte size (44 + n) are closed-form for the oracle."""
@@ -566,7 +592,7 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                 if v == 0:
                     body = _png_striped(w, h, n)
                 elif v == 1:
-                    body = _gif_animated(w, h, 1 + n % 3, 1 + n % 7)
+                    body = _gif_real(w, h, 1 + n % 3, n)
                 elif v == 2:
                     # the % 5 == 2 class splits by % 10: real JPEG header
                     # vs a complete real 8-bit PCM WAV (striped samples
