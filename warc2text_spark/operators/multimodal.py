@@ -8,12 +8,16 @@ bytes); PNG additionally gets REAL pixel decode / feature extraction /
 nearest-neighbor resize + re-encode (``functions/pngpixels.py``, stdlib
 zlib + numpy, r6), GIF gets the real frame-structure walker
 (``gif_frames``) plus real frame PIXELS via the full LZW decompressor
-(``gif_first_frame_pixels`` / ``functions/giflzw.py``, r6), and WAV
-audio gets real PCM decode (``functions/wavaudio.py``, r6).  JPEG
-*pixel* work is the remaining stub behind clearly-marked hooks with
-deterministic fakes because no image libraries exist in this
-environment — a deployment drops Pillow/ffmpeg into
-``_decode_image_stub`` / ``_resize_image_stub``.
+(``gif_first_frame_pixels`` / ``functions/giflzw.py``, r6), WAV
+audio gets real PCM decode (``functions/wavaudio.py``, r6), and JPEG
+gets real baseline pixel decode — Huffman entropy coding + exact IDCT
+(``functions/jpegpixels.py``, r6).  All three image formats and the
+audio modality now decode for real; the deterministic fake twin
+remains only for unknown formats and out-of-scope encodings
+(progressive JPEG, interlaced GIF), keeping the plumbing exercised on
+every payload.  Video stays the one synthetic modality (ffmpeg-class
+codecs are out of dependency-free reach); ``sample_frames`` documents
+that hook.
 """
 
 from __future__ import annotations
@@ -115,17 +119,19 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
 
 def _decode_image_stub(payload: bytes) -> dict:
     """Decode hook: REAL pixel decode for PNG (functions/pngpixels.py —
-    stdlib-zlib inflate + per-scanline unfilter, r6), REAL first-frame
-    pixel decode for GIF (gif_first_frame_pixels — full LZW, r6), REAL
-    PCM decode for WAV audio (functions/wavaudio.py, r6), and real
-    header parsing for PNG/GIF/JPEG (parse_image_header — struct on
-    magic bytes, dependency-free); the deterministic fake twin covers
-    every other payload so the full Spark plumbing (Arrow batches,
-    schema, partitioning) stays exercised and oracle-checkable.
-    ``px_mean`` is the mean decoded sample value (RGB pixels for
-    images, raw PCM level for audio), or the -1.0 sentinel when no
-    pixel decode exists for the format (JPEG pixels still need Pillow;
-    the no-NULLs driver rule)."""
+    stdlib-zlib inflate + per-scanline unfilter, r6), for GIF first
+    frames (gif_first_frame_pixels — full LZW, r6), for baseline JPEG
+    (functions/jpegpixels.py — Huffman entropy decode + exact IDCT,
+    r6) and REAL PCM decode for WAV audio (functions/wavaudio.py, r6),
+    plus real header parsing for all three image formats
+    (parse_image_header — struct on magic bytes, dependency-free); the
+    deterministic fake twin covers every other payload so the full
+    Spark plumbing (Arrow batches, schema, partitioning) stays
+    exercised and oracle-checkable.  ``px_mean`` is the mean decoded
+    sample value (pixels for images, raw PCM level for audio), or the
+    -1.0 sentinel when no pixel decode applies (progressive JPEG,
+    interlaced GIF, headers without pixel data; the no-NULLs driver
+    rule)."""
     px_mean = -1.0
     dims = parse_image_header(payload)
     if dims is not None:
@@ -140,6 +146,11 @@ def _decode_image_stub(payload: bytes) -> dict:
             rgb = gif_first_frame_pixels(payload)
             if rgb is not None:
                 px_mean = round(float(rgb.astype(np.float64).mean()), 4)
+        elif payload.startswith(b"\xff\xd8"):
+            from ..functions.jpegpixels import decode_jpeg
+            px = decode_jpeg(payload)
+            if px is not None:
+                px_mean = round(float(px.astype(np.float64).mean()), 4)
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         # real audio decode (r6): struct-only RIFF/PCM walk; px_mean
         # doubles as the modality's mean-level feature (mean raw PCM
@@ -204,14 +215,23 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
 
 
 def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
-    """Resize hook.  PNG payloads take the REAL path (r6): pixel decode
-    (functions/pngpixels.py), nearest-neighbor resample capping the
-    longer side at ``max_dim``, re-encode as a real PNG with a level-0
-    (stored-block) zlib stream — so the output size is closed-form in
-    the target dims and the driver oracle states it in SQL
-    (png_encoded_size).  Everything else keeps the deterministic fake
-    twin (truncate/pad to a size derived from max_dim) — JPEG/GIF pixel
-    codecs still need Pillow/ffmpeg; the plumbing stays exercised."""
+    """Resize hook.  PNG and baseline-JPEG payloads take the REAL path
+    (r6): pixel decode (functions/pngpixels.py / jpegpixels.py),
+    nearest-neighbor resample capping the longer side at ``max_dim``,
+    re-encode as a real PNG with a level-0 (stored-block) zlib stream —
+    thumbnails standardize on PNG output (a real multimodal pipeline
+    does the same: one thumb format regardless of source), so the
+    output size is closed-form in the target dims and the driver
+    oracle states it in SQL (png_encoded_size).  Everything else keeps
+    the deterministic fake twin (truncate/pad to a size derived from
+    max_dim) — GIF resize would recode LZW, video needs ffmpeg; the
+    plumbing stays exercised."""
+    if payload.startswith(b"\xff\xd8"):
+        from ..functions.jpegpixels import decode_jpeg
+        from ..functions.pngpixels import encode_png, resize_nearest
+        px = decode_jpeg(payload)
+        if px is not None:
+            return encode_png(resize_nearest(px, max_dim))
     if payload.startswith(b"\x89PNG"):
         from ..functions.pngpixels import (decode_png, encode_png,
                                            resize_nearest)

@@ -1705,12 +1705,20 @@ def _merge_registry_oracles(d: dict) -> dict:
     # for both the original (w, h) and the max_dim=256 nearest-neighbor
     # resize target (pngpixels.resize_dims: longer side capped, floor
     # scale, no upscaling).
+    # v=2 (non-WAV) is a COMPLETE real baseline JPEG since r6: uniform
+    # mid-gray, every block DC-only coded as 6 bits — byte size is the
+    # closed form 312 + ceil(6 * ceil(w/8) * ceil(h/8) / 8)
+    # (jpegpixels.jpeg_flat_size), decoded pixel mean exactly 128, and
+    # the resize leg re-encodes the decoded grayscale thumbnail as a
+    # real stored-block PNG (same png_encoded_size law as v=0).
     d["media_pipeline"] = """
         with s0 as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                            doc_id % 5 as v,
                            1 + doc_id % 3 as nf,
                            10 * (1 + doc_id % 8) as npx,
-                           1 + doc_id % 640 as w, 1 + doc_id % 480 as h
+                           1 + doc_id % 640 as w, 1 + doc_id % 480 as h,
+                           ((1 + doc_id % 640 + 7) // 8)
+                           * ((1 + doc_id % 480 + 7) // 8) as njb
                     from documents),
         s1 as (select *,
                       case when greatest(w, h) <= 256 then w
@@ -1726,7 +1734,7 @@ def _merge_registry_oracles(d: dict) -> dict:
                           when 1 then 398 + nf * (npx + 23)
                           when 2 then case when id % 10 = 7
                                            then 44 + (200 + id % 300)
-                                           else 15 end
+                                           else 312 + (6 * njb + 7) // 8 end
                           when 3 then 3 + strlen(doc_id)
                           else 308 + strlen(doc_id)
                      end as n
@@ -1745,9 +1753,10 @@ def _merge_registry_oracles(d: dict) -> dict:
                           when v = 3 then (49 + id % 10) when v = 4 then 7
                           else h end::int as height,
                      n::bigint as n_bytes,
-                     coalesce(pm.px_mean, wm.px_mean, gm.px_mean,
-                              -1.0) as px_mean,
-                     case when v = 0
+                     case when v = 2 and id % 10 <> 7 then 128.0
+                          else coalesce(pm.px_mean, wm.px_mean, gm.px_mean,
+                                        -1.0) end as px_mean,
+                     case when v = 0 or (v = 2 and id % 10 <> 7)
                           then 63 + h2 * (1 + w2)
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
                           else n end::bigint as resized_bytes,

@@ -462,9 +462,10 @@ def build_cyrillic_spans(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, INPUT_SCHEMA)
 
 
-# minimal real image headers for the media-codec corpus; dims are
+# minimal real image headers (header-parse tests; the media-codec corpus
+# now carries COMPLETE decodable payloads for all formats); dims are
 # closed-form in doc_id so the DuckDB oracle reproduces them without
-# parsing bytes.  Sizes are constants the oracle hard-codes:
+# parsing bytes.  Header-only sizes:
 #   PNG 33 B (sig 8 + IHDR chunk 25), GIF 13 B (sig 6 + screen desc 7),
 #   JPEG 15 B (SOI 2 + SOF0 segment 13).
 PNG_HEADER_BYTES, GIF_HEADER_BYTES, JPEG_HEADER_BYTES = 33, 13, 15
@@ -562,10 +563,15 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
     size are both closed-form: exercises the full pngpixels
     decode/unfilter/resize/re-encode path) / ANIMATED GIF (real frame
     blocks: 1 + doc_id % 3 frames, sub-block size 1 + doc_id % 7 —
-    exercises the gif_frames walker) / JPEG minimal header OR (doc_id %
-    10 == 7) a COMPLETE real 8-bit PCM WAV (striped samples, real audio
-    decode via functions/wavaudio.py — mean and 44+n byte size
-    closed-form), all with
+    exercises the gif_frames walker) / a COMPLETE real baseline JPEG
+    (r6 — uniform mid-gray, every block DC-only: entropy data is the
+    6-bit '001010' cycle, so the byte size is closed-form
+    (jpeg_flat_size = 312 + ceil(6*blocks/8)) and the decoded mean is
+    exactly 128 — exercises the full jpegpixels Huffman+IDCT decode
+    and the resize-to-PNG thumbnail path) OR (doc_id % 10 == 7) a
+    COMPLETE real 8-bit PCM WAV (striped samples, real audio decode
+    via functions/wavaudio.py — mean and 44+n byte size closed-form),
+    all with
     width = 1 + doc_id % 640 and height = 1 + doc_id % 480 (closed-form
     for the oracle); the deterministic 'IMG'||doc_id fake as the
     stub-twin case; and a real single-page PDF carrying 'Hello doc <id>'
@@ -584,6 +590,7 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "url", "warc_type", "warc_ct",
                                     "http_status", "http_ct", "content_enc",
                                     "transfer_enc", "warc_date", "spans")}
+            from ..functions.jpegpixels import encode_jpeg_flat
             from ..functions.pdftext import build_minimal_pdf
             for doc_id in pdf["doc_id"]:
                 n = int(doc_id)
@@ -594,14 +601,15 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                 elif v == 1:
                     body = _gif_real(w, h, 1 + n % 3, n)
                 elif v == 2:
-                    # the % 5 == 2 class splits by % 10: real JPEG header
-                    # vs a complete real 8-bit PCM WAV (striped samples
-                    # (doc_id + i) % 256 — mean and byte size closed-form,
-                    # functions/wavaudio.py)
+                    # the % 5 == 2 class splits by % 10: a complete real
+                    # flat baseline JPEG (decoded mean 128, closed-form
+                    # size) vs a complete real 8-bit PCM WAV (striped
+                    # samples (doc_id + i) % 256 — mean and byte size
+                    # closed-form, functions/wavaudio.py)
                     if n % 10 == 7:
                         body = _wav_striped(200 + n % 300, n)
                     else:
-                        body = _jpeg_header(w, h)
+                        body = encode_jpeg_flat(w, h)
                 elif v == 3:
                     body = f"IMG{doc_id}".encode()
                 else:
