@@ -11,13 +11,15 @@ zlib + numpy, r6), GIF gets the real frame-structure walker
 (``gif_first_frame_pixels`` / ``functions/giflzw.py``, r6), WAV
 audio gets real PCM decode (``functions/wavaudio.py``, r6), and JPEG
 gets real baseline pixel decode — Huffman entropy coding + exact IDCT
-(``functions/jpegpixels.py``, r6).  All three image formats and the
-audio modality now decode for real; the deterministic fake twin
-remains only for unknown formats and out-of-scope encodings
-(progressive JPEG, interlaced GIF), keeping the plumbing exercised on
-every payload.  Video stays the one synthetic modality (ffmpeg-class
-codecs are out of dependency-free reach); ``sample_frames`` documents
-that hook.
+(``functions/jpegpixels.py``, r6).  Video decodes for real too: AVI
+containers are walked as RIFF chunk trees (``functions/aviriff.py``)
+and MJPEG streams — one baseline JPEG per ``00dc`` chunk — reuse the
+real JPEG decoder for per-frame pixels (r6).  Every modality now has
+at least one fully real decode path (image: PNG/GIF/JPEG, audio: WAV
+PCM, video: AVI/MJPEG, document: PDF text); the deterministic fake
+twin remains only for unknown formats and out-of-scope encodings
+(progressive JPEG, interlaced GIF, non-MJPEG video codecs), keeping
+the plumbing exercised on every payload.
 """
 
 from __future__ import annotations
@@ -35,14 +37,19 @@ MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF87a": "image/gif",
     b"GIF89a": "image/gif",
-    b"RIFF": "audio/wav",   # (RIFF container; WEBP also matches — refine per fourcc)
     b"ID3": "audio/mpeg",
     b"%PDF": "application/pdf",
     b"IMG": "x-test/fake",  # deterministic fixture payloads
 }
 
+# RIFF is a container, not a format: the type fourcc at offset 8 decides
+_RIFF_TYPES = {b"WAVE": "audio/wav", b"AVI ": "video/avi",
+               b"WEBP": "image/webp"}
+
 
 def sniff_media_type(payload: bytes) -> str:
+    if payload.startswith(b"RIFF"):
+        return _RIFF_TYPES.get(payload[8:12], "application/octet-stream")
     for magic, mime in MAGIC.items():
         if payload.startswith(magic):
             return mime
@@ -160,6 +167,17 @@ def _decode_image_stub(payload: bytes) -> dict:
         w = h = 0
         if wav is not None:
             px_mean = round(wav["mean"], 4)
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        # real video decode (r6): RIFF chunk walk for dims/frame count,
+        # first MJPEG frame through the real JPEG decoder for px_mean
+        from ..functions.aviriff import first_frame_pixels, parse_avi
+        avi = parse_avi(payload)
+        w = h = 0
+        if avi is not None:
+            w, h = avi["width"], avi["height"]
+            px = first_frame_pixels(payload)
+            if px is not None:
+                px_mean = round(float(px.astype(np.float64).mean()), 4)
     else:  # deterministic fake twin (fixture payloads, unknown formats)
         w = 1 + payload[0] % 64 if payload else 0
         h = 1 + payload[-1] % 64 if payload else 0
@@ -230,6 +248,13 @@ def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
         from ..functions.jpegpixels import decode_jpeg
         from ..functions.pngpixels import encode_png, resize_nearest
         px = decode_jpeg(payload)
+        if px is not None:
+            return encode_png(resize_nearest(px, max_dim))
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        # video thumbnail = first decoded MJPEG frame, resized
+        from ..functions.aviriff import first_frame_pixels
+        from ..functions.pngpixels import encode_png, resize_nearest
+        px = first_frame_pixels(payload)
         if px is not None:
             return encode_png(resize_nearest(px, max_dim))
     if payload.startswith(b"\x89PNG"):
@@ -407,11 +432,14 @@ FRAME_SCHEMA = ("doc_id string, offset int, frame_idx int, frame binary")
 def sample_frames(spans_df: DataFrame, n_frames: int = 3) -> DataFrame:
     """Frame sampling for video-like payloads: one output row per sampled
     frame.  Animated (or still) GIFs go through the REAL dependency-free
-    frame walker (:func:`gif_frames`) — up to ``n_frames`` frames sampled
+    frame walker (:func:`gif_frames`) and AVI containers through the
+    REAL RIFF chunk walk (functions/aviriff.py — each ``00dc`` chunk is
+    one frame; for MJPEG streams the bytes are complete baseline JPEGs
+    the real decoder can open) — up to ``n_frames`` frames sampled
     evenly across the real frame blocks, raw undecoded bytes.  Every
-    other payload keeps the deterministic byte-slice synthetic twin (the
-    ffmpeg stand-in), so the 1->N row expansion and schema stay exercised
-    for all media types."""
+    other payload keeps the deterministic byte-slice synthetic twin
+    (the stand-in for ffmpeg-class codecs), so the 1->N row expansion
+    and schema stay exercised for all media types."""
     media = (
         spans_df.select(F.col("doc_id").cast("string").alias("doc_id"),
                         F.explode("spans").alias("s"))
@@ -427,6 +455,12 @@ def sample_frames(spans_df: DataFrame, n_frames: int = 3) -> DataFrame:
                                                pdf["payload"]):
                 data = bytes(payload or b"")
                 real = gif_frames(data)
+                if not real and data[:4] == b"RIFF" \
+                        and data[8:12] == b"AVI ":
+                    from ..functions.aviriff import parse_avi
+                    avi = parse_avi(data)
+                    if avi:
+                        real = avi["frames"]
                 if real:
                     k = min(n_frames, len(real))
                     picks = [real[i * len(real) // k] for i in range(k)]

@@ -1059,12 +1059,14 @@ def q_semdedup(spark, sf_dir) -> DataFrame:
 
 
 def q_media_pipeline(spark, sf_dir) -> DataFrame:
-    """Media features + resize + frame sampling over a corpus of REAL
-    minimal PNG/GIF/JPEG headers (dims parsed by parse_image_header,
-    closed-form in doc_id), a real animated GIF (frame walker), a real
-    single-page PDF (extract_pdf_text leg — the 'text' column carries
-    the recovered content), and the deterministic fake as the stub-twin
-    case; three mapInPandas stages joined on (doc_id, offset)."""
+    """Media features + resize + frame sampling over a corpus of
+    COMPLETE real payloads for every modality (r6): striped PNG,
+    animated GIF with decodable frames, flat baseline JPEG, PCM WAV,
+    MJPEG AVI video, and a real single-page PDF (extract_pdf_text leg —
+    the 'text' column carries the recovered content), plus the
+    deterministic fake as the stub-twin case; three mapInPandas stages
+    joined on (doc_id, offset), every output column closed-form in
+    doc_id for the DuckDB oracle."""
     from ..operators.multimodal import (extract_media_features, resize_media,
                                         sample_frames)
     from .spansgen import build_media_spans
@@ -1711,6 +1713,13 @@ def _merge_registry_oracles(d: dict) -> dict:
     # (jpegpixels.jpeg_flat_size), decoded pixel mean exactly 128, and
     # the resize leg re-encodes the decoded grayscale thumbnail as a
     # real stored-block PNG (same png_encoded_size law as v=0).
+    # v=3/id%10=8 is a REAL MJPEG AVI since r6: nfv = 2 + id%4 flat-JPEG
+    # frames of wv x hv = 8*(1+id%4) x 8*(1+id%3) in a RIFF container —
+    # container size 224 + nfv*(8 + jv + jv%2) (aviriff.avi_mjpeg_size),
+    # per-frame size jv = jpeg_flat_size(wv, hv), first-frame decoded
+    # mean exactly 128, thumbnail = first frame as a stored-block PNG
+    # (dims <= 32 so no downscale: 68 + hv*(1+wv)), and the frames leg
+    # emits least(3, nfv) rows of jv bytes each (real chunk payloads).
     d["media_pipeline"] = """
         with s0 as (select doc_id as id, cast(doc_id as varchar) as doc_id,
                            doc_id % 5 as v,
@@ -1718,7 +1727,12 @@ def _merge_registry_oracles(d: dict) -> dict:
                            10 * (1 + doc_id % 8) as npx,
                            1 + doc_id % 640 as w, 1 + doc_id % 480 as h,
                            ((1 + doc_id % 640 + 7) // 8)
-                           * ((1 + doc_id % 480 + 7) // 8) as njb
+                           * ((1 + doc_id % 480 + 7) // 8) as njb,
+                           2 + doc_id % 4 as nfv,
+                           8 * (1 + doc_id % 4) as wv,
+                           8 * (1 + doc_id % 3) as hv,
+                           312 + (6 * (1 + doc_id % 4) * (1 + doc_id % 3)
+                                  + 7) // 8 as jv
                     from documents),
         s1 as (select *,
                       case when greatest(w, h) <= 256 then w
@@ -1735,30 +1749,41 @@ def _merge_registry_oracles(d: dict) -> dict:
                           when 2 then case when id % 10 = 7
                                            then 44 + (200 + id % 300)
                                            else 312 + (6 * njb + 7) // 8 end
-                          when 3 then 3 + strlen(doc_id)
+                          when 3 then case when id % 10 = 8
+                                           then 224 + nfv * (8 + jv + jv % 2)
+                                           else 3 + strlen(doc_id) end
                           else 308 + strlen(doc_id)
                      end as n
               from s1),
-        m as (select doc_id, id, 1 as "offset", v, nf, npx,
+        m as (select doc_id, id, 1 as "offset", v, nf, npx, nfv, jv,
                      case v when 0 then 'image/png' when 1 then 'image/gif'
                             when 2 then (case when id % 10 = 7
                                          then 'audio/wav'
                                          else 'image/jpeg' end)
-                            when 3 then 'x-test/fake'
+                            when 3 then (case when id % 10 = 8
+                                         then 'video/avi'
+                                         else 'x-test/fake' end)
                             else 'application/pdf' end as media_type,
                      case when v = 2 and id % 10 = 7 then 0
-                          when v = 3 then 10 when v = 4 then 38
+                          when v = 3 then (case when id % 10 = 8 then wv
+                                           else 10 end)
+                          when v = 4 then 38
                           else w end::int as width,
                      case when v = 2 and id % 10 = 7 then 0
-                          when v = 3 then (49 + id % 10) when v = 4 then 7
+                          when v = 3 then (case when id % 10 = 8 then hv
+                                           else 49 + id % 10 end)
+                          when v = 4 then 7
                           else h end::int as height,
                      n::bigint as n_bytes,
                      case when v = 2 and id % 10 <> 7 then 128.0
+                          when v = 3 and id % 10 = 8 then 128.0
                           else coalesce(pm.px_mean, wm.px_mean, gm.px_mean,
                                         -1.0) end as px_mean,
                      case when v = 0 or (v = 2 and id % 10 <> 7)
                           then 63 + h2 * (1 + w2)
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
+                          when v = 3 and id % 10 = 8
+                          then 68 + hv * (1 + wv)
                           else n end::bigint as resized_bytes,
                      greatest(n // 3, 1) as step, n
               from s
@@ -1790,9 +1815,12 @@ def _merge_registry_oracles(d: dict) -> dict:
                     else '' end as text,
                i::int as frame_idx,
                case when v = 1 then npx + 15
+                    when v = 3 and id % 10 = 8 then jv
                     else least(step, n - i * step) end::bigint as frame_bytes
         from m, generate_series(0, 2) t(i)
-        where v <> 1 or i < nf"""
+        where case when v = 1 then i < nf
+                   when v = 3 and id % 10 = 8 then i < least(3, nfv)
+                   else true end"""
     return d
 
 

@@ -574,7 +574,10 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
     all with
     width = 1 + doc_id % 640 and height = 1 + doc_id % 480 (closed-form
     for the oracle); the deterministic 'IMG'||doc_id fake as the
-    stub-twin case; and a real single-page PDF carrying 'Hello doc <id>'
+    stub-twin case OR (doc_id % 10 == 8) a REAL MJPEG AVI video —
+    RIFF container (functions/aviriff.py) holding 2 + doc_id % 4
+    flat-JPEG frames the real decoders open, every size closed-form;
+    and a real single-page PDF carrying 'Hello doc <id>'
     (exercises the dependency-free extract_pdf_text leg — uncompressed
     stream, so the byte length is closed-form in the id's digit
     count)."""
@@ -611,7 +614,21 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                     else:
                         body = encode_jpeg_flat(w, h)
                 elif v == 3:
-                    body = f"IMG{doc_id}".encode()
+                    # the % 5 == 3 class splits by % 10: the 'IMG' fake
+                    # stub-twin vs (doc_id % 10 == 8) a REAL MJPEG AVI —
+                    # 2 + doc_id % 4 flat-JPEG frames of
+                    # 8*(1 + doc_id % 4) x 8*(1 + doc_id % 3), so dims,
+                    # frame size (jpeg_flat_size) and container size
+                    # (aviriff.avi_mjpeg_size) are all closed-form and
+                    # the decoded first-frame mean is exactly 128
+                    if n % 10 == 8:
+                        from ..functions.aviriff import build_avi_mjpeg
+                        wv, hv = 8 * (1 + n % 4), 8 * (1 + n % 3)
+                        frame = encode_jpeg_flat(wv, hv)
+                        body = build_avi_mjpeg([frame] * (2 + n % 4),
+                                               wv, hv)
+                    else:
+                        body = f"IMG{doc_id}".encode()
                 else:
                     body = build_minimal_pdf([f"Hello doc {doc_id}"])
                 rows["doc_id"].append(str(doc_id))
