@@ -575,3 +575,65 @@ def test_dsir_resample_gumbel_topk(spark):
                  w.withColumn("_rn", F.row_number().over(win))
                  .filter(F.col("_rn") <= 10).collect())
     assert a == ref
+
+
+def test_bitext_margin_matches_numpy_reference(spark):
+    """Margin mining (Artetxe & Schwenk ratio margin) against an
+    independent numpy reimplementation: LSH-bucket candidates, k-best
+    within-candidate neighbor means, best-per-src by margin, threshold.
+    Also: malformed rows (NULL / empty / zero vector) never pair."""
+    import numpy as np
+    from warc2text_spark.operators.align import bitext_margin
+    from warc2text_spark.operators.dedup import release_intermediates
+
+    # deterministic dim-4 vectors: sources even, targets odd
+    vecs = {
+        0: [1.0, 0.1, 0.0, 0.2],   2: [0.1, 1.0, 0.3, 0.0],
+        4: [0.2, 0.2, 1.0, 0.1],   6: [0.9, 0.2, 0.1, 0.3],
+        8: [0.3, 0.8, 0.2, 0.1],  10: [0.5, 0.5, 0.5, 0.5],
+        1: [0.95, 0.15, 0.05, 0.25], 3: [0.15, 0.9, 0.25, 0.05],
+        5: [0.25, 0.3, 0.9, 0.15],   7: [0.6, 0.6, 0.4, 0.4],
+        9: [0.4, 0.7, 0.3, 0.2],    11: [0.85, 0.3, 0.2, 0.35],
+    }
+    planes = [[1.0, -1.0, 0.2, 0.1], [-0.3, 0.4, 1.0, -0.2]]
+    k, thr = 2, 0.9
+
+    rows = [(i, v) for i, v in vecs.items()]
+    rows += [(90, None), (91, []), (92, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    out = bitext_margin(src, tgt, planes, k=k, threshold=thr)
+    got = {(r.a_id, r.b_id, r.cosine, r.margin) for r in out.collect()}
+    release_intermediates(out)
+
+    # numpy reference
+    def bucket(v):
+        return "".join("1" if float(np.dot(v, h)) > 0 else "0"
+                       for h in planes)
+    ids = sorted(vecs)
+    bk = {i: bucket(np.array(vecs[i])) for i in ids}
+    pairs = []
+    for a in ids:
+        for b in ids:
+            if a % 2 == 0 and b % 2 == 1 and bk[a] == bk[b]:
+                va, vb = np.array(vecs[a]), np.array(vecs[b])
+                cos = float(va @ vb) / float(np.linalg.norm(va)
+                                             * np.linalg.norm(vb))
+                pairs.append((a, b, cos))
+    def mean_k(side, i):
+        cand = sorted((c for c in pairs if c[side] == i),
+                      key=lambda c: (-c[2], c[1 - side]))[:k]
+        return sum(c[2] for c in cand) / len(cand)
+    exp = {}
+    for a, b, cos in pairs:
+        m = cos / ((mean_k(0, a) + mean_k(1, b)) / 2.0)
+        cur = exp.get(a)
+        if cur is None or (-m, b) < (-cur[1], cur[0]):
+            exp[a] = (b, m)
+    expected = {(a, b, round(cos, 4), round(m, 4))
+                for a, (b, m) in exp.items() if m >= thr
+                for _, bb, cos in pairs if _ == a and bb == b}
+    assert got == expected and got  # non-trivial
+    # malformed ids never appear
+    assert not {r[0] for r in got} & {90, 91, 92}

@@ -1310,6 +1310,39 @@ def q_bitext_candidates(spark, sf_dir) -> DataFrame:
     return bitext_candidates(docs)
 
 
+def q_bitext_margin(spark, sf_dir) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    criterion) — embedding second stage after URL candidates: even
+    vec_ids play source, odd play target, hyperplanes = embeddings 1..8
+    (the fixed LSH codebook precedent), k=4 neighbor means, ratio-margin
+    'max' strategy with threshold 1.0."""
+    from ..operators.align import bitext_margin
+    emb = _emb(spark, sf_dir)
+    planes = [[float(x) for x in r.embedding] for r in
+              emb.filter(F.col("vec_id").between(1, 8))
+                 .orderBy("vec_id").collect()]
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin(src, tgt, planes, k=4, threshold=1.0)
+
+
+def q_bitext_all(spark, sf_dir) -> DataFrame:
+    """Both bitext-mining stages in one driver row: URL alignment
+    (variant 'url'; cosine/margin carry the -1.0 sentinel) and
+    embedding margin mining (variant 'margin'; lang/key carry '')."""
+    url = q_bitext_candidates(spark, sf_dir).select(
+        F.lit("url").alias("variant"), "a_id", "b_id",
+        "lang_a", "lang_b", "key",
+        F.lit(-1.0).alias("cosine"), F.lit(-1.0).alias("margin"))
+    mar = q_bitext_margin(spark, sf_dir).select(
+        F.lit("margin").alias("variant"),
+        F.col("a_id").cast("string").alias("a_id"),
+        F.col("b_id").cast("string").alias("b_id"),
+        F.lit("").alias("lang_a"), F.lit("").alias("lang_b"),
+        F.lit("").alias("key"), "cosine", "margin")
+    return url.unionByName(mar)
+
+
 def q_fp_all(spark, sf_dir) -> DataFrame:
     """Both fingerprinting algorithms in one driver row: rolling
     char-ngram fingerprints and MOSS winnowing — (algo, doc_id, fp)."""
@@ -1489,7 +1522,7 @@ def _merge_registry_queries(d: dict) -> dict:
     d["substring_dedup"] = q_substring_dedup
     d["jaccard_pairs"] = q_jaccard_all
     del d["minhash_verified"]
-    d["bitext_candidates"] = q_bitext_candidates
+    d["bitext_candidates"] = q_bitext_all
     d["compat_layout"] = q_compat_layout_jsonl
     del d["jsonl_lines"]
     return d
@@ -1638,15 +1671,60 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"jaccard from ({d['jaccard_pairs']})\nunion all\n"
         f"select 'lsh_verified', a_id, b_id, jaccard "
         f"from ({d.pop('minhash_verified')})")
-    d["bitext_candidates"] = """
+    # margin leg: mirrors operators/align.bitext_margin expression-for-
+    # expression — LSH bucket (embeddings 1..8 signs), within-candidate
+    # k=4 best-neighbor means, ratio margin, best-per-src 'max' strategy
+    # at threshold 1.0.  Even vec_ids = source, odd = target.
+    _BITEXT_MARGIN_SQL = f"""
+        with {_EMB_M.format(src='embeddings').lstrip()},
+        h as (select vec_id as hid,
+                     list_transform(embedding, x -> x::DOUBLE) as hv
+              from embeddings where vec_id between 1 and 8),
+        bk as (select m.vec_id,
+                      string_agg(case when list_sum(list_transform(
+                          range(1, len(m.v) + 1), i -> m.v[i] * h.hv[i])) > 0
+                          then '1' else '0' end, '' order by h.hid) as bucket
+               from m, h group by m.vec_id),
+        mb as (select m.vec_id, m.v, m.nrm, bk.bucket
+               from m join bk using (vec_id) where m.nrm > 0),
+        pairs as (select a.vec_id as a_id, b2.vec_id as b_id,
+                         list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm)
+                         as cos
+                  from mb a join mb b2 on a.bucket = b2.bucket
+                  where a.vec_id % 2 = 0 and b2.vec_id % 2 = 1),
+        r as (select *,
+                     row_number() over (partition by a_id
+                                        order by cos desc, b_id) as ra,
+                     row_number() over (partition by b_id
+                                        order by cos desc, a_id) as rb
+              from pairs),
+        ma as (select a_id, avg(cos) as mean_a from r
+               where ra <= 4 group by a_id),
+        mbn as (select b_id, avg(cos) as mean_b from r
+                where rb <= 4 group by b_id),
+        sc as (select p.a_id, p.b_id, p.cos,
+                      p.cos / ((ma.mean_a + mbn.mean_b) / 2) as margin
+               from pairs p join ma using (a_id) join mbn using (b_id)),
+        best as (select *, row_number() over (partition by a_id
+                          order by margin desc, b_id) as rn from sc)
+        select a_id, b_id, round(cos, 4)::double as cosine,
+               round(margin, 4)::double as margin
+        from best where rn = 1 and margin >= 1.0"""
+    d["bitext_candidates"] = f"""
         with b as (select cast(doc_id as varchar) as id, lang,
                           'h' || (doc_id % 20) || '.example|https://h'
                           || (doc_id % 20) || '.example/p'
                           || (doc_id % 100) || '.html' as key
                    from documents)
-        select x.id as a_id, y.id as b_id,
-               x.lang as lang_a, y.lang as lang_b, x.key as key
-        from b x join b y on x.key = y.key and x.lang < y.lang"""
+        select 'url' as variant, x.id as a_id, y.id as b_id,
+               x.lang as lang_a, y.lang as lang_b, x.key as key,
+               (-1.0)::double as cosine, (-1.0)::double as margin
+        from b x join b y on x.key = y.key and x.lang < y.lang
+        union all
+        select 'margin', a_id::varchar, b_id::varchar, '', '', '',
+               cosine, margin
+        from ({_BITEXT_MARGIN_SQL})"""
     d["substring_dedup"] = f"""
         with t as (select cast(doc_id as varchar) as doc_id, text,
                           greatest(length(text) - 19, 1) as n
