@@ -30,7 +30,8 @@ def _planes(spark):
 
 
 def test_lsh_neardup_matches_exact_on_clones(spark, emb):
-    exact = {(r.a_id, r.b_id) for r in embedding_near_duplicates(emb).collect()}
+    exact = {(r.a_id, r.b_id) for r in
+             embedding_near_duplicates(emb, method="cross").collect()}
     lsh = {(r.a_id, r.b_id)
            for r in embedding_near_duplicates_lsh(emb, _planes(spark)).collect()}
     # identical vectors hash to identical buckets: full recall on clones
@@ -143,7 +144,8 @@ def test_multi_table_lsh_recall_superset_and_no_cartesian(spark, emb, tmp_path):
         emb, planes, n_tables=2, materialize=str(tmp_path / "b2"))
     s = {(r.a_id, r.b_id) for r in single.collect()}
     m = {(r.a_id, r.b_id) for r in multi.collect()}
-    exact = {(r.a_id, r.b_id) for r in embedding_near_duplicates(emb).collect()}
+    exact = {(r.a_id, r.b_id) for r in
+             embedding_near_duplicates(emb, method="cross").collect()}
     # two 4-bit tables are coarser individually but union-ed: recall on
     # clones stays full, and candidates never miss what 8 bits caught
     assert exact <= m and s <= m
@@ -164,3 +166,54 @@ def test_connected_components_chains_and_representatives(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                    "x": "x", "y": "x",
                    "m": "m", "n": "m", "o": "m"}
+
+
+def test_grid_exact_matches_crossjoin_twin(spark, emb):
+    """The epsilon-grid exact path must reproduce the crossJoin twin
+    bit-for-bit (ids AND rounded cosines) — it is the same exact
+    computation with a bucketed candidate plan."""
+    from warc2text_spark.operators.dedup import release_intermediates
+    for t in (0.999, 0.95):
+        cross = {(r.a_id, r.b_id, r.cosine) for r in
+                 embedding_near_duplicates(emb, t, method="cross").collect()}
+        g = embedding_near_duplicates(emb, t)  # grid is the default
+        grid = {(r.a_id, r.b_id, r.cosine) for r in g.collect()}
+        release_intermediates(g)
+        assert grid == cross and grid
+
+
+def test_grid_exact_dense_circle_boundaries(spark):
+    """Unit-circle sweep at 0.6x the threshold angle: chains of
+    in-threshold neighbors whose cell coordinates cross many epsilon-cell
+    boundaries.  Expected set computed by an independent numpy all-pairs
+    reference — the grid must lose nothing at any cell edge."""
+    import math
+
+    import numpy as np
+    from warc2text_spark.operators.dedup import release_intermediates
+    t = 0.999
+    th = math.acos(t)
+    vecs = [[math.cos(i * 0.6 * th), math.sin(i * 0.6 * th), 0.123]
+            for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    g = embedding_near_duplicates(df, t)
+    got = {(r.a_id, r.b_id) for r in g.collect()}
+    release_intermediates(g)
+    m = np.array(vecs)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    exp = {(a, b) for a in range(200) for b in range(a + 1, 200)
+           if cos[a, b] >= t}
+    assert got == exp
+    assert len(exp) > 150  # every adjacent pair on the sweep qualifies
+
+
+def test_grid_exact_plan_has_no_cartesian_product(spark, emb):
+    from warc2text_spark.operators.dedup import release_intermediates
+    df = embedding_near_duplicates(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_intermediates(df)
+    assert "CartesianProduct" not in plan \
+        and "BroadcastNestedLoopJoin" not in plan

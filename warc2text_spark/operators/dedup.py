@@ -442,9 +442,25 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
         cached)
 
 
-def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFrame:
-    """Exact cosine near-dup pairs over an embedding column (small/SF scale;
-    the 10^12 path buckets by hyperplane signs first — similarity.lsh_bits)."""
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999,
+                              method: str = "grid",
+                              grid_dims: int = 3,
+                              materialize: str | None = "cache"
+                              ) -> DataFrame:
+    """EXACT cosine near-dup pairs over an embedding column — same output
+    as an all-pairs comparison, no crossJoin in the default plan.
+
+    ``method="grid"`` (default) is the scale path: the epsilon-grid
+    equality join of :func:`embedding_near_duplicates_grid` — exhaustive
+    (zero false negatives, unlike LSH) yet bucketed, so it survives the
+    100x rule.  ``method="cross"`` keeps the literal crossJoin twin for
+    differential tests and tiny frames."""
+    if method == "grid":
+        return embedding_near_duplicates_grid(df, threshold,
+                                              grid_dims=grid_dims,
+                                              materialize=materialize)
+    if method != "cross":
+        raise ValueError(f"unknown method {method!r}")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = df.select(F.col("vec_id"), v.alias("v"),
                      F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -461,3 +477,88 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.999) -> DataFr
     return (j.filter(cos >= threshold)
             .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
                     F.round(cos, 4).alias("cosine")))
+
+
+def embedding_near_duplicates_grid(df: DataFrame, threshold: float = 0.999,
+                                   grid_dims: int = 3,
+                                   materialize: str | None = "cache"
+                                   ) -> DataFrame:
+    """EXACT near-dup pairs without a crossJoin: the epsilon-grid join
+    (the grid/cell family of exact epsilon-joins — Böhm et al., "Epsilon
+    Grid Order", SIGMOD 2001 — applied to the unit sphere).
+
+    Math: for unit vectors u=x/|x|, w=y/|y|,  cos(x,y) >= t  iff
+    ||u-w||^2 = 2-2cos <= 2(1-t) = eps^2.  Since the L2 norm dominates
+    every coordinate, a qualifying pair differs by at most eps on EACH
+    of the first ``grid_dims`` unit coordinates, so with cells of width
+    eps the pair sits within +-1 cell on every gridded dim.  Joining
+    side A replicated to its 3^d neighbor cell keys against side B's
+    home key is therefore an EXHAUSTIVE candidate set — exactness of
+    LSH-free all-pairs, plan shape of a bucketed equality join.  Each
+    pair matches exactly one offset tuple (off = cell_b - cell_a), so
+    no distinct is needed.
+
+    Scale: the vector projection is computed once (``materialize``
+    lineage break, release via :func:`release_intermediates`); the 3^d
+    replication carries (id, cell-key string) ONLY — vectors never ride
+    the candidate shuffle; the few candidates join back to the persisted
+    projection for the exact-cosine filter (filter-then-round).  Cell
+    population — hence the largest join bucket — is bounded by corpus
+    density at radius eps: tiny for dedup thresholds (t=0.999 =>
+    eps≈0.045; a cell holds only near-identical groups, whose quadratic
+    cost is inherent in the output itself).  Low thresholds (t < ~0.9)
+    widen cells toward a handful of buckets — this operator is for
+    near-DUPLICATE ranges, not broad similarity search (that is ANN's
+    job).  Zero-norm vectors never pair (the crossJoin twin's NaN
+    cosine rejects them too); vectors shorter than ``grid_dims`` are
+    excluded up front — the similarity-module malformed-row contract
+    (embedding tables are fixed-dim).
+
+    The cell width takes a 1e-9 relative widening so a pair whose true
+    distance sits exactly on the eps boundary cannot straddle 2 cells
+    through last-ulp rounding of the cell coordinate."""
+    import itertools
+    import math
+    eps = math.sqrt(max(2.0 * (1.0 - threshold), 1e-12))
+    cell_w = eps * (1.0 + 1e-9)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (df.filter(F.col("embedding").isNotNull()
+                      & (F.size("embedding") >= grid_dims))
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    v.alias("v"),
+                    F.sqrt(F.aggregate(v, F.lit(0.0),
+                                       lambda a, x: a + x * x))
+                    .alias("norm"))
+            .filter(F.col("norm") > 0))
+    cells = [F.floor(F.element_at("v", i + 1) / (F.col("norm") * cell_w))
+             .cast("long") for i in range(grid_dims)]
+    base = base.withColumn("cells", F.array(*cells))
+    base, cached = _lineage_break(base, materialize)
+
+    home = F.concat_ws(":", *[F.element_at("cells", i + 1).cast("string")
+                              for i in range(grid_dims)])
+    offsets = list(itertools.product((-1, 0, 1), repeat=grid_dims))
+    nkeys = F.array(*[
+        F.concat_ws(":", *[(F.element_at("cells", i + 1)
+                            + F.lit(off[i])).cast("string")
+                           for i in range(grid_dims)])
+        for off in offsets])
+    a_cand = base.select(F.col("vec_id").alias("a_id"),
+                         F.explode(nkeys).alias("gkey"))
+    b_cand = base.select(F.col("vec_id").alias("b_id"), home.alias("gkey"))
+    cand = (a_cand.join(b_cand, "gkey")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id"))
+
+    va = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+                     F.col("norm").alias("a_n"))
+    vb = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+                     F.col("norm").alias("b_n"))
+    j = cand.join(va, "a_id").join(vb, "b_id")
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a_n") * F.col("b_n"))
+    out = (j.filter(cos >= threshold)
+           .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                   F.round(cos, 4).alias("cosine")))
+    return _attach(out, cached)

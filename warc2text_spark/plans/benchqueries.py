@@ -1037,12 +1037,17 @@ def q_neardup_lsh_variants(spark, sf_dir) -> DataFrame:
     single = q_neardup_lsh(spark, sf_dir)
     multi = q_neardup_lsh_multi(spark, sf_dir)
     exact = q_embedding_neardup(spark, sf_dir)
-    return (single.select(F.lit("lsh").alias("variant"), "a_id", "b_id",
-                          "cosine")
-            .unionByName(multi.select(F.lit("lsh_multi").alias("variant"),
-                                      "a_id", "b_id", "cosine"))
-            .unionByName(exact.select(F.lit("exact").alias("variant"),
-                                      "a_id", "b_id", "cosine")))
+    out = (single.select(F.lit("lsh").alias("variant"), "a_id", "b_id",
+                         "cosine")
+           .unionByName(multi.select(F.lit("lsh_multi").alias("variant"),
+                                     "a_id", "b_id", "cosine"))
+           .unionByName(exact.select(F.lit("exact").alias("variant"),
+                                     "a_id", "b_id", "cosine")))
+    # select/union drops the attribute — re-attach every leg's persisted
+    # intermediates so release_intermediates(out) frees all three
+    out._w2t_cached = tuple(c for leg in (single, multi, exact)
+                            for c in getattr(leg, "_w2t_cached", ()))
+    return out
 
 
 def q_semdedup(spark, sf_dir) -> DataFrame:
@@ -1334,13 +1339,16 @@ def q_bitext_all(spark, sf_dir) -> DataFrame:
         F.lit("url").alias("variant"), "a_id", "b_id",
         "lang_a", "lang_b", "key",
         F.lit(-1.0).alias("cosine"), F.lit(-1.0).alias("margin"))
-    mar = q_bitext_margin(spark, sf_dir).select(
+    mar_raw = q_bitext_margin(spark, sf_dir)
+    mar = mar_raw.select(
         F.lit("margin").alias("variant"),
         F.col("a_id").cast("string").alias("a_id"),
         F.col("b_id").cast("string").alias("b_id"),
         F.lit("").alias("lang_a"), F.lit("").alias("lang_b"),
         F.lit("").alias("key"), "cosine", "margin")
-    return url.unionByName(mar)
+    out = url.unionByName(mar)
+    out._w2t_cached = getattr(mar_raw, "_w2t_cached", ())
+    return out
 
 
 def q_fp_all(spark, sf_dir) -> DataFrame:
