@@ -320,3 +320,28 @@ def test_gif_real_fixture_pixels_and_first_frame():
     fake = _gif_animated(20, 10, 2, 3)
     assert gif_first_frame_pixels(fake) is None
     assert _decode_image_stub(fake)["px_mean"] == -1.0
+
+
+def test_resize_gif_real_path():
+    """GIF thumbnails take the real route (r6): first frame LZW-decoded,
+    palette-dereferenced, resized, re-encoded as RGB PNG — size is
+    png_encoded_size(w2, h2, 3) and the pixels round-trip; the
+    undecodable fake-LZW twin falls back to the pad/truncate stub."""
+    from warc2text_spark.operators.multimodal import (_resize_image_stub,
+                                                      gif_first_frame_pixels)
+    from warc2text_spark.plans.spansgen import _gif_animated, _gif_real
+    g = _gif_real(640, 480, 2, 37)
+    rgb = gif_first_frame_pixels(g)       # (h2, 10, 3), h2 = 1 + 37 % 8
+    out = _resize_image_stub(g, 256)      # under max_dim: no resample
+    assert len(out) == png_encoded_size(rgb.shape[1], rgb.shape[0], 3)
+    rarr, pal = decode_png(out)
+    assert pal is None
+    np.testing.assert_array_equal(rarr, rgb)
+    # downscale branch: cap at 4 -> (4, ceil-free floor dims)
+    small = _resize_image_stub(g, 4)
+    w2, h2 = resize_dims(rgb.shape[1], rgb.shape[0], 4)
+    assert len(small) == png_encoded_size(w2, h2, 3)
+    # undecodable GIF falls back to the labeled fake twin
+    fake = _gif_animated(20, 10, 2, 3)
+    out_fake = _resize_image_stub(fake, 256)
+    assert len(out_fake) == min(len(fake), 256 * 4)

@@ -240,10 +240,11 @@ def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
     thumbnails standardize on PNG output (a real multimodal pipeline
     does the same: one thumb format regardless of source), so the
     output size is closed-form in the target dims and the driver
-    oracle states it in SQL (png_encoded_size).  Everything else keeps
-    the deterministic fake twin (truncate/pad to a size derived from
-    max_dim) — GIF resize would recode LZW, video needs ffmpeg; the
-    plumbing stays exercised."""
+    oracle states it in SQL (png_encoded_size).  GIF first frames and
+    MJPEG AVI first frames take the same decode -> resize -> PNG route
+    (r6).  Everything else keeps the deterministic fake twin
+    (truncate/pad to a size derived from max_dim); the plumbing stays
+    exercised."""
     if payload.startswith(b"\xff\xd8"):
         from ..functions.jpegpixels import decode_jpeg
         from ..functions.pngpixels import encode_png, resize_nearest
@@ -255,6 +256,16 @@ def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
         from ..functions.aviriff import first_frame_pixels
         from ..functions.pngpixels import encode_png, resize_nearest
         px = first_frame_pixels(payload)
+        if px is not None:
+            return encode_png(resize_nearest(px, max_dim))
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        # GIF thumbnail = first decoded frame (full LZW decode,
+        # palette-dereferenced RGB), resized, re-encoded as PNG — same
+        # one-thumb-format rule as JPEG/AVI; size is closed-form
+        # png_encoded_size(w2, h2, 3).  Interlaced / truncated streams
+        # decode to None and fall through to the fake twin.
+        from ..functions.pngpixels import encode_png, resize_nearest
+        px = gif_first_frame_pixels(payload)
         if px is not None:
             return encode_png(resize_nearest(px, max_dim))
     if payload.startswith(b"\x89PNG"):

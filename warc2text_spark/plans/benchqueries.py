@@ -1870,6 +1870,7 @@ def _merge_registry_oracles(d: dict) -> dict:
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
                           when v = 3 and id % 10 = 8
                           then 68 + hv * (1 + wv)
+                          when v = 1 then 68 + 31 * (1 + id % 8)
                           else n end::bigint as resized_bytes,
                      greatest(n // 3, 1) as step, n
               from s
