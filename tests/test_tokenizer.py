@@ -120,3 +120,68 @@ def test_vectorized_batch_encoder_matches_scalar_twins():
     comp0 = CompiledBPE([])
     c0, s0 = bpe_encode_words(["abc", ""], comp0, return_subwords=True)
     assert list(c0) == [3, 0] and s0[0] == ["a", "b", "c</w>"]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018)
+# ---------------------------------------------------------------------------
+
+def test_unigram_train_basics():
+    from warc2text_spark.operators.tokenizer import unigram_train_local
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "west": 4}
+    model = unigram_train_local(wc, vocab_size=20, seed_size=40)
+    import math
+    # a proper distribution in log space
+    assert abs(sum(math.exp(p) for p in model.values()) - 1.0) < 1e-6
+    # every character of the corpus survives pruning (coverage invariant)
+    chars = {c for w in wc for c in w}
+    assert chars <= {s for s in model if len(s) == 1}
+    # the dominant shared substring is kept as a multi-char piece
+    assert any(len(s) > 1 and "est" in s or s == "est" for s in model)
+    assert len(model) <= 20 or all(len(s) == 1 for s in model)
+
+
+def test_unigram_viterbi_matches_bruteforce():
+    import random as _r
+    from warc2text_spark.operators.tokenizer import (
+        unigram_encode_word, unigram_encode_word_brute,
+        unigram_train_local)
+    rng = _r.Random(47)
+    wc = _random_counts(rng, 50)
+    model = unigram_train_local(wc, vocab_size=60, seed_size=200)
+    for w in list(wc)[:30] + ["zzz", "a", "", "fedcba", "xqxq"]:
+        fast = unigram_encode_word(w, model)
+        slow = unigram_encode_word_brute(w, model)
+        assert "".join(fast) == w
+        # same optimal score (tie rules may differ only at equal score)
+        def score(seg):
+            floor = min(model.values()) - 16.0
+            return sum(model.get(p, floor) for p in seg)
+        assert abs(score(fast) - score(slow)) < 1e-9, (w, fast, slow)
+
+
+def test_unigram_oov_chars_never_fail():
+    from warc2text_spark.operators.tokenizer import unigram_encode_word
+    model = {"a": -1.0, "b": -2.0, "ab": -1.5}
+    assert unigram_encode_word("aXb", model) == ["a", "X", "b"]
+    assert unigram_encode_word("ab", model) == ["ab"]
+    assert unigram_encode_word("", model) == []
+
+
+def test_unigram_spark_encode_matches_local(spark):
+    from warc2text_spark.operators.tokenizer import (
+        unigram_encode, unigram_encode_word, unigram_train)
+    rows = [("1", "the cat sat on the mat"),
+            ("2", "the cats sat"),
+            ("3", ""),
+            ("4", "mat mat mat the")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    model = unigram_train(df, vocab_size=40)
+    out = {r.doc_id: r for r in unigram_encode(df, model).collect()}
+    assert set(out) == {"1", "2", "3", "4"}          # empty doc kept
+    assert (out["3"].n_tokens, out["3"].n_pieces) == (0, 0)
+    for doc_id, text in rows:
+        words = [w for w in text.split() if w]
+        exp = sum(len(unigram_encode_word(w, model)) for w in words)
+        assert out[doc_id].n_tokens == len(words)
+        assert out[doc_id].n_pieces == exp, (doc_id, text)

@@ -428,6 +428,255 @@ def bpe_encode_words(words, compiled: CompiledBPE,
     return out_counts, subwords
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style).  Public algorithm — Kudo
+# 2018, "Subword Regularization" §3 / the SentencePiece unigram trainer:
+# seed a large candidate-substring vocabulary, EM over each word's
+# segmentation lattice (forward-backward expected piece counts), then
+# iterative pruning of the least-useful pieces until the target size.
+# Same scale split as BPE above: training collects only the CAPPED
+# distinct-word frequency table; encoding runs Viterbi once per distinct
+# TYPE inside mapInPandas and joins back — the corpus never crosses into
+# Python.
+# ---------------------------------------------------------------------------
+
+_MAX_PIECE = 8          # candidate piece length cap (seed + lattices)
+_UNK_PENALTY = 16.0     # extra nats for an out-of-vocab character
+
+
+def _unigram_seed(word_counts: dict[str, int],
+                  seed_size: int) -> dict[str, float]:
+    """Candidate vocabulary: every substring up to ``_MAX_PIECE`` chars,
+    kept = all single characters (segmentation must never fail) + the
+    ``seed_size`` highest-count multi-char substrings (ties by string —
+    deterministic)."""
+    cnt: Counter = Counter()
+    for w, c in word_counts.items():
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + _MAX_PIECE, n) + 1):
+                cnt[w[i:j]] += c
+    singles = {s: float(c) for s, c in cnt.items() if len(s) == 1}
+    multi = sorted((s for s in cnt if len(s) > 1),
+                   key=lambda s: (-cnt[s], s))
+    out = dict(singles)
+    for s in multi[:max(0, seed_size - len(singles))]:
+        out[s] = float(cnt[s])
+    return out
+
+
+def _normalize_logp(counts: dict[str, float]) -> dict[str, float]:
+    import math
+    total = sum(counts.values()) or 1.0
+    return {s: math.log(c / total) for s, c in counts.items() if c > 0}
+
+
+def _em_round(word_counts: dict[str, int],
+              logp: dict[str, float]) -> tuple[dict[str, float], float]:
+    """One full EM round: forward-backward over every word's lattice.
+    Returns (expected piece counts, total corpus log-likelihood)."""
+    import math
+    neg = float("-inf")
+    expected: defaultdict[str, float] = defaultdict(float)
+    ll = 0.0
+    for w, c in word_counts.items():
+        n = len(w)
+        if n == 0:
+            continue
+        alpha = [neg] * (n + 1)
+        alpha[0] = 0.0
+        for j in range(1, n + 1):
+            a = neg
+            for i in range(max(0, j - _MAX_PIECE), j):
+                lp = logp.get(w[i:j])
+                if lp is not None and alpha[i] != neg:
+                    t = alpha[i] + lp
+                    a = t if a == neg else (
+                        max(a, t) + math.log1p(math.exp(-abs(a - t))))
+            alpha[j] = a
+        if alpha[n] == neg:     # unreachable word (no char coverage)
+            continue
+        beta = [neg] * (n + 1)
+        beta[n] = 0.0
+        for i in range(n - 1, -1, -1):
+            b = neg
+            for j in range(i + 1, min(i + _MAX_PIECE, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is not None and beta[j] != neg:
+                    t = lp + beta[j]
+                    b = t if b == neg else (
+                        max(b, t) + math.log1p(math.exp(-abs(b - t))))
+            beta[i] = b
+        z = alpha[n]
+        ll += c * z
+        for i in range(n):
+            if alpha[i] == neg:
+                continue
+            for j in range(i + 1, min(i + _MAX_PIECE, n) + 1):
+                lp = logp.get(w[i:j])
+                if lp is not None and beta[j] != neg:
+                    expected[w[i:j]] += c * math.exp(
+                        alpha[i] + lp + beta[j] - z)
+    return dict(expected), ll
+
+
+def unigram_train_local(word_counts: dict[str, int],
+                        vocab_size: int = 1000,
+                        seed_size: int = 8000,
+                        em_rounds: int = 2,
+                        shrink: float = 0.75) -> dict[str, float]:
+    """Learn a unigram-LM piece vocabulary from a word-frequency table.
+    Alternates ``em_rounds`` of full EM with pruning the multi-char
+    pieces of lowest expected count (keep-fraction ``shrink``) until at
+    most ``vocab_size`` pieces remain; single characters are never
+    pruned.  Returns the final piece -> log-probability model."""
+    counts = {w: c for w, c in word_counts.items() if w}
+    logp = _normalize_logp(_unigram_seed(counts, seed_size))
+    while True:
+        for _ in range(em_rounds):
+            expected, _ll = _em_round(counts, logp)
+            # chars stay in the model even at zero expectation (coverage)
+            for s in logp:
+                if len(s) == 1:
+                    expected.setdefault(s, 1e-6)
+                    expected[s] = max(expected[s], 1e-6)
+            logp = _normalize_logp(expected)
+        if len(logp) <= vocab_size:
+            return logp
+        singles = [s for s in logp if len(s) == 1]
+        multi = sorted((s for s in logp if len(s) > 1),
+                       key=lambda s: (-logp[s], s))
+        keep = max(len(multi) and int(len(multi) * shrink),
+                   vocab_size - len(singles))
+        keep = max(keep, 0)
+        if keep >= len(multi):        # cannot shrink further
+            return logp
+        logp = _normalize_logp(
+            {s: __import__("math").exp(logp[s])
+             for s in singles + multi[:keep]})
+
+
+def unigram_encode_word(word: str, logp: dict[str, float]) -> list[str]:
+    """Viterbi segmentation under the unigram model: maximize the sum of
+    piece log-probs.  Out-of-vocab characters score ``min(logp) -
+    _UNK_PENALTY`` so segmentation never fails.  Ties resolve to the
+    longest last piece (smallest split point first) — deterministic."""
+    n = len(word)
+    if n == 0:
+        return []
+    floor = (min(logp.values()) if logp else 0.0) - _UNK_PENALTY
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - _MAX_PIECE), j):
+            if best[i] == neg:
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = floor
+            score = best[i] + lp
+            if score > best[j]:
+                best[j], back[j] = score, i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_encode_word_brute(word: str,
+                              logp: dict[str, float]) -> list[str]:
+    """Exhaustive twin of :func:`unigram_encode_word`: enumerate every
+    segmentation (words in tests are short), same scoring and the same
+    tie rule.  Kept for differential tests — never delete the slow
+    path."""
+    floor = (min(logp.values()) if logp else 0.0) - _UNK_PENALTY
+
+    def score(seg: tuple[str, ...]) -> float:
+        s = 0.0
+        for p in seg:
+            lp = logp.get(p)
+            if lp is None:
+                if len(p) > 1:
+                    return float("-inf")
+                lp = floor
+            s += lp
+        return s
+
+    def segs(w: str):
+        if not w:
+            yield ()
+            return
+        for k in range(1, min(_MAX_PIECE, len(w)) + 1):
+            for rest in segs(w[k:]):
+                yield (w[:k],) + rest
+
+    best_seg, best_s = None, float("-inf")
+    for seg in segs(word):
+        s = score(seg)
+        # Viterbi tie rule: longest last piece wins, then recursively —
+        # enumeration order (longer tail pieces later) makes ">=" match
+        if s > best_s or (s == best_s and best_seg is not None
+                          and len(seg[-1]) > len(best_seg[-1])):
+            best_seg, best_s = seg, s
+    return list(best_seg or ())
+
+
+def unigram_train(df: DataFrame, vocab_size: int = 1000,
+                  text_col: str = "text",
+                  vocab_cap: int = 100_000) -> dict[str, float]:
+    """Distributed pass 1 (same capped type table as :func:`bpe_train`),
+    driver-side EM.  The collect is bounded by ``vocab_cap`` rows."""
+    wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
+          .orderBy(F.col("wc").desc(), F.col("w"))
+          .limit(vocab_cap)
+          .collect())
+    return unigram_train_local({r.w: r.wc for r in wf}, vocab_size)
+
+
+def unigram_encode(df: DataFrame, model: dict[str, float],
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document piece count under the trained unigram model:
+    (id, n_tokens, n_pieces).  Viterbi runs once per distinct TYPE
+    (mapInPandas); corpus-sized frames stay JVM-side — the same plan
+    shape as :func:`bpe_encode`."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "n_sub": [len(unigram_encode_word(w, model))
+                          for w in pdf["w"]]}).astype({"n_sub": "int32"})
+
+    toks = df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("w")) \
+        .filter(F.col("w") != "")
+    types = toks.select("w").distinct()
+    encoded = types.mapInPandas(kernel, "w string, n_sub int")
+    agg = (toks.join(encoded, "w")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("n_sub").cast("long").alias("n_pieces")))
+    ids = df.select(F.col(id_col).cast("string").alias(id_col))
+    return (ids.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_pieces", F.lit(0)).alias("n_pieces")))
+
+
 def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
