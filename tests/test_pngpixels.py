@@ -181,10 +181,12 @@ def test_resize_stub_real_png_path():
                                   resize_nearest(arr, 256))
     feats = _decode_image_stub(png)
     assert feats["px_mean"] == round(float(arr.mean()), 4)
+    a64 = arr.astype(np.float64)
+    assert feats["px_rms"] == round(float(np.sqrt((a64 * a64).mean())), 4)
     assert feats["width"] == 640 and feats["height"] == 480
     # non-PNG keeps the fake twin and the sentinel
     fake = _decode_image_stub(b"IMG42")
-    assert fake["px_mean"] == -1.0
+    assert fake["px_mean"] == -1.0 and fake["px_rms"] == -1.0
 
 def test_resize_palette_png_dereferences_colors():
     """Review r6: resizing a palette (color type 3) PNG must dereference
@@ -256,7 +258,9 @@ def test_decode_stub_wav_feature():
     f = _decode_image_stub(bytes(encode_wav(s)))
     assert f["media_type"] == "audio/wav"
     assert f["width"] == 0 and f["height"] == 0
-    assert f["px_mean"] == round(float(s.astype(np.float64).mean()), 4)
+    f64 = s.astype(np.float64)
+    assert f["px_mean"] == round(float(f64.mean()), 4)
+    assert f["px_rms"] == round(float(np.sqrt((f64 * f64).mean())), 4)
 
 
 def test_gif_lzw_codec():

@@ -20,7 +20,8 @@ import numpy as np
 
 
 def parse_wav(payload: bytes):
-    """``dict(sample_rate, channels, bits, n_samples, mean)`` or None.
+    """``dict(sample_rate, channels, bits, n_samples, mean, rms)`` or
+    None.
 
     ``n_samples`` counts frames (per-channel sample groups); ``mean`` is
     the arithmetic mean of ALL raw sample values (unsigned 0..255 for
@@ -56,12 +57,16 @@ def parse_wav(payload: bytes):
                                     dtype="<i2")
         if samples.size == 0:
             return None
+        f64 = samples.astype(np.float64)
         return {
             "sample_rate": int(sample_rate),
             "channels": int(channels),
             "bits": int(bits),
             "n_samples": int(samples.size // channels),
-            "mean": float(samples.astype(np.float64).mean()),
+            "mean": float(f64.mean()),
+            # RMS level — the second cheap audio-curation feature
+            # (energy; silence gates and clipping checks use it)
+            "rms": float(np.sqrt((f64 * f64).mean())),
         }
     except Exception:
         return None

@@ -138,8 +138,17 @@ def _decode_image_stub(payload: bytes) -> dict:
     sample value (pixels for images, raw PCM level for audio), or the
     -1.0 sentinel when no pixel decode applies (progressive JPEG,
     interlaced GIF, headers without pixel data; the no-NULLs driver
-    rule)."""
+    rule).  ``px_rms`` is the RMS of the same decoded samples (the
+    energy/contrast feature a curation pipeline gates on: near-blank
+    images, silent audio), same -1.0 sentinel."""
+    def _stats(a) -> None:
+        nonlocal px_mean, px_rms
+        f = a.astype(np.float64) if hasattr(a, "astype") else a
+        px_mean = round(float(f.mean()), 4)
+        px_rms = round(float(np.sqrt((f * f).mean())), 4)
+
     px_mean = -1.0
+    px_rms = -1.0
     dims = parse_image_header(payload)
     if dims is not None:
         w, h = dims
@@ -148,28 +157,29 @@ def _decode_image_stub(payload: bytes) -> dict:
             decoded = decode_png(payload)
             if decoded is not None:
                 arr, _palette = decoded
-                px_mean = round(float(arr.mean()), 4)
+                _stats(arr)
         elif payload.startswith((b"GIF87a", b"GIF89a")):
             rgb = gif_first_frame_pixels(payload)
             if rgb is not None:
-                px_mean = round(float(rgb.astype(np.float64).mean()), 4)
+                _stats(rgb)
         elif payload.startswith(b"\xff\xd8"):
             from ..functions.jpegpixels import decode_jpeg
             px = decode_jpeg(payload)
             if px is not None:
-                px_mean = round(float(px.astype(np.float64).mean()), 4)
+                _stats(px)
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
-        # real audio decode (r6): struct-only RIFF/PCM walk; px_mean
-        # doubles as the modality's mean-level feature (mean raw PCM
-        # sample value); image dims are 0 for audio
+        # real audio decode (r6): struct-only RIFF/PCM walk; px_mean /
+        # px_rms double as the modality's level/energy features (raw
+        # PCM sample values); image dims are 0 for audio
         from ..functions.wavaudio import parse_wav
         wav = parse_wav(payload)
         w = h = 0
         if wav is not None:
             px_mean = round(wav["mean"], 4)
+            px_rms = round(wav["rms"], 4)
     elif payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
         # real video decode (r6): RIFF chunk walk for dims/frame count,
-        # first MJPEG frame through the real JPEG decoder for px_mean
+        # first MJPEG frame through the real JPEG decoder for px stats
         from ..functions.aviriff import first_frame_pixels, parse_avi
         avi = parse_avi(payload)
         w = h = 0
@@ -177,7 +187,7 @@ def _decode_image_stub(payload: bytes) -> dict:
             w, h = avi["width"], avi["height"]
             px = first_frame_pixels(payload)
             if px is not None:
-                px_mean = round(float(px.astype(np.float64).mean()), 4)
+                _stats(px)
     else:  # deterministic fake twin (fixture payloads, unknown formats)
         w = 1 + payload[0] % 64 if payload else 0
         h = 1 + payload[-1] % 64 if payload else 0
@@ -187,12 +197,13 @@ def _decode_image_stub(payload: bytes) -> dict:
         "height": h,
         "n_bytes": len(payload),
         "px_mean": px_mean,
+        "px_rms": px_rms,
     }
 
 
 MEDIA_FEATURES_SCHEMA = ("doc_id string, offset int, media_type string, "
                          "width int, height int, n_bytes long, "
-                         "px_mean double, text string")
+                         "px_mean double, px_rms double, text string")
 
 
 def extract_media_features(spans_df: DataFrame) -> DataFrame:
@@ -223,6 +234,7 @@ def extract_media_features(spans_df: DataFrame) -> DataFrame:
                 "height": [f["height"] for f in feats],
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "px_mean": [f["px_mean"] for f in feats],
+                "px_rms": [f["px_rms"] for f in feats],
                 "text": [extract_pdf_text(p)
                          if f["media_type"] == "application/pdf" else ""
                          for p, f in zip(payloads, feats)],

@@ -1865,6 +1865,10 @@ def _merge_registry_oracles(d: dict) -> dict:
                           when v = 3 and id % 10 = 8 then 128.0
                           else coalesce(pm.px_mean, wm.px_mean, gm.px_mean,
                                         -1.0) end as px_mean,
+                     case when v = 2 and id % 10 <> 7 then 128.0
+                          when v = 3 and id % 10 = 8 then 128.0
+                          else coalesce(pm.px_rms, wm.px_rms, gm.px_rms,
+                                        -1.0) end as px_rms,
                      case when v = 0 or (v = 2 and id % 10 <> 7)
                           then 63 + h2 * (1 + w2)
                                + 5 * ((h2 * (1 + w2) + 65534) // 65535)
@@ -1876,14 +1880,20 @@ def _merge_registry_oracles(d: dict) -> dict:
               from s
               left join (select s2.id as pid,
                                 round(avg((s2.id + t.y) % 256), 4)
-                                    as px_mean
+                                    as px_mean,
+                                round(sqrt(avg(((s2.id + t.y) % 256)
+                                            * ((s2.id + t.y) % 256))), 4)
+                                    as px_rms
                          from s1 s2, generate_series(0, 479) t(y)
                          where s2.v = 0 and t.y < s2.h
                          group by s2.id) pm
                 on s.v = 0 and s.id = pm.pid
               left join (select s3.id as wid,
                                 round(avg((s3.id + t.y) % 256), 4)
-                                    as px_mean
+                                    as px_mean,
+                                round(sqrt(avg(((s3.id + t.y) % 256)
+                                            * ((s3.id + t.y) % 256))), 4)
+                                    as px_rms
                          from s1 s3, generate_series(0, 499) t(y)
                          where s3.v = 2 and s3.id % 10 = 7
                            and t.y < 200 + s3.id % 300
@@ -1891,13 +1901,16 @@ def _merge_registry_oracles(d: dict) -> dict:
                 on s.v = 2 and s.id % 10 = 7 and s.id = wm.wid
               left join (select s4.id as gid,
                                 round(avg((s4.id + t.y) % 128), 4)
-                                    as px_mean
+                                    as px_mean,
+                                round(sqrt(avg(((s4.id + t.y) % 128)
+                                            * ((s4.id + t.y) % 128))), 4)
+                                    as px_rms
                          from s1 s4, generate_series(0, 79) t(y)
                          where s4.v = 1 and t.y < s4.npx
                          group by s4.id) gm
                 on s.v = 1 and s.id = gm.gid)
         select doc_id, "offset", media_type, width, height,
-               n_bytes, px_mean, resized_bytes,
+               n_bytes, px_mean, px_rms, resized_bytes,
                case when v = 4 then 'Hello doc ' || id || chr(10)
                     else '' end as text,
                i::int as frame_idx,
