@@ -637,3 +637,50 @@ def test_bitext_margin_matches_numpy_reference(spark):
     assert got == expected and got  # non-trivial
     # malformed ids never appear
     assert not {r[0] for r in got} & {90, 91, 92}
+
+
+def test_quality_classifier_trains_and_separates():
+    import math
+
+    from warc2text_spark.operators.selection import (
+        QUALITY_NEG_SEED, QUALITY_POS_SEED, _clf_bucket_py, _clf_grams_py,
+        train_quality_classifier)
+    w, b = train_quality_classifier()
+    # deterministic: retraining yields the identical model
+    assert (w, b) == train_quality_classifier()
+
+    def prob(t):
+        s = b + sum(w.get(_clf_bucket_py(g), 0.0) for g in _clf_grams_py(t))
+        return 1.0 / (1.0 + math.exp(-s))
+
+    # seeds are separated with margin
+    assert all(prob(t) > 0.9 for t in QUALITY_POS_SEED)
+    assert all(prob(t) < 0.1 for t in QUALITY_NEG_SEED)
+    # held-out register generalization (direction, not calibration)
+    assert prob("The committee met on Tuesday to discuss the annual "
+                "budget and approved three new projects.") > 0.5
+    assert prob("buy cheap pills online best price discount pills "
+                "cheap buy now") < 0.5
+
+
+def test_quality_classifier_score_matches_local(spark):
+    import math
+
+    from warc2text_spark.operators.selection import (
+        _clf_bucket_py, _clf_grams_py, quality_classifier_score,
+        train_quality_classifier)
+    w, b = train_quality_classifier()
+    rows = [("1", "the quick brown fox jumps over the lazy dog"),
+            ("2", "CLICK HERE NOW free free free best price"),
+            ("3", ""),            # empty doc: bias-only logit, no NULLs
+            ("4", "researchers published a detailed study")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    for doc_id, text in rows:
+        logit = round(b + sum(w.get(_clf_bucket_py(g), 0.0)
+                              for g in _clf_grams_py(text)), 6)
+        assert out[doc_id].clf_logit == logit, (doc_id, text)
+        assert out[doc_id].clf_prob == round(
+            1.0 / (1.0 + math.exp(-logit)), 6)
+    assert out["3"].clf_logit == round(b, 6)

@@ -581,6 +581,147 @@ def dsir_resample(weights: DataFrame, frac: float = 0.2,
             .select(id_col, "n_grams", "dsir_logw"))
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (the GPT-3 / CCNet / Gopher curation stage:
+# a linear classifier over hashed n-gram features separating a
+# high-quality reference register from crawl junk — Brown et al. 2020
+# §A "quality filtering"; CCNet trains fastText the same way).  Features
+# are the DSIR feature map verbatim (unigram+bigram instances, md5
+# 32-bit buckets — engine-portable), so the scoring pass is the same
+# JVM-native explode + broadcast-join + map-side-agg plan and the DuckDB
+# oracle can state the trained weights as a VALUES literal.
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 4096
+
+# Seed registers (authored here, public text).  Positive: well-formed
+# expository prose.  Negative: the crawl-junk registers a quality
+# classifier exists to catch — keyword stuffing, promo shouting, nav
+# boilerplate, lorem filler, cookie banners.
+QUALITY_POS_SEED = [
+    "The river begins in the northern mountains and flows south through "
+    "three countries before reaching the sea.",
+    "Researchers at the university published a detailed study describing "
+    "how the disease spreads between migratory birds.",
+    "The museum's new exhibition traces the history of printing from "
+    "carved wooden blocks to modern digital presses.",
+    "After the storm passed, engineers inspected the bridge and found "
+    "that the main span had suffered only minor damage.",
+    "The novel follows a young teacher who moves to a remote village and "
+    "slowly earns the trust of its inhabitants.",
+    "Astronomers confirmed that the comet will make its closest approach "
+    "to Earth in early October, visible to the naked eye.",
+    "The committee voted to restore the old library building rather than "
+    "demolish it, citing its architectural significance.",
+    "Local farmers have adopted drip irrigation because it uses far less "
+    "water than the traditional flooding method.",
+]
+QUALITY_NEG_SEED = [
+    "cheap watches best price cheap watches discount watches buy watches "
+    "online cheap cheap best deal watches",
+    "CLICK HERE NOW!!! FREE FREE FREE limited offer ACT NOW click here "
+    "click here WIN BIG $$$",
+    "home | about | products | services | contact | sitemap | privacy | "
+    "terms | login | register",
+    "lorem ipsum dolor sit amet lorem ipsum dolor sit amet lorem ipsum "
+    "dolor sit amet consectetur",
+    "viagra cialis casino poker online casino best casino bonus casino "
+    "no deposit casino casino",
+    "This website uses cookies to improve your experience. Accept all "
+    "cookies. Manage cookie preferences. Cookie policy.",
+    "copyright 2009 all rights reserved powered by wordpress theme by "
+    "themes free download free download",
+    "page 1 page 2 page 3 next last first previous page 4 page 5 page 6 "
+    "next last archive tags",
+]
+
+
+def _clf_grams_py(text: str) -> list[str]:
+    toks = _py_tokens(text)
+    return toks + [toks[i] + " " + toks[i + 1]
+                   for i in range(len(toks) - 1)]
+
+
+def _clf_bucket_py(ng: str, n_buckets: int = CLF_BUCKETS) -> int:
+    import hashlib
+    return int(hashlib.md5(ng.encode("utf-8")).hexdigest()[:8],
+               16) % n_buckets
+
+
+def train_quality_classifier(pos: list[str] | None = None,
+                             neg: list[str] | None = None,
+                             n_buckets: int = CLF_BUCKETS,
+                             epochs: int = 300, lr: float = 0.5,
+                             l2: float = 1e-3
+                             ) -> tuple[dict[int, float], float]:
+    """Logistic regression over hashed-count features, full-batch
+    gradient descent — deterministic (zero init, fixed epoch count,
+    float64), so the driver query and the generated oracle SQL train
+    to bit-identical weights.  Returns ({bucket: weight}, bias) with
+    only nonzero-feature buckets present."""
+    import numpy as np
+    pos = QUALITY_POS_SEED if pos is None else pos
+    neg = QUALITY_NEG_SEED if neg is None else neg
+    texts = list(pos) + list(neg)
+    y = np.array([1.0] * len(pos) + [0.0] * len(neg))
+    # dense counts over only the buckets the seeds touch (sorted — the
+    # weight order is part of determinism)
+    touched = sorted({_clf_bucket_py(g, n_buckets)
+                      for t in texts for g in _clf_grams_py(t)})
+    col = {b: i for i, b in enumerate(touched)}
+    X = np.zeros((len(texts), len(touched)))
+    for r, t in enumerate(texts):
+        for g in _clf_grams_py(t):
+            X[r, col[_clf_bucket_py(g, n_buckets)]] += 1.0
+    w = np.zeros(len(touched))
+    b = 0.0
+    n = max(len(texts), 1)
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        err = p - y
+        w -= lr * (X.T @ err / n + l2 * w)
+        b -= lr * float(err.mean())
+    return {bk: float(w[i]) for bk, i in col.items()
+            if w[i] != 0.0}, float(b)
+
+
+def quality_classifier_score(docs: DataFrame,
+                             weights: dict[int, float] | None = None,
+                             bias: float | None = None,
+                             n_buckets: int = CLF_BUCKETS,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Apply the trained classifier: (id, clf_logit, clf_prob) for
+    EVERY doc.  logit = bias + sum over gram instances of
+    weight[bucket] (zero for untrained buckets); prob is the sigmoid of
+    the ROUNDED logit (round-then-sigmoid on both engines — no
+    double-rounding divergence).  Same scale shape as DSIR scoring:
+    grams explode JVM-side (md5 in codegen), one tiny broadcast weight
+    table, map-side-combined per-doc sum — no Python crossing,
+    documents never shuffle."""
+    if weights is None or bias is None:
+        weights, bias = train_quality_classifier(n_buckets=n_buckets)
+    spark = docs.sparkSession
+    rows = sorted(weights.items())
+    w = (spark.createDataFrame(rows, "bkt long, wgt double") if rows
+         else spark.createDataFrame([], "bkt long, wgt double"))
+    per_doc = (_dsir_buckets(docs.select(id_col, text_col), text_col,
+                             id_col, n_buckets)
+               .join(F.broadcast(w), "bkt", "left")
+               .groupBy(id_col)
+               .agg(F.sum(F.coalesce(F.col("wgt"), F.lit(0.0)))
+                    .alias("_s")))
+    ids = docs.select(id_col)
+    logit = F.round(F.lit(float(bias)) + F.coalesce(F.col("_s"),
+                                                    F.lit(0.0)), 6)
+    return (ids.join(per_doc, id_col, "left")
+            .select(id_col, logit.alias("clf_logit"))
+            .select(id_col, "clf_logit",
+                    F.round(F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-F.col("clf_logit"))),
+                            6).alias("clf_prob")))
+
+
 def sample_stratified(df: DataFrame, strata_col: str, pct: int,
                       key_col: str = "doc_id",
                       salt: str = "s4") -> DataFrame:

@@ -619,7 +619,19 @@ def q_token_count_bpe(spark, sf_dir) -> DataFrame:
 
 
 def q_quality_score(spark, sf_dir) -> DataFrame:
-    return textops.quality_score(_docs(spark, sf_dir))
+    """Heuristic quality features + the TRAINED quality classifier
+    (r6): logistic regression over hashed n-gram features separating a
+    well-formed-prose register from crawl junk (the GPT-3/CCNet
+    curation stage).  Training is deterministic over the in-code seed
+    registers, so the DuckDB oracle restates the learned weights as a
+    VALUES literal and mirrors the scoring sum exactly."""
+    from ..operators.selection import quality_classifier_score
+    docs = _docs(spark, sf_dir)
+    base = textops.quality_score(docs)
+    clf = quality_classifier_score(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text"))
+    return base.join(clf, "doc_id")
 
 
 def q_fingerprint(spark, sf_dir) -> DataFrame:
@@ -1429,6 +1441,51 @@ def q_demux_modes(spark, sf_dir) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+
+def _quality_score_oracle() -> str:
+    """Heuristic features + the trained classifier: the deterministic
+    trainer reruns here and the learned weights become a VALUES
+    literal, so the SQL mirrors the Spark scoring sum token-for-token
+    (DSIR md5-bucket feature map, round-then-sigmoid)."""
+    from ..operators.selection import CLF_BUCKETS, train_quality_classifier
+    weights, bias = train_quality_classifier()
+    vals = ", ".join("(%d, %r)" % (b, w) for b, w in sorted(weights.items()))
+    return rf"""
+        with wt(bkt, wgt) as (values {vals}),
+        toks as (select doc_id,
+                list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '') as t from documents),
+        g as (select doc_id,
+                unnest(t || list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) as ng
+              from toks),
+        b as (select doc_id,
+                ('0x' || substr(md5(ng), 1, 8))::bigint % {CLF_BUCKETS}
+                    as bkt
+              from g),
+        s0 as (select b.doc_id, sum(coalesce(wt.wgt, 0.0)) as s
+               from b left join wt using (bkt) group by b.doc_id),
+        c as (select doc_id, clf_logit,
+                     round(1.0 / (1.0 + exp(-clf_logit)), 6) as clf_prob
+              from (select d.doc_id,
+                           round({bias!r} + coalesce(s0.s, 0.0), 6)
+                               as clf_logit
+                    from documents d
+                    left join s0 on d.doc_id = s0.doc_id))
+        select cast(q.doc_id as varchar) as doc_id,
+               strlen(q.text)::bigint as n_chars,
+               len(string_split(q.text, ' '))::bigint as n_tokens,
+               cast(round(strlen(replace(q.text, ' ', ''))
+                    / len(string_split(q.text, ' ')), 4) as double)
+                   as avg_token_len,
+               cast(round(len(list_filter(string_split(q.text, ' '),
+                    t -> t in ('the','and','of','to','in','is')))
+                    / len(string_split(q.text, ' ')), 4) as double)
+                   as stopword_ratio,
+               c.clf_logit, c.clf_prob
+        from documents q join c on q.doc_id = c.doc_id"""
+
+
 def _multilang_model_oracle() -> str:
     """Closed-form twin of the multi_model leg: per doc four lines drawn
     from the reliable held-out set (labels pinned at model-generation
@@ -2039,16 +2096,7 @@ def oracle_sql() -> dict[str, str]:
                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]+'))::bigint
                        as n_bpe_tokens
             from documents""",
-        "quality_score": """
-            select cast(doc_id as varchar) as doc_id,
-                   strlen(text)::bigint as n_chars,
-                   len(string_split(text, ' '))::bigint as n_tokens,
-                   cast(round(strlen(replace(text, ' ', ''))
-                        / len(string_split(text, ' ')), 4) as double) as avg_token_len,
-                   cast(round(len(list_filter(string_split(text, ' '),
-                        t -> t in ('the','and','of','to','in','is')))
-                        / len(string_split(text, ' ')), 4) as double) as stopword_ratio
-            from documents""",
+        "quality_score": _quality_score_oracle(),
         "fingerprint": """
             select cast(doc_id as varchar) as doc_id,
                    list_min(list_transform(
