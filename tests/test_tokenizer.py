@@ -185,3 +185,68 @@ def test_unigram_spark_encode_matches_local(spark):
         exp = sum(len(unigram_encode_word(w, model)) for w in words)
         assert out[doc_id].n_tokens == len(words)
         assert out[doc_id].n_pieces == exp, (doc_id, text)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (BERT-style, Wu et al. 2016 likelihood merges)
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_likelihood_merge_differs_from_bpe():
+    from warc2text_spark.operators.tokenizer import (wordpiece_train_local,
+                                                     bpe_train_naive)
+    # 'xy' is the most FREQUENT pair but x and y are each very common;
+    # 'qz' is rarer but its parts occur nowhere else, so the likelihood
+    # score c(ab)/(c(a)c(b)) prefers it while BPE's raw count picks xy
+    wc = {"xy": 10, "xa": 8, "yb": 8, "qz": 4}
+    vocab = wordpiece_train_local(wc, vocab_size=8)  # 7 chars + 1 merge
+    assert "qz" in vocab                       # likelihood winner merged
+    merges = bpe_train_naive(wc, 1)
+    assert merges[0] == ("x", "y" + END)       # raw-count winner differs
+
+
+def test_wordpiece_vocab_and_encode_roundtrip():
+    from warc2text_spark.operators.tokenizer import (WP_UNK,
+                                                     wordpiece_encode_word,
+                                                     wordpiece_train_local)
+    wc = {"low": 5, "lower": 2, "lowest": 6, "newer": 3, "wider": 3}
+    vocab = set(wordpiece_train_local(wc, vocab_size=30))
+    for w in wc:
+        pieces = wordpiece_encode_word(w, vocab)
+        assert pieces and WP_UNK not in pieces
+        rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+        assert rebuilt == w, (w, pieces)
+    # longest-match-first: a word fully in vocab is one piece
+    assert any(len(wordpiece_encode_word(w, vocab)) == 1 for w in wc)
+    # unknown character anywhere -> [UNK] for the whole word
+    assert wordpiece_encode_word("low!", vocab) == [WP_UNK] or \
+        "!" not in "".join(vocab)
+    assert wordpiece_encode_word("é", vocab) == [WP_UNK]
+
+
+def test_wordpiece_greedy_is_longest_match():
+    from warc2text_spark.operators.tokenizer import wordpiece_encode_word
+    vocab = {"a", "ab", "abc", "##d", "##cd", "b", "##b", "##c"}
+    # longest prefix 'abc' wins over 'ab'+'##c...'
+    assert wordpiece_encode_word("abcd", vocab) == ["abc", "##d"]
+    assert wordpiece_encode_word("abd", vocab) == ["ab", "##d"]
+
+
+def test_wordpiece_spark_encode_matches_local(spark):
+    from warc2text_spark.operators.tokenizer import (wordpiece_encode,
+                                                     wordpiece_encode_word,
+                                                     wordpiece_train)
+    rows = [("1", "the cat sat on the mat"),
+            ("2", "the cats sat"),
+            ("3", ""),
+            ("4", "zebra zebra qqq")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    vocab = wordpiece_train(df, vocab_size=60)
+    vset = set(vocab)
+    out = {r.doc_id: r for r in wordpiece_encode(df, vocab).collect()}
+    assert set(out) == {"1", "2", "3", "4"}
+    assert (out["3"].n_tokens, out["3"].n_pieces, out["3"].n_unk) == (0, 0, 0)
+    for doc_id, text in rows:
+        words = [w for w in text.split() if w]
+        pieces = [wordpiece_encode_word(w, vset) for w in words]
+        assert out[doc_id].n_tokens == len(words)
+        assert out[doc_id].n_pieces == sum(len(p) for p in pieces)

@@ -429,6 +429,167 @@ def bpe_encode_words(words, compiled: CompiledBPE,
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (BERT-style).  Public algorithm — Wu et al. 2016
+# (GNMT §4.1) / Devlin et al. 2019; the merge criterion differs from BPE:
+# pick the pair maximizing the likelihood score count(ab) /
+# (count(a) * count(b)) rather than the raw pair count, and inference is
+# greedy longest-match-first over the learned vocabulary (independent of
+# merge order), with "##" marking word-internal continuations.  Same
+# scale split as BPE/unigram: train on the capped type table driver-side,
+# encode once per distinct TYPE in mapInPandas.
+# ---------------------------------------------------------------------------
+
+WP_CONT = "##"
+WP_UNK = "[UNK]"
+
+
+def _wp_syms(word: str) -> tuple[str, ...]:
+    return (word[0],) + tuple(WP_CONT + c for c in word[1:])
+
+
+def _wp_merge_token(a: str, b: str) -> str:
+    return a + (b[len(WP_CONT):] if b.startswith(WP_CONT) else b)
+
+
+def wordpiece_train_local(word_counts: dict[str, int],
+                          vocab_size: int = 1000) -> list[str]:
+    """Learn a WordPiece vocabulary: start from characters (+ their
+    ``##`` continuation forms), repeatedly merge the adjacent pair with
+    the highest likelihood score count(ab)/(count(a)*count(b)) (ties:
+    higher pair count, then pair asc — deterministic) until
+    ``vocab_size`` tokens exist or no pair occurs twice.  Returns the
+    sorted vocabulary list."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        if not w:
+            continue
+        s = _wp_syms(w)
+        vocab[s] = vocab.get(s, 0) + c
+    tokens_seen: set[str] = set()
+    for s in vocab:
+        tokens_seen.update(s)
+    while len(tokens_seen) < vocab_size:
+        pairs: Counter = Counter()
+        syms: Counter = Counter()
+        for s, c in vocab.items():
+            for t in s:
+                syms[t] += c
+            for p in zip(s, s[1:]):
+                pairs[p] += c
+        best, best_key = None, None
+        for p, c in pairs.items():
+            if c < 2:
+                continue
+            score = c / (syms[p[0]] * syms[p[1]])
+            key = (-score, -c, p)
+            if best_key is None or key < best_key:
+                best, best_key = p, key
+        if best is None:
+            break
+        merged_tok = _wp_merge_token(*best)
+        tokens_seen.add(merged_tok)
+        vocab2: dict[tuple[str, ...], int] = {}
+        for s, c in vocab.items():
+            m = _merge_wp(s, best)
+            vocab2[m] = vocab2.get(m, 0) + c
+        vocab = vocab2
+    return sorted(tokens_seen)
+
+
+def _merge_wp(syms: tuple[str, ...], pair: tuple[str, str]
+              ) -> tuple[str, ...]:
+    a, b = pair
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(_wp_merge_token(a, b))
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def wordpiece_encode_word(word: str, vocab: set[str]) -> list[str]:
+    """Greedy longest-match-first (the BERT WordPiece inference rule):
+    take the longest vocabulary prefix, then continue with ``##``-forms;
+    if no prefix matches at some position the whole word becomes
+    ``[UNK]`` (the reference tokenizers do the same)."""
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        prefix = WP_CONT if i > 0 else ""
+        j = n
+        piece = None
+        while j > i:
+            cand = prefix + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return [WP_UNK]
+        out.append(piece)
+        i = j
+    return out
+
+
+def wordpiece_train(df: DataFrame, vocab_size: int = 1000,
+                    text_col: str = "text",
+                    vocab_cap: int = 100_000) -> list[str]:
+    """Distributed pass 1 (the shared capped type table), driver-side
+    merge loop."""
+    wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
+          .orderBy(F.col("wc").desc(), F.col("w"))
+          .limit(vocab_cap)
+          .collect())
+    return wordpiece_train_local({r.w: r.wc for r in wf}, vocab_size)
+
+
+def wordpiece_encode(df: DataFrame, vocab: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document WordPiece counts: (id, n_tokens, n_pieces, n_unk).
+    Longest-match runs once per distinct TYPE; corpus stays JVM-side."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vset = set(vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pieces = [wordpiece_encode_word(w, vset) for w in pdf["w"]]
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "n_sub": [len(p) for p in pieces],
+                "n_unk": [sum(1 for t in p if t == WP_UNK)
+                          for p in pieces]}).astype({"n_sub": "int32",
+                                                     "n_unk": "int32"})
+
+    toks = df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("w")) \
+        .filter(F.col("w") != "")
+    types = toks.select("w").distinct()
+    encoded = types.mapInPandas(kernel, "w string, n_sub int, n_unk int")
+    agg = (toks.join(encoded, "w")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("n_sub").cast("long").alias("n_pieces"),
+                F.sum("n_unk").cast("long").alias("n_unk")))
+    ids = df.select(F.col(id_col).cast("string").alias(id_col))
+    return (ids.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+                    F.coalesce("n_unk", F.lit(0)).alias("n_unk")))
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (SentencePiece-style).  Public algorithm — Kudo
 # 2018, "Subword Regularization" §3 / the SentencePiece unigram trainer:
 # seed a large candidate-substring vocabulary, EM over each word's
