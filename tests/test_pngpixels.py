@@ -349,3 +349,74 @@ def test_resize_gif_real_path():
     fake = _gif_animated(20, 10, 2, 3)
     out_fake = _resize_image_stub(fake, 256)
     assert len(out_fake) == min(len(fake), 256 * 4)
+
+
+def test_bmp_codec_roundtrip_and_variants():
+    """Dependency-free BMP decode (functions/bmppixels.py): 24-bit
+    round-trip with row padding, top-down row order, 8-bit palette
+    dereference, the closed-form size law, and never-raise malformed
+    contract."""
+    from warc2text_spark.functions.bmppixels import (bmp_encoded_size,
+                                                     decode_bmp, encode_bmp,
+                                                     parse_bmp_header)
+    r = _rng(21)
+    for h, w in ((1, 1), (5, 3), (7, 4), (9, 13)):   # odd widths: padding
+        arr = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        bmp = encode_bmp(arr)
+        assert len(bmp) == bmp_encoded_size(w, h)
+        assert parse_bmp_header(bmp) == (w, h)
+        out = decode_bmp(bmp)
+        np.testing.assert_array_equal(out, arr)
+    # top-down: negative height, rows stored first-to-last
+    arr = r.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    bmp = bytearray(encode_bmp(arr[::-1]))  # encoder wrote bottom-up of flipped
+    bmp[22:26] = struct.pack("<i", -4)
+    out = decode_bmp(bytes(bmp))
+    np.testing.assert_array_equal(out, arr[::-1][::-1])  # == arr flipped back
+    # 8-bit palette image built by hand
+    h, w = 3, 6
+    stride = ((w * 8 + 31) // 32) * 4
+    idx = (np.arange(h * w, dtype=np.uint8) % 4).reshape(h, w)
+    rows = b"".join(idx[y].tobytes() + b"\x00" * (stride - w)
+                    for y in range(h - 1, -1, -1))
+    pal = b"".join(bytes([b, g, rr, 0]) for rr, g, b in
+                   ((255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)))
+    off = 54 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                         len(rows), 0, 0, 4, 0))
+    out = decode_bmp(hdr + pal + rows)
+    assert out.shape == (h, w, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[0, 1]) == (0, 255, 0)
+    # malformed: never raises
+    good = encode_bmp(arr)
+    for bad in (b"", b"BM", good[:30], good[:53],
+                good.replace(b"BM", b"BX"),
+                good[:30] + struct.pack("<I", 1) + good[34:],  # RLE
+                good[:100]):
+        decode_bmp(bad)  # no raise; most return None
+    assert decode_bmp(good[:40]) is None
+
+
+def test_bmp_multimodal_integration():
+    """BMP routes through the real decode/resize paths in
+    operators/multimodal: stats from real pixels, PNG thumbnail with
+    the closed-form size."""
+    from warc2text_spark.functions.bmppixels import encode_bmp
+    from warc2text_spark.operators.multimodal import (_decode_image_stub,
+                                                      _resize_image_stub,
+                                                      sniff_media_type)
+    col = (np.arange(300) % 256).astype(np.uint8)
+    arr = np.repeat(np.repeat(col[:, None], 400, axis=1)[:, :, None],
+                    3, axis=2)
+    bmp = encode_bmp(arr)
+    assert sniff_media_type(bmp) == "image/bmp"
+    f = _decode_image_stub(bmp)
+    a64 = arr.astype(np.float64)
+    assert (f["width"], f["height"]) == (400, 300)
+    assert f["px_mean"] == round(float(a64.mean()), 4)
+    assert f["px_rms"] == round(float(np.sqrt((a64 * a64).mean())), 4)
+    out = _resize_image_stub(bmp, 256)
+    assert len(out) == png_encoded_size(256, 192, 3)
+    rarr, _ = decode_png(out)
+    np.testing.assert_array_equal(rarr, resize_nearest(arr, 256))

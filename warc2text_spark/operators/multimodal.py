@@ -37,6 +37,7 @@ MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF87a": "image/gif",
     b"GIF89a": "image/gif",
+    b"BM": "image/bmp",
     b"ID3": "audio/mpeg",
     b"%PDF": "application/pdf",
     b"IMG": "x-test/fake",  # deterministic fixture payloads
@@ -97,6 +98,9 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
                 return None
             w, h = struct.unpack("<HH", payload[6:10])
             return (w, h)
+        if payload.startswith(b"BM"):
+            from ..functions.bmppixels import parse_bmp_header
+            return parse_bmp_header(payload)
         if payload.startswith(b"\xff\xd8"):
             i = 2
             while i + 4 <= len(payload):
@@ -165,6 +169,11 @@ def _decode_image_stub(payload: bytes) -> dict:
         elif payload.startswith(b"\xff\xd8"):
             from ..functions.jpegpixels import decode_jpeg
             px = decode_jpeg(payload)
+            if px is not None:
+                _stats(px)
+        elif payload.startswith(b"BM"):
+            from ..functions.bmppixels import decode_bmp
+            px = decode_bmp(payload)
             if px is not None:
                 _stats(px)
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
@@ -268,6 +277,14 @@ def _resize_image_stub(payload: bytes, max_dim: int) -> bytes:
         from ..functions.aviriff import first_frame_pixels
         from ..functions.pngpixels import encode_png, resize_nearest
         px = first_frame_pixels(payload)
+        if px is not None:
+            return encode_png(resize_nearest(px, max_dim))
+    if payload.startswith(b"BM"):
+        # BMP thumbnail: struct-layout decode (functions/bmppixels.py),
+        # resample, same one-thumb-format PNG rule
+        from ..functions.bmppixels import decode_bmp
+        from ..functions.pngpixels import encode_png, resize_nearest
+        px = decode_bmp(payload)
         if px is not None:
             return encode_png(resize_nearest(px, max_dim))
     if payload.startswith((b"GIF87a", b"GIF89a")):

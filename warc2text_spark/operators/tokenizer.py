@@ -712,9 +712,9 @@ def unigram_train_local(word_counts: dict[str, int],
         keep = max(keep, 0)
         if keep >= len(multi):        # cannot shrink further
             return logp
+        import math
         logp = _normalize_logp(
-            {s: __import__("math").exp(logp[s])
-             for s in singles + multi[:keep]})
+            {s: math.exp(logp[s]) for s in singles + multi[:keep]})
 
 
 def unigram_encode_word(word: str, logp: dict[str, float]) -> list[str]:
