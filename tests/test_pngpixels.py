@@ -420,3 +420,26 @@ def test_bmp_multimodal_integration():
     assert len(out) == png_encoded_size(256, 192, 3)
     rarr, _ = decode_png(out)
     np.testing.assert_array_equal(rarr, resize_nearest(arr, 256))
+
+
+def test_bmp_magic_requires_structural_header():
+    """Review r6: the 2-byte 'BM' magic must not claim ordinary text —
+    sniff and header parse require a structurally valid DIB header
+    (known header size, sane dims, data offset past the headers)."""
+    from warc2text_spark.functions.bmppixels import (decode_bmp, encode_bmp,
+                                                     parse_bmp_header)
+    from warc2text_spark.operators.multimodal import (_decode_image_stub,
+                                                      sniff_media_type)
+    text = b"BMW cars are great and this is just prose, not a bitmap."
+    assert sniff_media_type(text) == "application/octet-stream"
+    assert parse_bmp_header(text) is None
+    assert decode_bmp(text + b"\x00" * 64) is None
+    f = _decode_image_stub(text)
+    assert f["media_type"] == "application/octet-stream"
+    assert f["px_mean"] == -1.0            # fake-twin dims, sentinel stats
+    # bogus bfOffBits pointing into the header: honest None, not
+    # header bytes decoded as pixels
+    good = bytearray(encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    import struct as _st
+    good[10:14] = _st.pack("<I", 0)
+    assert decode_bmp(bytes(good)) is None

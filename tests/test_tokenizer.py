@@ -250,3 +250,14 @@ def test_wordpiece_spark_encode_matches_local(spark):
         pieces = [wordpiece_encode_word(w, vset) for w in words]
         assert out[doc_id].n_tokens == len(words)
         assert out[doc_id].n_pieces == sum(len(p) for p in pieces)
+
+
+def test_wordpiece_incremental_matches_naive_recount():
+    from warc2text_spark.operators.tokenizer import (wordpiece_train_local,
+                                                     wordpiece_train_naive)
+    rng = random.Random(53)
+    for _ in range(20):
+        wc = _random_counts(rng, rng.randint(1, 40))
+        vs = rng.randint(1, 40)
+        assert wordpiece_train_local(wc, vs) == \
+            wordpiece_train_naive(wc, vs), (wc, vs)

@@ -18,6 +18,11 @@ import struct
 
 import numpy as np
 
+# the DIB header sizes Windows actually writes (BITMAPCOREHEADER and the
+# BITMAPINFOHEADER family) — used to reject text that merely starts "BM"
+_DIB_SIZES = frozenset((12, 40, 52, 56, 64, 108, 124))
+_MAX_DIM = 1 << 20
+
 
 def _row_stride(width: int, bpp: int) -> int:
     return ((width * bpp + 31) // 32) * 4
@@ -54,14 +59,16 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int] | None:
         if not payload.startswith(b"BM") or len(payload) < 22:
             return None
         (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size not in _DIB_SIZES:
+            return None       # arbitrary bytes after "BM" are not a DIB
         if hdr_size == 12:
             # BITMAPCOREHEADER: legacy, uint16 dims
             w, h = struct.unpack("<HH", payload[18:22])
             return (w, h) if w and h else None
-        if hdr_size < 40 or len(payload) < 26:
+        if len(payload) < 26:
             return None
         w, h = struct.unpack("<ii", payload[18:26])
-        if w <= 0 or h == 0:
+        if w <= 0 or h == 0 or w > _MAX_DIM or abs(h) > _MAX_DIM:
             return None
         return (w, abs(h))
     except Exception:
@@ -78,12 +85,18 @@ def decode_bmp(payload: bytes):
             return None
         (data_off,) = struct.unpack("<I", payload[10:14])
         (hdr_size,) = struct.unpack("<I", payload[14:18])
-        if hdr_size < 40:
+        if hdr_size not in _DIB_SIZES or hdr_size < 40:
             return None
         w, h_signed = struct.unpack("<ii", payload[18:26])
         planes, bpp = struct.unpack("<HH", payload[26:30])
         (compression,) = struct.unpack("<I", payload[30:34])
         if w <= 0 or h_signed == 0 or planes != 1 or compression != 0:
+            return None
+        if w > _MAX_DIM or abs(h_signed) > _MAX_DIM:
+            return None
+        # pixel data must start after the headers (a bogus bfOffBits
+        # would silently decode header/palette bytes as pixels)
+        if data_off < 14 + hdr_size or data_off > len(payload):
             return None
         if bpp not in (8, 24):
             return None

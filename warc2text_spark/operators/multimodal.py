@@ -37,7 +37,6 @@ MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF87a": "image/gif",
     b"GIF89a": "image/gif",
-    b"BM": "image/bmp",
     b"ID3": "audio/mpeg",
     b"%PDF": "application/pdf",
     b"IMG": "x-test/fake",  # deterministic fixture payloads
@@ -51,6 +50,13 @@ _RIFF_TYPES = {b"WAVE": "audio/wav", b"AVI ": "video/avi",
 def sniff_media_type(payload: bytes) -> str:
     if payload.startswith(b"RIFF"):
         return _RIFF_TYPES.get(payload[8:12], "application/octet-stream")
+    if payload.startswith(b"BM"):
+        # 2-byte magic over-matches ordinary text ("BMW ...") — require
+        # a structurally valid DIB header before claiming the type
+        from ..functions.bmppixels import parse_bmp_header
+        if parse_bmp_header(payload) is not None:
+            return "image/bmp"
+        return "application/octet-stream"
     for magic, mime in MAGIC.items():
         if payload.startswith(magic):
             return mime

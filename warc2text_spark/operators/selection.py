@@ -699,8 +699,14 @@ def quality_classifier_score(docs: DataFrame,
     grams explode JVM-side (md5 in codegen), one tiny broadcast weight
     table, map-side-combined per-doc sum — no Python crossing,
     documents never shuffle."""
-    if weights is None or bias is None:
+    if weights is None:
+        if bias is not None:
+            raise ValueError("bias given without weights — pass both "
+                             "(or neither, to train on the seed "
+                             "registers)")
         weights, bias = train_quality_classifier(n_buckets=n_buckets)
+    elif bias is None:
+        bias = 0.0      # caller-trained weights, no intercept
     spark = docs.sparkSession
     rows = sorted(weights.items())
     w = (spark.createDataFrame(rows, "bkt long, wgt double") if rows

@@ -134,20 +134,28 @@ def bpe_train_naive(word_counts: dict[str, int],
     return merges
 
 
-def bpe_train(df: DataFrame, num_merges: int = 200,
-              text_col: str = "text",
-              vocab_cap: int = 100_000) -> list[tuple[str, str]]:
-    """Distributed pass 1 (capped type table), driver-side merge loop.
-    The collect is bounded by ``vocab_cap`` rows — megabytes, not the
-    corpus (cap keeps the highest-count types; ties broken by word so
-    the sample is deterministic)."""
+def _type_table(df: DataFrame, text_col: str,
+                vocab_cap: int) -> dict[str, int]:
+    """The shared pass 1 of every trainer: the capped distinct-word
+    frequency table.  The collect is bounded by ``vocab_cap`` rows —
+    megabytes, not the corpus (cap keeps the highest-count types; ties
+    broken by word so the sample is deterministic)."""
     wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
           .filter(F.col("w") != "")
           .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
           .orderBy(F.col("wc").desc(), F.col("w"))
           .limit(vocab_cap)
           .collect())
-    return bpe_train_local({r.w: r.wc for r in wf}, num_merges)
+    return {r.w: r.wc for r in wf}
+
+
+def bpe_train(df: DataFrame, num_merges: int = 200,
+              text_col: str = "text",
+              vocab_cap: int = 100_000) -> list[tuple[str, str]]:
+    """Distributed pass 1 (:func:`_type_table`), driver-side merge
+    loop."""
+    return bpe_train_local(_type_table(df, text_col, vocab_cap),
+                           num_merges)
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]
@@ -458,7 +466,68 @@ def wordpiece_train_local(word_counts: dict[str, int],
     the highest likelihood score count(ab)/(count(a)*count(b)) (ties:
     higher pair count, then pair asc — deterministic) until
     ``vocab_size`` tokens exist or no pair occurs twice.  Returns the
-    sorted vocabulary list."""
+    sorted vocabulary list.
+
+    Incremental like :func:`bpe_train_local`: pair AND symbol counts
+    are maintained through each merge via the pair -> words index (the
+    score numerator and denominators both come from the live counters),
+    so a round costs one scan of the pair table plus the touched words
+    — not a full recount of the type table."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        if not w:
+            continue
+        s = _wp_syms(w)
+        vocab[s] = vocab.get(s, 0) + c
+    pairs: Counter = Counter()
+    syms: Counter = Counter()
+    index: defaultdict[tuple[str, str], set] = defaultdict(set)
+
+    def account(s: tuple[str, ...], c: int, sign: int) -> None:
+        for t in s:
+            syms[t] += sign * c
+        for p, k in Counter(zip(s, s[1:])).items():
+            pairs[p] += sign * k * c
+            if sign > 0:
+                index[p].add(s)
+            else:
+                index[p].discard(s)
+
+    for s, c in vocab.items():
+        account(s, c, +1)
+    tokens_seen: set[str] = set()
+    for s in vocab:
+        tokens_seen.update(s)
+    while len(tokens_seen) < vocab_size:
+        best, best_key = None, None
+        for p, c in pairs.items():
+            if c < 2:
+                continue
+            score = c / (syms[p[0]] * syms[p[1]])
+            key = (-score, -c, p)
+            if best_key is None or key < best_key:
+                best, best_key = p, key
+        if best is None:
+            break
+        tokens_seen.add(_wp_merge_token(*best))
+        for s in list(index[best]):
+            c = vocab.pop(s)
+            account(s, c, -1)
+            m = _merge_wp(s, best)
+            if m in vocab:
+                account(m, vocab[m], -1)
+                vocab[m] += c
+            else:
+                vocab[m] = c
+            account(m, vocab[m], +1)
+    return sorted(tokens_seen)
+
+
+def wordpiece_train_naive(word_counts: dict[str, int],
+                          vocab_size: int = 1000) -> list[str]:
+    """Spec twin of :func:`wordpiece_train_local`: full pair + symbol
+    recount every round.  Kept for differential tests — never delete
+    the slow path."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_counts.items():
         if not w:
@@ -486,8 +555,7 @@ def wordpiece_train_local(word_counts: dict[str, int],
                 best, best_key = p, key
         if best is None:
             break
-        merged_tok = _wp_merge_token(*best)
-        tokens_seen.add(merged_tok)
+        tokens_seen.add(_wp_merge_token(*best))
         vocab2: dict[tuple[str, ...], int] = {}
         for s, c in vocab.items():
             m = _merge_wp(s, best)
@@ -539,15 +607,10 @@ def wordpiece_encode_word(word: str, vocab: set[str]) -> list[str]:
 def wordpiece_train(df: DataFrame, vocab_size: int = 1000,
                     text_col: str = "text",
                     vocab_cap: int = 100_000) -> list[str]:
-    """Distributed pass 1 (the shared capped type table), driver-side
-    merge loop."""
-    wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-          .filter(F.col("w") != "")
-          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
-          .orderBy(F.col("wc").desc(), F.col("w"))
-          .limit(vocab_cap)
-          .collect())
-    return wordpiece_train_local({r.w: r.wc for r in wf}, vocab_size)
+    """Distributed pass 1 (:func:`_type_table`), driver-side merge
+    loop."""
+    return wordpiece_train_local(_type_table(df, text_col, vocab_cap),
+                                 vocab_size)
 
 
 def wordpiece_encode(df: DataFrame, vocab: list[str],
@@ -793,15 +856,9 @@ def unigram_encode_word_brute(word: str,
 def unigram_train(df: DataFrame, vocab_size: int = 1000,
                   text_col: str = "text",
                   vocab_cap: int = 100_000) -> dict[str, float]:
-    """Distributed pass 1 (same capped type table as :func:`bpe_train`),
-    driver-side EM.  The collect is bounded by ``vocab_cap`` rows."""
-    wf = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-          .filter(F.col("w") != "")
-          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
-          .orderBy(F.col("wc").desc(), F.col("w"))
-          .limit(vocab_cap)
-          .collect())
-    return unigram_train_local({r.w: r.wc for r in wf}, vocab_size)
+    """Distributed pass 1 (:func:`_type_table`), driver-side EM."""
+    return unigram_train_local(_type_table(df, text_col, vocab_cap),
+                               vocab_size)
 
 
 def unigram_encode(df: DataFrame, model: dict[str, float],
