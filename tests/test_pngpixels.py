@@ -443,3 +443,23 @@ def test_bmp_magic_requires_structural_header():
     import struct as _st
     good[10:14] = _st.pack("<I", 0)
     assert decode_bmp(bytes(good)) is None
+
+
+def test_bmp_fuzz_never_raises():
+    from warc2text_spark.functions.bmppixels import decode_bmp, encode_bmp, \
+        parse_bmp_header
+    r = _rng(29)
+    good = encode_bmp(r.integers(0, 256, size=(6, 7, 3), dtype=np.uint8))
+    buf = bytearray(good)
+    for _ in range(300):
+        i = int(r.integers(0, len(buf)))
+        b0 = buf[i]
+        buf[i] = int(r.integers(0, 256))
+        decode_bmp(bytes(buf))
+        parse_bmp_header(bytes(buf))
+        buf[i] = b0
+    # random garbage with the magic
+    for n in (2, 13, 14, 22, 54, 200):
+        junk = b"BM" + bytes(r.integers(0, 256, size=n, dtype=np.uint8))
+        decode_bmp(junk)
+        parse_bmp_header(junk)
