@@ -131,9 +131,35 @@ def q_filter_stage(spark, sf_dir) -> DataFrame:
     return main.select("doc_id")
 
 
+ROBOTS_FIXTURE = [
+    ("https://s3.example/robots.txt",
+     "User-agent: *\nDisallow: /page\nAllow: /page1\n"),
+    ("https://s8.example/robots.txt",
+     "User-agent: *\nDisallow: /*.png$\nAllow: /img1*.png$\n"),
+]
+
+
 def q_robots_route(spark, sf_dir) -> DataFrame:
-    _, robots, _ = split_stream(build_spans(spark, sf_dir))
-    return robots.select("doc_id")
+    """Two legs in one row: 'route' = the F3 robots side-route (the
+    reference semantic), 'apply' = RFC 9309 rule application over every
+    fixture URL under an authored two-host robots corpus
+    (operators/robots.py — broadcast per-host rule table, JVM-side
+    regexp match, longest-path/allow-wins precedence).  The oracle
+    states the decisions closed-form: s3 disallows /page except /page1
+    (so only ids whose decimal form starts with 1 survive), s8
+    disallows *.png except /img1*.png; every other host has no
+    robots.txt and is allowed."""
+    from ..operators.robots import apply_robots, robots_rules
+    spans = build_spans(spark, sf_dir)
+    _, robots, _ = split_stream(spans)
+    route = robots.select(F.lit("route").alias("variant"), "doc_id",
+                          F.lit(True).alias("allowed"))
+    rules = robots_rules(spark.createDataFrame(
+        ROBOTS_FIXTURE, "url string, text string"))
+    applied = (apply_robots(spans.select("doc_id", "url"), rules)
+               .select(F.lit("apply").alias("variant"), "doc_id",
+                       "allowed"))
+    return route.unionByName(applied)
 
 
 def q_counters(spark, sf_dir) -> DataFrame:
@@ -2007,8 +2033,15 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id as varchar) as doc_id from documents
             where doc_id % 10 <= 5""",
         "robots_route": """
-            select cast(doc_id as varchar) as doc_id from documents
-            where doc_id % 10 = 9""",
+            select 'route' as variant, cast(doc_id as varchar) as doc_id,
+                   true as allowed
+            from documents where doc_id % 10 = 9
+            union all
+            select 'apply', cast(doc_id as varchar),
+                   case when doc_id % 20 in (3, 8)
+                        then cast(doc_id as varchar) like '1%'
+                        else true end
+            from documents""",
         "extract_skip_text": f"""
             select cast(doc_id as varchar) as doc_id,
                    case doc_id % 10
