@@ -81,3 +81,17 @@ def test_apply_robots_rules_table_shape(spark):
     assert {(r.agent, r.rule, r.path) for r in rules} >= {
         ("*", "disallow", "/private/"), ("megabot", "disallow", "/")}
     assert all(r.pattern.startswith("^") for r in rules)
+
+
+def test_apply_robots_plan_broadcasts_rules(spark):
+    """Scale shape: the per-host rule table broadcasts; document
+    payloads never shuffle (only id/host/path reach the join)."""
+    robots = spark.createDataFrame(
+        [("https://h.example/robots.txt", "User-agent: *\nDisallow: /n/")],
+        "url string, text string")
+    docs = spark.createDataFrame([("1", "https://h.example/n/x")],
+                                 "doc_id string, url string")
+    plan = apply_robots(docs, robots_rules(robots))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

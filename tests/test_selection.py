@@ -684,3 +684,17 @@ def test_quality_classifier_score_matches_local(spark):
         assert out[doc_id].clf_prob == round(
             1.0 / (1.0 + math.exp(-logit)), 6)
     assert out["3"].clf_logit == round(b, 6)
+
+
+def test_quality_classifier_plan_is_native_broadcast(spark):
+    """Scale shape: the scoring pass is pure JVM (explode + broadcast
+    weight join + map-side agg) — no Python crossing of any corpus
+    row."""
+    from warc2text_spark.operators.selection import quality_classifier_score
+    df = spark.createDataFrame([("1", "some text here")],
+                               "doc_id string, text string")
+    plan = quality_classifier_score(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan
+    assert "BroadcastHashJoin" in plan
