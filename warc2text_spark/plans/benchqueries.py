@@ -1547,6 +1547,52 @@ top3 as (select doc_id, lang from (
 select lang, count(*)::bigint as n from top3 group by lang"""
 
 
+# JusText driver fixture (operators/content.py): purpose-built pages
+# whose block labels are CLOSED-FORM in doc_id — nav/footer link blocks
+# are always bad, the two prose paragraphs always good (length/stopword
+# density hold for every id suffix, verified empirically 0..999999),
+# the short note (present when id % 3 == 0) is rescued to good only
+# when flanked by good prose on BOTH sides, i.e. when the second
+# paragraph exists too: id % 6 == 0.
+_JT_NAV = ('<div><a href="/">Home</a> <a href="/b">Blog</a> '
+           '<a href="/c">Contact</a></div>')
+_JT_P1 = ("The committee met on Tuesday because there was a question "
+          "about the budget, and most of the members were of the opinion "
+          "that the plan would not be possible without more money from "
+          "the city and some help from other towns in the region of "
+          "document ")
+_JT_P2 = ("After the meeting they walked to the station and talked "
+          "about what they would do if the decision was not in their "
+          "favor, and it was clear that most of them had been thinking "
+          "about this for a long time in document ")
+_JT_FOOTER = ('<div><a href="/terms">Terms</a> '
+              '<a href="/privacy">Privacy</a></div>')
+
+
+def q_justext(spark, sf_dir) -> DataFrame:
+    from ..operators.content import extract_main_content
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id").cast("long")
+    ids = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(_JT_NAV),
+        F.lit("<p>" + _JT_P1), ids, F.lit(".</p>"),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("<p>Short note "), ids, F.lit(".</p>")))
+        .otherwise(F.lit("")),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("<p>" + _JT_P2), ids, F.lit(".</p>")))
+        .otherwise(F.lit("")),
+        F.lit(_JT_FOOTER))
+    out = extract_main_content(docs.select("doc_id",
+                                           page.alias("text")))
+    return out.select(
+        F.lit("justext").alias("op"), "doc_id",
+        F.col("main_text").alias("clean_text"),
+        (F.col("n_blocks") - F.col("n_good")).cast("long")
+        .alias("n_removed"))
+
+
 def q_clean_text(spark, sf_dir) -> DataFrame:
     """Text-cleaning ops in one driver row: CCNet-style cross-document
     boilerplate-line removal, PII redaction, and paragraph-level
@@ -1571,7 +1617,8 @@ def q_clean_text(spark, sf_dir) -> DataFrame:
     c = textops.paragraph_dedup(docs).select(
         F.lit("paragraph").alias("op"), "doc_id", "clean_text",
         "n_removed")
-    return a.unionByName(b).unionByName(c)
+    d = q_justext(spark, sf_dir)
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_compat_layout_jsonl(spark, sf_dir) -> DataFrame:
@@ -1740,6 +1787,19 @@ def _merge_registry_oracles(d: dict) -> dict:
                         then 1 else 0 end)::bigint as n_removed
         from l left join w using (line)
         group by l.doc_id"""
+    justext_sql = f"""
+        select cast(doc_id as varchar) as doc_id,
+               '{_JT_P1}' || doc_id || '.'
+               || case when doc_id % 6 = 0
+                       then {NL} || 'Short note ' || doc_id || '.'
+                       else '' end
+               || case when doc_id % 2 = 0
+                       then {NL} || '{_JT_P2}' || doc_id || '.'
+                       else '' end as clean_text,
+               (2 + case when doc_id % 3 = 0 then 1 else 0 end
+                  - case when doc_id % 6 = 0 then 1 else 0 end)::bigint
+                   as n_removed
+        from documents"""
     d["clean_text"] = (
         f"select 'boilerplate' as op, doc_id, clean_text, "
         f"cast(-1 as bigint) as n_removed "
@@ -1747,7 +1807,9 @@ def _merge_registry_oracles(d: dict) -> dict:
         f"select 'pii', doc_id, clean_text, cast(bytes_removed as bigint) "
         f"from ({d.pop('redact_pii')})\nunion all\n"
         f"select 'paragraph', doc_id, clean_text, n_removed "
-        f"from ({para_sql})")
+        f"from ({para_sql})\nunion all\n"
+        f"select 'justext', doc_id, clean_text, n_removed "
+        f"from ({justext_sql})")
     d["compat_layout"] = (
         f"{d['compat_layout']}\nunion all\n"
         f"select '' as lang, 'jsonl' as field, jsonl as value "
