@@ -255,3 +255,50 @@ def test_sample_frames_real_gif_and_synthetic_twin(spark):
     assert all(len(f) == 15 and f[0] == 0x2C for _, f in gf)
     ff = sorted(out["f"])
     assert len(ff) == 3 and ff[0][1] == b"IM"  # synthetic twin slices
+
+
+def test_webp_header_all_flavors():
+    import struct
+
+    from warc2text_spark.operators.multimodal import (parse_image_header,
+                                                      parse_webp_header)
+
+    def riff(four, body):
+        chunk = four + struct.pack("<I", len(body)) + body
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+                + chunk)
+
+    lossy = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a"
+                 + struct.pack("<HH", 640, 480) + b"\x00" * 8)
+    assert parse_webp_header(lossy) == (640, 480)
+    assert parse_image_header(lossy) == (640, 480)
+    bits = (639) | (479 << 14)
+    lossless = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    assert parse_webp_header(lossless) == (640, 480)
+    ext = riff(b"VP8X", b"\x00" * 4
+               + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+               + b"\x00" * 4)
+    assert parse_webp_header(ext) == (640, 480)
+    # malformed: never raises
+    for bad in (b"", b"RIFF", lossy[:20], lossy.replace(b"\x9d", b"\x00"),
+                riff(b"XXXX", b"\x00" * 20)):
+        assert parse_webp_header(bad) is None
+
+
+def test_mp3_header_and_duration():
+    from warc2text_spark.operators.multimodal import (_decode_image_stub,
+                                                      parse_mp3_header)
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    # MPEG-1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0)
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00])
+    mp3 = tag + frame + b"\x00" * (16000 - len(tag) - 4)
+    info = parse_mp3_header(mp3)
+    assert info["bitrate_kbps"] == 128 and info["sample_rate"] == 44100
+    # duration = payload-after-tag bytes * 8 / 128000
+    assert info["duration_s"] == round((16000 - 20) * 8 / 128000, 3)
+    f = _decode_image_stub(mp3)
+    assert f["media_type"] == "audio/mpeg"
+    assert (f["width"], f["height"], f["px_mean"]) == (0, 0, -1.0)
+    for bad in (b"ID3", b"ID3\x04\x00\x00\x00\x00\x00\x0a", tag,
+                tag + b"\x00\x00\x00\x00", mp3.replace(b"\xff", b"\x00")):
+        assert parse_mp3_header(bad) is None

@@ -79,6 +79,74 @@ def media_metadata(spans_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_webp_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WEBP container — all three bitstream
+    flavors (struct-only, dependency-free; never raises):
+
+    * ``VP8 `` lossy: 14-bit dims after the 0x9d012a start code
+      (RFC 6386 §9.1).
+    * ``VP8L`` lossless: 14-bit-packed dims after the 0x2F signature.
+    * ``VP8X`` extended: 24-bit canvas dims minus one.
+    """
+    import struct
+    try:
+        if len(payload) < 30 or not payload.startswith(b"RIFF") \
+                or payload[8:12] != b"WEBP":
+            return None
+        four = payload[12:16]
+        if four == b"VP8 ":
+            if payload[23:26] != b"\x9d\x01\x2a":
+                return None
+            w, h = struct.unpack("<HH", payload[26:30])
+            return (w & 0x3FFF, h & 0x3FFF)
+        if four == b"VP8L":
+            if payload[20] != 0x2F:
+                return None
+            (bits,) = struct.unpack("<I", payload[21:25])
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if four == b"VP8X":
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return (w, h)
+        return None
+    except Exception:
+        return None
+
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, 0)              # MPEG-1 Layer III kbps
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def parse_mp3_header(payload: bytes) -> dict | None:
+    """``dict(bitrate_kbps, sample_rate, duration_s)`` for an
+    ID3v2-tagged MPEG-1 Layer III stream, or None.  Skips the syncsafe
+    ID3 tag, parses the first frame header, and estimates duration
+    from the CBR bitrate over the remaining bytes (the standard cheap
+    estimate; VBR streams get the first-frame rate).  Never raises."""
+    try:
+        if not payload.startswith(b"ID3") or len(payload) < 14:
+            return None
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + size
+        if pos + 4 > len(payload):
+            return None
+        b0, b1, b2, _b3 = payload[pos:pos + 4]
+        # MPEG-1 Layer III frame sync: 11 set bits, version 11, layer 01
+        if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
+            return None
+        bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF]
+        rate = _MP3_RATES[(b2 >> 2) & 0x3]
+        if not bitrate or not rate:
+            return None
+        dur = (len(payload) - pos) * 8 / (bitrate * 1000)
+        return {"bitrate_kbps": bitrate, "sample_rate": rate,
+                "duration_s": round(dur, 3)}
+    except Exception:
+        return None
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     """Dependency-free (width, height) from PNG/GIF/JPEG headers — pure
     struct parsing on magic bytes, no imaging library needed.
@@ -107,6 +175,8 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         if payload.startswith(b"BM"):
             from ..functions.bmppixels import parse_bmp_header
             return parse_bmp_header(payload)
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+            return parse_webp_header(payload)
         if payload.startswith(b"\xff\xd8"):
             i = 2
             while i + 4 <= len(payload):
@@ -182,6 +252,10 @@ def _decode_image_stub(payload: bytes) -> dict:
             px = decode_bmp(payload)
             if px is not None:
                 _stats(px)
+    elif payload.startswith(b"ID3"):
+        # MP3: real frame-header metadata (bitrate/rate/duration via
+        # parse_mp3_header); no sample decode — px stats stay sentinel
+        w = h = 0
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         # real audio decode (r6): struct-only RIFF/PCM walk; px_mean /
         # px_rms double as the modality's level/energy features (raw
