@@ -1982,6 +1982,7 @@ def _merge_registry_oracles(d: dict) -> dict:
                                            else 312 + (6 * njb + 7) // 8 end
                           when 3 then case when id % 10 = 8
                                            then 224 + nfv * (8 + jv + jv % 2)
+                                           when id % 20 = 13 then 30
                                            else 3 + strlen(doc_id) end
                           else 308 + strlen(doc_id)
                      end as n
@@ -1993,15 +1994,19 @@ def _merge_registry_oracles(d: dict) -> dict:
                                          else 'image/jpeg' end)
                             when 3 then (case when id % 10 = 8
                                          then 'video/avi'
+                                         when id % 20 = 13
+                                         then 'image/webp'
                                          else 'x-test/fake' end)
                             else 'application/pdf' end as media_type,
                      case when v = 2 and id % 10 = 7 then 0
                           when v = 3 then (case when id % 10 = 8 then wv
+                                           when id % 20 = 13 then w
                                            else 10 end)
                           when v = 4 then 38
                           else w end::int as width,
                      case when v = 2 and id % 10 = 7 then 0
                           when v = 3 then (case when id % 10 = 8 then hv
+                                           when id % 20 = 13 then h
                                            else 49 + id % 10 end)
                           when v = 4 then 7
                           else h end::int as height,

@@ -524,6 +524,16 @@ def _png_striped(w: int, h: int, seed: int) -> bytes:
     return encode_png(np.repeat(col[:, None], w, axis=1))
 
 
+def _webp_lossy(w: int, h: int) -> bytes:
+    """Real WEBP container with a VP8 lossy bitstream header (3-byte
+    frame tag, 0x9d012a start code, 14-bit dims): parse_webp_header
+    recovers (w, h); exactly 30 bytes — closed-form for the oracle."""
+    import struct
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def _gif_header(w: int, h: int) -> bytes:
     import struct
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
@@ -627,6 +637,10 @@ def build_media_spans(spark, sf_dir: str) -> DataFrame:
                         frame = encode_jpeg_flat(wv, hv)
                         body = build_avi_mjpeg([frame] * (2 + n % 4),
                                                wv, hv)
+                    elif n % 20 == 13:
+                        # real WEBP container: header-only real path
+                        # (dims parse, no pixel decode — px sentinel)
+                        body = _webp_lossy(w, h)
                     else:
                         body = f"IMG{doc_id}".encode()
                 else:
