@@ -87,3 +87,13 @@ def test_never_raises_on_garbage():
                 "<p>" + "a" * 10000):
         segment_blocks(bad)
         classify_blocks(segment_blocks(bad), frozenset(["a"]))
+
+
+def test_main_content_plan_has_no_shuffle(spark):
+    """Scale shape: per-doc aggregation happens inside the kernel —
+    one Python crossing, zero Exchange (page payloads never shuffle)."""
+    df = spark.createDataFrame([("1", PAGE)], "doc_id string, text string")
+    plan = extract_main_content(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

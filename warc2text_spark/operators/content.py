@@ -169,26 +169,40 @@ def content_blocks(df: DataFrame, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(run, CONTENT_SCHEMA)
 
 
+MAIN_SCHEMA = "doc_id string, main_text string, n_blocks long, n_good long"
+
+
 def extract_main_content(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          stopwords: frozenset[str] | None = None
                          ) -> DataFrame:
     """(id, main_text, n_blocks, n_good): the heuristic extractor's
     output — good blocks joined with newlines.  Documents whose page is
-    all boilerplate keep a row with main_text '' (the no-NULLs rule)."""
-    blocks = content_blocks(df, text_col, id_col, stopwords)
-    agg = (blocks.groupBy("doc_id")
-           .agg(F.concat_ws(
-                    "\n", F.array_sort(F.collect_list(
-                        F.when(F.col("label") == "good",
-                               F.struct("block_idx", "text"))))
-                    .getField("text")).alias("main_text"),
-                F.count(F.lit(1)).cast("long").alias("n_blocks"),
-                F.sum(F.when(F.col("label") == "good", 1).otherwise(0))
-                .cast("long").alias("n_good")))
-    ids = df.select(F.col(id_col).cast("string").alias("doc_id"))
-    return (ids.join(agg, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("main_text", F.lit("")).alias("main_text"),
-                    F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
-                    F.coalesce("n_good", F.lit(0)).alias("n_good")))
+    all boilerplate keep a row with main_text '' (the no-NULLs rule).
+
+    The per-document aggregation happens INSIDE the kernel (blocks of
+    one page are already colocated in its batch), so the operator is a
+    pure per-row map: one Python crossing, ZERO shuffle — page payloads
+    never cross the network (the SCALE_DESIGN invariant; a groupBy over
+    the exploded block view would shuffle every block's text)."""
+    import pandas as pd
+
+    sw = _default_stopwords() if stopwords is None else stopwords
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "main_text", "n_blocks",
+                                    "n_good")}
+            for doc_id, html in zip(pdf[id_col], pdf[text_col]):
+                blocks = segment_blocks(html or "")
+                labels = classify_blocks(blocks, sw)
+                rows["doc_id"].append(str(doc_id))
+                rows["main_text"].append("\n".join(
+                    t for (t, _), lab in zip(blocks, labels)
+                    if lab == "good"))
+                rows["n_blocks"].append(len(blocks))
+                rows["n_good"].append(
+                    sum(1 for lab in labels if lab == "good"))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, MAIN_SCHEMA)
