@@ -143,3 +143,27 @@ def test_paragraph_dedup_exempts_tab_only_lines(spark):
     rows = {r.doc_id: r for r in textops.paragraph_dedup(docs).collect()}
     assert rows["2"].clean_text == "\t\nbody two"
     assert rows["2"].n_removed == 1  # only HDR
+
+
+def test_curate_classifier_gate(spark):
+    """clf_threshold composes the trained quality classifier into the
+    sweep: junky pages fall out even when they pass the rule gate."""
+    from warc2text_spark.operators.curate import curate
+    prose = ("the committee met on tuesday and most of the members were "
+             "of the opinion that the plan would not be possible without "
+             "more money from the city and some help from other towns")
+    # varied enough to pass the gopher repetition rules, junky enough
+    # in register to fail the classifier
+    junk = ("click here now for the best deal on cheap watches and free "
+            "bonus offers win big money online casino poker with no "
+            "deposit required today only limited offer act fast")
+    docs = spark.createDataFrame(
+        [(1, "https://a.example/p1", prose),
+         (2, "https://a.example/p2", junk)],
+        "doc_id long, url string, text string")
+    base = {r.doc_id for r in curate(docs, cap=5, min_words=5).collect()}
+    assert base == {"1", "2"}           # rule gate alone keeps both
+    gated = {r.doc_id for r in
+             curate(docs, cap=5, min_words=5,
+                    clf_threshold=0.5).collect()}
+    assert gated == {"1"}               # classifier drops the junk

@@ -22,6 +22,7 @@ from .textops import gopher_rules, host_cap, host_cap_salted
 
 
 def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
+           clf_threshold: float | None = None,
            **gopher_kwargs) -> DataFrame:
     """Quality-gate -> dedup-keep-first -> per-host cap over
     (doc_id, url, text) rows; returns host_cap's (doc_id, host, n_chars,
@@ -34,9 +35,26 @@ def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
     task ever sorts more than 1/salt_buckets of a viral mega-host, so
     the composed sweep inherits the skew-proof path at crawl scale.
     ``salted_hosts=False`` keeps the single-window form for tiny inputs
-    where two window stages cost more than the skew they prevent."""
+    where two window stages cost more than the skew they prevent.
+
+    ``clf_threshold`` (late r6) adds the TRAINED quality-classifier
+    gate on top of the rule gate: documents must also score
+    ``clf_prob >= clf_threshold`` under the hashed-ngram logistic
+    model (operators/selection.quality_classifier_score — broadcast
+    weight join, one ids-only extra shuffle; payloads still cross the
+    network at most once).  None (default) keeps the sweep
+    rule-gated only."""
     passing = gopher_rules(docs, **gopher_kwargs) \
         .filter(F.col("pass")).select("doc_id")
+    if clf_threshold is not None:
+        from .selection import quality_classifier_score
+        scored = quality_classifier_score(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text"))
+        ok = scored.filter(F.col("clf_prob") >= float(clf_threshold)) \
+            .select("doc_id")
+        passing = passing.select(F.col("doc_id").cast("string")
+                                 .alias("doc_id")).join(ok, "doc_id")
     base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        "url", "text")
     kept = base.join(passing, "doc_id")
