@@ -97,3 +97,21 @@ def test_main_content_plan_has_no_shuffle(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_anchor_spanning_block_tags_counts_as_links():
+    """Review r6: '<a><div>Home</div></a>' nav markup splits the anchor
+    open — the carried state must still count the text as link content
+    so pure-navigation menus classify bad."""
+    nav = ('<a href="/"><div>About the company</div></a>'
+           '<a href="/b"><div>What we do for you</div></a>'
+           '<a href="/c"><div>Where to find our offices</div></a>'
+           '<a href="/d"><div>When we are open and more</div></a>')
+    blocks = segment_blocks(nav)
+    assert blocks and all(ld > 0.8 for _, ld in blocks), blocks
+    from warc2text_spark.operators.content import _default_stopwords
+    labels = classify_blocks(blocks, _default_stopwords())
+    assert set(labels) == {"bad"}
+    # plain matched anchors unaffected
+    plain = segment_blocks(NAV)
+    assert next(ld for t, ld in plain if "Home" in t) > 0.8

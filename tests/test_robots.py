@@ -27,8 +27,9 @@ def test_parse_groups_and_rules():
     # consecutive UA lines share the group
     assert ("megabot", "disallow", "/") in rules
     assert ("gigabot", "disallow", "/") in rules
-    # empty Disallow matches nothing -> dropped
-    assert not [r for r in rules if r[0] == "nicebot"]
+    # empty Disallow matches nothing -> only the group marker remains
+    assert [r for r in rules if r[0] == "nicebot"] \
+        == [("nicebot", "group", "")]
     # malformed input never raises
     assert parse_robots_txt("") == []
     assert parse_robots_txt("Disallow: /x\n") == []       # rule before UA
@@ -80,7 +81,9 @@ def test_apply_robots_rules_table_shape(spark):
     assert all(r.host == "h.example" for r in rules)
     assert {(r.agent, r.rule, r.path) for r in rules} >= {
         ("*", "disallow", "/private/"), ("megabot", "disallow", "/")}
-    assert all(r.pattern.startswith("^") for r in rules)
+    assert all(r.pattern.startswith("^") for r in rules
+               if r.rule != "group")
+    assert all(r.pattern == "" for r in rules if r.rule == "group")
 
 
 def test_apply_robots_plan_broadcasts_rules(spark):
@@ -95,3 +98,40 @@ def test_apply_robots_plan_broadcasts_rules(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ruleless_exact_group_shadows_star(spark):
+    """Review r6: a rule-less exact-agent group must still replace the
+    * group (empty Disallow = allow everything for that agent)."""
+    txt = ("User-agent: nicebot\nDisallow:\n\n"
+           "User-agent: *\nDisallow: /\n")
+    rules = parse_robots_txt(txt)
+    assert ("nicebot", "group", "") in rules          # existence preserved
+    assert not [r for r in rules if r[0] == "nicebot"
+                and r[1] in ("allow", "disallow")]
+    robots = spark.createDataFrame(
+        [("https://h.example/robots.txt", txt)], "url string, text string")
+    docs = spark.createDataFrame([("1", "https://h.example/x")],
+                                 "doc_id string, url string")
+    r = robots_rules(robots)
+    assert {x.doc_id: x.allowed
+            for x in apply_robots(docs, r, agent="nicebot").collect()} \
+        == {"1": True}
+    assert {x.doc_id: x.allowed
+            for x in apply_robots(docs, r).collect()} == {"1": False}
+
+
+def test_bom_and_host_case(spark):
+    """Review r6: UTF-8 BOM before the first group, and case-varying
+    hosts/schemes, must not bypass the rules."""
+    txt = "﻿User-agent: *\nDisallow: /private/\n"
+    assert ("*", "disallow", "/private/") in parse_robots_txt(txt)
+    robots = spark.createDataFrame(
+        [("https://Example.com/robots.txt", txt)], "url string, text string")
+    docs = spark.createDataFrame(
+        [("1", "HTTPS://EXAMPLE.com/private/x"),
+         ("2", "https://example.com/open/x")],
+        "doc_id string, url string")
+    got = {r.doc_id: r.allowed
+           for r in apply_robots(docs, robots_rules(robots)).collect()}
+    assert got == {"1": False, "2": True}

@@ -66,13 +66,36 @@ def segment_blocks(html: str) -> list[tuple[str, float]]:
     dropping script/style/comments; link density = characters inside
     ``<a>`` over block characters (inline tags are stripped after the
     anchor text is measured).  Never raises."""
+    def tlen(seg: str) -> int:
+        return len(_WS_RE.sub(" ", _TAG_RE.sub(" ", seg)).strip())
+
     try:
         html = _COMMENT_RE.sub(" ", _SCRIPT_RE.sub(" ", html or ""))
         out = []
+        in_anchor = False
         for chunk in _SPLIT_RE.split(html):
-            link_chars = sum(
-                len(_WS_RE.sub(" ", _TAG_RE.sub(" ", m)).strip())
-                for m in _A_RE.findall(chunk))
+            # anchors wrapping block-level tags ('<a><div>Home</div></a>'
+            # nav markup) are split open — carry the open-anchor state
+            # across chunks so their text still counts as link content
+            # (review r6 finding)
+            if in_anchor:
+                m = re.search(r"<\s*/\s*a\s*>", chunk, re.I)
+                if m:
+                    lead, rest = chunk[:m.start()], chunk[m.end():]
+                    in_anchor = False
+                else:
+                    lead, rest = chunk, ""
+            else:
+                lead, rest = "", chunk
+            link_chars = tlen(lead) + sum(tlen(m)
+                                          for m in _A_RE.findall(rest))
+            # an anchor opened in this chunk but not closed: its tail
+            # text is link content and the state carries forward
+            rem = _A_RE.sub(" ", rest)
+            m_open = re.search(r"<\s*a\b[^>]*>", rem, re.I)
+            if m_open:
+                link_chars += tlen(rem[m_open.end():])
+                in_anchor = True
             text = _WS_RE.sub(" ", _TAG_RE.sub(" ", chunk)).strip()
             if not text:
                 continue

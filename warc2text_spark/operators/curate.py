@@ -48,13 +48,17 @@ def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
         .filter(F.col("pass")).select("doc_id")
     if clf_threshold is not None:
         from .selection import quality_classifier_score
-        scored = quality_classifier_score(
-            docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                        "text"))
-        ok = scored.filter(F.col("clf_prob") >= float(clf_threshold)) \
-            .select("doc_id")
+        # score only the rule-gate survivors — exploding the hashed
+        # n-grams of already-rejected documents is the most expensive
+        # leg of the sweep for nothing (review r6 finding)
         passing = passing.select(F.col("doc_id").cast("string")
-                                 .alias("doc_id")).join(ok, "doc_id")
+                                 .alias("doc_id"))
+        survivors = docs.select(F.col("doc_id").cast("string")
+                                .alias("doc_id"), "text") \
+            .join(passing, "doc_id")
+        scored = quality_classifier_score(survivors)
+        passing = scored.filter(F.col("clf_prob") >= float(clf_threshold)) \
+            .select("doc_id")
     base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        "url", "text")
     kept = base.join(passing, "doc_id")

@@ -253,8 +253,10 @@ def _decode_image_stub(payload: bytes) -> dict:
             if px is not None:
                 _stats(px)
     elif payload.startswith(b"ID3"):
-        # MP3: real frame-header metadata (bitrate/rate/duration via
-        # parse_mp3_header); no sample decode — px stats stay sentinel
+        # MP3 audio: dims are 0x0 and px stats stay sentinel (no sample
+        # decode); frame-level metadata (bitrate/rate/duration) is
+        # available to callers via parse_mp3_header — it has no column
+        # in this schema
         w = h = 0
     elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         # real audio decode (r6): struct-only RIFF/PCM walk; px_mean /

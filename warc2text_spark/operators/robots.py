@@ -36,12 +36,18 @@ def parse_robots_txt(text: str) -> list[tuple[str, str, str]]:
     """(agent, rule, path) triples from one robots.txt body — the RFC
     9309 group grammar (never raises; unparseable lines are skipped).
     An empty-path rule is dropped (an empty ``Disallow:`` means
-    allow-everything and matches nothing)."""
+    allow-everything and matches nothing), but the GROUP's existence is
+    preserved as an ``(agent, 'group', '')`` marker — a rule-less
+    exact-agent group must still shadow the ``*`` group (RFC 9309
+    precedence; review r6 finding)."""
     out: list[tuple[str, str, str]] = []
     agents: list[str] = []
     rules_open = False       # rules seen since the last user-agent line
     try:
-        for raw in text.splitlines():
+        # real-world robots.txt bodies frequently lead with a UTF-8 BOM
+        # — without stripping it the first user-agent key fails to parse
+        # and the whole first group vanishes (review r6 finding)
+        for raw in text.lstrip("\ufeff").splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line or ":" not in line:
                 continue
@@ -54,6 +60,7 @@ def parse_robots_txt(text: str) -> list[tuple[str, str, str]]:
                     rules_open = False
                 if val:
                     agents.append(val.lower())
+                    out.append((val.lower(), "group", ""))
             elif key in ("allow", "disallow"):
                 rules_open = True
                 if not agents or not val:
@@ -90,8 +97,9 @@ def robots_rules(robots_df: DataFrame, url_col: str = "url",
     import pandas as pd
 
     src = robots_df.select(
-        F.regexp_extract(F.col(url_col),
-                         r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+        F.lower(F.regexp_extract(
+            F.col(url_col),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
         .alias("host"),
         F.col(text_col).alias("text"))
 
@@ -105,7 +113,10 @@ def robots_rules(robots_df: DataFrame, url_col: str = "url",
                     rows["agent"].append(agent)
                     rows["rule"].append(rule)
                     rows["path"].append(path)
-                    rows["pattern"].append(_rule_regex(path))
+                    # group markers must never join URL matching — an
+                    # empty path would compile to '^' (match-all)
+                    rows["pattern"].append(
+                        _rule_regex(path) if rule != "group" else "")
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, RULES_SCHEMA)
@@ -126,15 +137,18 @@ def apply_robots(docs: DataFrame, rules: DataFrame, agent: str = "*",
     base = docs.select(
         F.col(id_col),
         F.col(url_col).alias("_url"),
-        F.regexp_extract(F.col(url_col),
-                         r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-        .alias("_host"),
+        F.lower(F.regexp_extract(
+            F.col(url_col),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)).alias("_host"),
         F.coalesce(
-            F.nullif(F.regexp_extract(F.col(url_col),
-                                      r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)",
-                                      1), F.lit("")),
+            F.nullif(F.regexp_extract(
+                F.col(url_col),
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^#]*)",
+                1), F.lit("")),
             F.lit("/")).alias("_path"))
-    # per host: does a group for this exact agent exist?
+    # per host: does a group for this exact agent exist?  Group markers
+    # count here (a rule-less exact group still shadows '*'), but only
+    # allow/disallow rows may join URL matching below.
     host_has = (rules.groupBy("host")
                 .agg(F.max(F.when(F.col("agent") == agent, 1)
                            .otherwise(0)).alias("_exact")))
@@ -142,6 +156,7 @@ def apply_robots(docs: DataFrame, rules: DataFrame, agent: str = "*",
               .filter((F.col("agent") == agent)
                       | ((F.col("_exact") == 0)
                          & (F.col("agent") == "*")))
+              .filter(F.col("rule").isin("allow", "disallow"))
               .select(F.col("host").alias("_host"), "rule", "path",
                       "pattern"))
     hits = (base.join(F.broadcast(scoped), "_host", "left")
