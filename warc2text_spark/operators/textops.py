@@ -140,20 +140,30 @@ def _dup_gram_expr(text_col: str, gram: int = 3) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / token / stopword-ratio features (rounded for stability)."""
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """The quality_score feature columns (aliased, in output order) — a
+    pure projection, shared so composed queries (e.g. the bench
+    quality_score row) can fuse them with other per-row columns in a
+    single scan instead of joining two projections of the same table."""
     t = F.col(text_col)
     w = tokens(t)
     n_tok = F.size(w).cast("long")
     n_chars = F.octet_length(t).cast("long")
     n_stop = _stopword_hits(w).cast("long")
     avg_tok = F.round(_mean_word_len(t, w).cast("double"), 4)
-    return df.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+    return [
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         avg_tok.alias("avg_token_len"),
         F.round((n_stop / n_tok).cast("double"), 4).alias("stopword_ratio"),
+    ]
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio features (rounded for stability)."""
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *quality_cols(text_col),
     )
 
 

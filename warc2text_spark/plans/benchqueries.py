@@ -651,13 +651,25 @@ def q_quality_score(spark, sf_dir) -> DataFrame:
     curation stage).  Training is deterministic over the in-code seed
     registers, so the DuckDB oracle restates the learned weights as a
     VALUES literal and mirrors the scoring sum exactly."""
-    from ..operators.selection import quality_classifier_score
+    # r7: one scan, one projection — the base features are per-row
+    # expressions and the classifier logit is a pure fold projection
+    # (selection.quality_classifier_logit_col), so the r6 shape's
+    # base-JOIN-clf (3 scans, 14 Exchanges, SortMergeJoin) collapses to
+    # a single select with zero shuffles.  Row values are bit-identical
+    # (same expressions, same fold order; rehearse_driver + parity
+    # harness re-verified).
+    from ..operators.selection import (clf_prob_col,
+                                       quality_classifier_logit_col,
+                                       train_quality_classifier)
     docs = _docs(spark, sf_dir)
-    base = textops.quality_score(docs)
-    clf = quality_classifier_score(
-        docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                    "text"))
-    return base.join(clf, "doc_id")
+    weights, bias = train_quality_classifier()
+    logit = quality_classifier_logit_col(weights, bias)
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        *textops.quality_cols(),
+                        logit.alias("clf_logit"))
+            .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+                    "stopword_ratio", "clf_logit",
+                    clf_prob_col().alias("clf_prob")))
 
 
 def q_fingerprint(spark, sf_dir) -> DataFrame:
