@@ -546,6 +546,28 @@ def test_dsir_weights_match_python_reference(spark):
         > out[4].dsir_logw / out[4].n_grams
 
 
+def test_dsir_fold_matches_joined_twin(spark):
+    """The r7 fold projection of the DSIR scoring pass must reproduce
+    the r6 explode+broadcast-join shape bit-for-bit (same doubles: same
+    fold order, same lam0 default for unseen buckets)."""
+    from warc2text_spark.operators.selection import (
+        _dsir_logweights_joined, dsir_logweights)
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the fast brown fox runs over the happy dog"),
+            (3, "completamente otro idioma y otras palabras aqui"),
+            (4, "zzz qqq vvv kkk www"),
+            (5, ""),
+            (6, "a  b   c \t d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id = 1")
+    fold = {r.doc_id: (r.n_grams, r.dsir_logw)
+            for r in dsir_logweights(docs, target, n_buckets=1000).collect()}
+    joined = {r.doc_id: (r.n_grams, r.dsir_logw)
+              for r in _dsir_logweights_joined(
+                  docs, target, n_buckets=1000).collect()}
+    assert fold == joined
+
+
 def test_dsir_resample_gumbel_topk(spark):
     """Gumbel-top-k resampling: deterministic across runs, exactly
     ceil(frac*n) rows, independent draws under different salts, and the

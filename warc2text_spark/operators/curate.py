@@ -40,28 +40,25 @@ def curate(docs: DataFrame, cap: int = 5, salted_hosts: bool = True,
     ``clf_threshold`` (late r6) adds the TRAINED quality-classifier
     gate on top of the rule gate: documents must also score
     ``clf_prob >= clf_threshold`` under the hashed-ngram logistic
-    model (operators/selection.quality_classifier_score — broadcast
-    weight join, one ids-only extra shuffle; payloads still cross the
-    network at most once).  None (default) keeps the sweep
-    rule-gated only."""
+    model.  r7: classifier scoring is a pure projection
+    (selection.quality_classifier_logit_col), so the gate composes as a
+    plain FILTER on the rule survivors — no survivors join, no second
+    ids join, zero extra shuffles (the r6 shape joined docs back to the
+    rule-passing ids, scored, and joined the passing ids again); it
+    still scores rule-gate survivors only (the filter sits above the
+    rule-ids join — review r6 finding preserved).  None (default)
+    keeps the sweep rule-gated only."""
     passing = gopher_rules(docs, **gopher_kwargs) \
         .filter(F.col("pass")).select("doc_id")
-    if clf_threshold is not None:
-        from .selection import quality_classifier_score
-        # score only the rule-gate survivors — exploding the hashed
-        # n-grams of already-rejected documents is the most expensive
-        # leg of the sweep for nothing (review r6 finding)
-        passing = passing.select(F.col("doc_id").cast("string")
-                                 .alias("doc_id"))
-        survivors = docs.select(F.col("doc_id").cast("string")
-                                .alias("doc_id"), "text") \
-            .join(passing, "doc_id")
-        scored = quality_classifier_score(survivors)
-        passing = scored.filter(F.col("clf_prob") >= float(clf_threshold)) \
-            .select("doc_id")
     base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        "url", "text")
     kept = base.join(passing, "doc_id")
+    if clf_threshold is not None:
+        from .selection import (CLF_BUCKETS, _resolve_clf_model,
+                                clf_prob_col, quality_classifier_logit_col)
+        weights, bias = _resolve_clf_model(None, None, CLF_BUCKETS)
+        logit = quality_classifier_logit_col(weights, bias)
+        kept = kept.filter(clf_prob_col(logit) >= float(clf_threshold))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first = (kept.withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") == 1).drop("rn"))

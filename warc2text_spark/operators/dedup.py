@@ -123,16 +123,22 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     number of bands.  Bucket skew (a viral boilerplate signature) is
     handled by AQE skew-join splitting."""
     sigs = minhash_signatures(df, text_col, bands)
-    pairs_struct = F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+    # r7: (band, sig-hex-string) packed into ONE long join key —
+    # band << 32 | sig-as-uint32 (conv is exact for 8 hex chars, and
+    # the packing is injective, so key equality == (band, sig)
+    # equality).  Halves the bytes the banded self-join shuffles /
+    # broadcasts per row and joins on a long instead of a string; the
+    # candidate pair set is unchanged (null sigs drop from the join in
+    # both shapes).
+    keys = F.array(*[
+        (F.lit(b).cast("long") * F.lit(1 << 32).cast("long")
+         + F.conv(F.col(f"sig{b}"), 16, 10).cast("long")).alias("key")
         for b in range(bands)])
-    long = sigs.select("doc_id", F.explode(pairs_struct).alias("bs")) \
-               .select("doc_id", F.col("bs.band").alias("band"),
-                       F.col("bs.sig").alias("sig"))
+    long = sigs.select("doc_id", F.explode(keys).alias("key"))
     long, cached = _lineage_break(long, materialize)
-    a = long.select(F.col("doc_id").alias("a_id"), "band", "sig")
-    b = long.select(F.col("doc_id").alias("b_id"), "band", "sig")
-    out = (a.join(b, ["band", "sig"])
+    a = long.select(F.col("doc_id").alias("a_id"), "key")
+    b = long.select(F.col("doc_id").alias("b_id"), "key")
+    out = (a.join(b, ["key"])
            .filter(F.col("a_id") < F.col("b_id"))
            .select("a_id", "b_id").distinct())
     return _attach(out, cached)
@@ -193,23 +199,24 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         n_bands, width, mask = 4, 4, 15
     else:
         raise ValueError(f"bits must be 16 or 64, got {bits}")
+    # r7: (band, masked band value) packed into ONE long join key —
+    # band * (mask+1) + val, injective because val <= mask (the shifted
+    # value is masked, so arithmetic-shift fill bits never leak into the
+    # packing).  One join column instead of two; candidate set unchanged.
     bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("simhash"), width * b)
-                 .bitwiseAND(F.lit(mask)).alias("val"))
+        (F.lit(b * (mask + 1)).cast("long")
+         + F.shiftright(F.col("simhash"), width * b)
+         .bitwiseAND(F.lit(mask))).alias("key")
         for b in range(n_bands)])
-    long = sigs.select("doc_id", "simhash", F.explode(bands).alias("bv")) \
-               .select("doc_id", "simhash",
-                       F.col("bv.band").alias("band"),
-                       F.col("bv.val").alias("val"))
+    long = sigs.select("doc_id", "simhash", F.explode(bands).alias("key"))
     # signatures are md5-over-tokens: compute once, not per join side
     long, cached = _lineage_break(long, materialize)
     a = long.select(F.col("doc_id").alias("a_id"),
-                    F.col("simhash").alias("a_sig"), "band", "val")
+                    F.col("simhash").alias("a_sig"), "key")
     b = long.select(F.col("doc_id").alias("b_id"),
-                    F.col("simhash").alias("b_sig"), "band", "val")
+                    F.col("simhash").alias("b_sig"), "key")
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
-    out = (a.join(b, ["band", "val"])
+    out = (a.join(b, ["key"])
            .filter(F.col("a_id") < F.col("b_id"))
            .filter(ham <= max_hamming)
            .select("a_id", "b_id", ham.cast("int").alias("hamming"))

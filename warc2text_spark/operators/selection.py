@@ -534,6 +534,55 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
         (b, math.log((tgt_c.get(b, 0) + alpha) / t_tgt)
          - math.log((raw_c.get(b, 0) + alpha) / t_raw))
         for b in sorted(set(raw_c) | set(tgt_c))]
+    # r7: the scoring pass is a PURE PROJECTION (the
+    # quality_classifier_logit_col trick): the bounded lambda table
+    # becomes a constant-folded n_buckets-slot array literal (default
+    # value lam0 — exactly what the joined shape's coalesce(lam, lam0)
+    # added for unseen buckets) and the per-doc sum is a left fold over
+    # the gram array in the SAME order the exploded rows summed —
+    # bit-identical doubles, but no explode, no broadcast join, no
+    # per-doc shuffle, no ids join (the r6 joined twin is kept below
+    # for the differential test).
+    dense = [lam0] * n_buckets
+    for b, l in lam_rows:
+        dense[int(b)] = l
+    lamarr = F.array(*[F.lit(x) for x in dense])
+    toks = _tokens(text_col)
+    grams = F.concat(toks, ngram_col(toks, 2))
+    fold = F.aggregate(
+        grams, F.lit(0.0),
+        lambda acc, g: acc + F.element_at(
+            lamarr, (_md5_bucket(g, n_buckets) + 1).cast("int")))
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.size(grams).cast("long"), F.lit(0).cast("long"))
+        .alias("n_grams"),
+        F.coalesce(F.round(fold, 6), F.lit(0.0)).alias("dsir_logw"))
+
+
+def _dsir_logweights_joined(docs: DataFrame, target: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n_buckets: int = 10_000,
+                            alpha: float = 0.5) -> DataFrame:
+    """r6 reference shape of the DSIR scoring pass (explode + broadcast
+    lambda join + per-doc aggregate + ids join) — kept as the fold
+    projection's differential twin; the fold must reproduce these
+    doubles bit-for-bit."""
+    raw_rows = (_dsir_buckets(docs, text_col, id_col, n_buckets)
+                .groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    tgt_rows = (_dsir_buckets(target, text_col, id_col, n_buckets)
+                .groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+    raw_c = {r["bkt"]: r["c"] for r in raw_rows}
+    tgt_c = {r["bkt"]: r["c"] for r in tgt_rows}
+    t_raw = sum(raw_c.values()) + alpha * n_buckets
+    t_tgt = sum(tgt_c.values()) + alpha * n_buckets
+    lam0 = math.log(alpha / t_tgt) - math.log(alpha / t_raw)
+    lam_rows = [
+        (b, math.log((tgt_c.get(b, 0) + alpha) / t_tgt)
+         - math.log((raw_c.get(b, 0) + alpha) / t_raw))
+        for b in sorted(set(raw_c) | set(tgt_c))]
     spark = docs.sparkSession
     lam = (spark.createDataFrame(lam_rows, "bkt long, lam double")
            if lam_rows else spark.createDataFrame([], "bkt long, lam double"))

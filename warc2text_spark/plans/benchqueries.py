@@ -91,18 +91,29 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _with_clones(d, id_col: str, every: int, offset: int = 100000):
+    """r7: clone every ``every``-th row in ONE scan via explode instead of
+    a two-branch union — the union shape re-read the parquet and
+    duplicated the spread exchange in both branches (2 scans + 2
+    Exchanges -> 1 + 1).  Row multiset unchanged (driver compare is
+    multiset; every consumer is partitioning-independent)."""
+    other = [c for c in d.columns if c != id_col]
+    s1 = F.struct(F.col(id_col), *[F.col(c) for c in other])
+    s2 = F.struct((F.col(id_col) + offset).alias(id_col),
+                  *[F.col(c) for c in other])
+    rows = F.when(F.col(id_col) % every == 0,
+                  F.array(s1, s2)).otherwise(F.array(s1))
+    return d.select(F.explode(rows).alias("r")).select("r.*")
+
+
 def _clone_docs(spark, sf_dir, spread: bool = True):
     d = _docs(spark, sf_dir, spread).select("doc_id", "text")
-    extra = d.filter(F.col("doc_id") % 5 == 0) \
-             .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    return d.unionByName(extra)
+    return _with_clones(d, "doc_id", every=5)
 
 
 def _clone_emb(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    extra = e.filter(F.col("vec_id") % 50 == 0) \
-             .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    return e.unionByName(extra)
+    return _with_clones(e, "vec_id", every=50)
 
 
 def _pipeline(spark, sf_dir, **opts):
