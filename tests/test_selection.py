@@ -546,6 +546,26 @@ def test_dsir_weights_match_python_reference(spark):
         > out[4].dsir_logw / out[4].n_grams
 
 
+def test_const_double_array_exact(spark):
+    """_const_double_array (the one-py4j-call literal used by the
+    classifier/DSIR weight tables) must round-trip every double
+    bit-exactly through the SQL parser, including negative zero and
+    scientific-notation extremes."""
+    import random
+    import struct
+
+    from warc2text_spark.operators.selection import _const_double_array
+    random.seed(7)
+    vals = ([0.0, -0.0, 1.5, -2.25, 1e-05, -3.5e-300, 6.02e23,
+             0.1 + 0.2] +
+            [random.uniform(-1, 1) for _ in range(200)])
+    got = spark.range(1).select(
+        _const_double_array(vals).alias("a")).collect()[0].a
+    assert len(got) == len(vals)
+    for v, g in zip(vals, got):
+        assert struct.pack("d", v) == struct.pack("d", g), (v, g)
+
+
 def test_dsir_fold_matches_joined_twin(spark):
     """The r7 fold projection of the DSIR scoring pass must reproduce
     the r6 explode+broadcast-join shape bit-for-bit (same doubles: same

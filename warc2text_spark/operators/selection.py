@@ -485,6 +485,23 @@ def _md5_bucket(col, k: int):
             .cast("long") % k)
 
 
+def _const_double_array(values):
+    """A double-array literal column built with ONE py4j round-trip.
+
+    ``F.lit`` / ``F.array(*lits)`` cost one driver round-trip PER
+    element (PySpark's lit(list) loops lit() per item), which for the
+    4096/10000-slot constant tables below is seconds of
+    query-CONSTRUCTION time — and the frozen bench times construction.
+    repr(float) is shortest-round-trip exact under the JVM's
+    Double.parseDouble; the D suffix forces DoubleType for plain
+    decimal forms (scientific forms are already doubles in Spark SQL).
+    Bit-exactness is pinned by test_const_double_array_exact."""
+    def fmt(v):
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r) else r + "D"
+    return F.expr("array(" + ",".join(fmt(v) for v in values) + ")")
+
+
 def _dsir_buckets(df: DataFrame, text_col: str, id_col: str,
                   n_buckets: int) -> DataFrame:
     """(id, bkt) — one row per hashed n-gram INSTANCE (unigrams +
@@ -546,7 +563,7 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
     dense = [lam0] * n_buckets
     for b, l in lam_rows:
         dense[int(b)] = l
-    lamarr = F.array(*[F.lit(x) for x in dense])
+    lamarr = _const_double_array(dense)
     toks = _tokens(text_col)
     grams = F.concat(toks, ngram_col(toks, 2))
     fold = F.aggregate(
@@ -763,7 +780,7 @@ def quality_classifier_logit_col(weights: dict[int, float], bias: float,
     dense = [0.0] * n_buckets
     for bkt, wgt in weights.items():
         dense[int(bkt)] = float(wgt)
-    warr = F.array(*[F.lit(x) for x in dense])
+    warr = _const_double_array(dense)
     toks = _tokens(text_col)
     grams = F.concat(toks, ngram_col(toks, 2))
     fold = F.aggregate(
