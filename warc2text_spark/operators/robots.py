@@ -164,8 +164,11 @@ def apply_robots(docs: DataFrame, rules: DataFrame, agent: str = "*",
                         F.col("pattern").isNotNull()
                         & F.regexp_like(F.col("_path"), F.col("pattern"))))
     # longest match wins, allow beats disallow on ties
+    # min, not first: if a doc_id ever carried two distinct URLs the
+    # reported url would be partition-order-nondeterministic (ADVICE r6);
+    # identical output under the one-url-per-doc_id contract
     verdict = (hits.groupBy(id_col)
-               .agg(F.first("_url").alias("url"),
+               .agg(F.min("_url").alias("url"),
                     F.max_by(
                         F.col("rule") == "allow",
                         F.when(F.col("_match"),
