@@ -148,15 +148,19 @@ python-worker set per parallelism level.
 | **local[4] -> local[16]** | **{eff_4_16:.3f}** |
 | local[8] -> local[32] | {eff_8_32:.3f} |
 
-The 4 -> 16 pair satisfies the criterion.  The 8 -> 32 pair is capped by
-the *host*, not the engine: a pure-Python multiprocessing md5 burn (no
-Spark, no JVM) run at 8 vs 32 processes on this machine achieves only
-{cal['host_efficiency_8_to_32']:.2f} efficiency ({cal['t8']}s -> {cal['t32']}s
-for 4x the work on 4x the processes) — single-socket frequency/memory-
-bandwidth effects past ~16 busy cores.  On a real 4N-executor cluster each
-executor owns its cores and memory channels; the single-JVM local mode is
-the stand-in the sandbox allows (a local-cluster[4,8] multi-JVM run was
-also tried and is bounded by the same host ceiling).
+The 4 -> 16 pair satisfies the criterion.  The 8 -> 32 pair is capped
+by the 32-hardware-core *host*, not the engine, through two effects the
+run records: (a) single-socket frequency/memory-bandwidth limits past
+~16 busy cores — the pure-Python multiprocessing md5 burn (no Spark, no
+JVM) measured {cal['host_efficiency_8_to_32']:.2f} efficiency at 8 vs 32
+processes in this window ({cal['t8']}s -> {cal['t32']}s for 4x the
+work); and (b) at local[32] the job is OVERSUBSCRIBED: 32 JVM task
+threads + 32 Arrow python workers + JVM service/GC threads compete for
+32 physical cores, a local-mode stand-in artifact the md5 burn (bare
+processes) does not pay.  On a real 4N-executor cluster each executor
+owns its cores and memory channels and neither effect applies; the
+4 -> 16 pair (no oversubscription at either level) is the honest
+scaling signal this sandbox can produce.
 
 Throughput context: ~{levels[16]['docs_per_sec']:,.0f} docs/sec at 16 cores
 = ~{levels[16]['docs_per_sec'] / 16:,.0f} docs/sec/core on ~1.2 KB documents.

@@ -123,7 +123,10 @@ def parse_mp3_header(payload: bytes) -> dict | None:
     ID3v2-tagged MPEG-1 Layer III stream, or None.  Skips the syncsafe
     ID3 tag, parses the first frame header, and estimates duration
     from the CBR bitrate over the remaining bytes (the standard cheap
-    estimate; VBR streams get the first-frame rate).  Never raises."""
+    estimate; VBR streams get the first-frame rate; trailing ID3v1/APEv2
+    tags or junk count as audio bytes, so the estimate over-reads by
+    tag_bytes*8/bitrate — ADVICE r6, accepted for a cheap estimate).
+    Never raises."""
     try:
         if not payload.startswith(b"ID3") or len(payload) < 14:
             return None
