@@ -14,6 +14,14 @@ decides, and ``allow`` wins length ties.  A product token picks its
 group by exact (case-insensitive) token match, else the ``*`` group;
 no matching rule means allowed.
 
+Two documented deviations from the full RFC (ADVICE r6, accepted):
+rule paths and URL paths are compared byte-literal — the §2.2.2
+percent-encoding equivalence (``/a%20b`` vs ``/a b``) is not
+canonicalized, so rules and URLs must agree on encoding; and the
+matched URL path deliberately includes the query string
+(``/s?q=x`` can be blocked by ``Disallow: /s?``), the Google-crawler
+interpretation rather than path-only matching.
+
 Scale shape: robots.txt documents are a tiny fraction of a crawl (one
 per host), so the parsed rule table is broadcast; documents contribute
 only (id, host, path) to the match join and never shuffle their
